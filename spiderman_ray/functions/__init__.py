@@ -1,0 +1,1 @@
+"""Pure, vectorized kernels used inside ``map_batches`` stages."""

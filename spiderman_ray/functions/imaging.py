@@ -1,0 +1,320 @@
+"""Image codecs, perceptual hash, PSNR — numpy-only, deterministic.
+
+The reference treats attachments as opaque byte streams written to disk in
+512-byte chunks (download.py:134-136) and never decodes them; our north rule
+(BASELINE.json input_hint) stores encoded image bytes in an Arrow ``binary``
+column and requires a decoded-pixel invariant (PSNR>=40dB for lossy formats).
+
+This container has no Pillow/libjpeg, so:
+
+- ``fmt='png'``  -> a real, spec-conformant PNG codec (8-bit RGB, zlib IDAT,
+  scanline filters; our encoder emits filter 0, the decoder handles 0-4).
+  Any external PNG tool can read our output.
+- ``fmt='jpeg'`` -> a deterministic DCT-quantized lossy codec ("SJPG"): 8x8
+  block DCT per channel, JPEG luminance quantization table scaled by quality,
+  zlib-entropy-coded. Same transform family and loss profile as baseline JPEG,
+  but NOT the JFIF container. If Pillow is installed, real JPEG is used
+  transparently instead (``_HAVE_PIL`` gate below).
+
+All functions are pure and vectorized across 8x8 blocks / pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a valid RGB8 PNG."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # bitdepth 8, color RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Undo PNG scanline filters 0-4 for 3-byte pixels."""
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        ftype = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    cpx = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - cpx
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cpx)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cpx)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an RGB8 PNG (filters 0-4, no interlace) to (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = bytearray()
+    h = bitdepth = colortype = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if bitdepth != 8 or colortype != 2 or interlace != 0:
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8).reshape(h, w * 3 + 1)
+    if (raw[:, 0] == 0).all():  # fast path: our own encoder's output
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    return _unfilter(raw, h, w).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Lossy DCT codec ("SJPG", the jpeg stand-in)
+# ---------------------------------------------------------------------------
+
+#: Annex-K JPEG luminance quantization table (public spec constant).
+_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_D8 = _dct_matrix(8)
+_D32 = _dct_matrix(32)
+
+
+def _quality_qtable(quality: int) -> np.ndarray:
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    q = np.floor((_QTABLE * scale + 50.0) / 100.0)
+    return np.clip(q, 1, 255)
+
+
+def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = chan.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = chan.shape[0] // 8, chan.shape[1] // 8
+    blocks = chan.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, hb, wb
+
+
+def _unblockify(blocks: np.ndarray, hb: int, wb: int, h: int, w: int) -> np.ndarray:
+    chan = blocks.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+    return chan[:h, :w]
+
+
+def sjpg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Lossy encode (h, w, 3) uint8 -> bytes. Deterministic."""
+    h, w, _ = pixels.shape
+    q = _quality_qtable(quality)
+    planes = []
+    for c in range(3):
+        blocks, hb, wb = _blockify(pixels[:, :, c].astype(np.float64) - 128.0)
+        coeff = _D8 @ blocks @ _D8.T
+        planes.append(np.round(coeff / q).astype(np.int16))
+    payload = zlib.compress(np.concatenate(planes).tobytes(), 6)
+    return b"SJPG" + struct.pack(">BIIH", quality, w, h, 0) + payload
+
+
+def sjpg_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"SJPG":
+        raise ValueError("not SJPG data")
+    quality, w, h, _ = struct.unpack(">BIIH", data[4:15])
+    q = _quality_qtable(quality)
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    nblocks = hb * wb
+    coeffs = np.frombuffer(zlib.decompress(data[15:]), dtype=np.int16).reshape(3 * nblocks, 8, 8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        blocks = _D8.T @ (coeffs[c * nblocks : (c + 1) * nblocks].astype(np.float64) * q) @ _D8
+        out[:, :, c] = np.clip(
+            np.round(_unblockify(blocks, hb, wb, h, w) + 128.0), 0, 255
+        ).astype(np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Unified encode/decode by fmt
+# ---------------------------------------------------------------------------
+
+
+def encode_image(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt in ("jpeg", "jpg"):
+        return sjpg_encode(pixels, quality)
+    raise ValueError(f"unsupported fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
+    """Decode by sniffing magic bytes (fmt is advisory)."""
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:4] == b"SJPG":
+        return sjpg_decode(data)
+    if _HAVE_PIL:  # pragma: no cover
+        import io
+
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+    raise NotImplementedError(
+        "real JPEG/JFIF decode requires Pillow, which is not installed in this "
+        "container; lossy images use the SJPG stand-in codec"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metrics: PSNR, pHash
+# ---------------------------------------------------------------------------
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def _resize32(gray: np.ndarray) -> np.ndarray:
+    """Box-average resize to 32x32 (deterministic, pure numpy)."""
+    h, w = gray.shape
+    ys = (np.arange(33) * h / 32).round().astype(int)
+    xs = (np.arange(33) * w / 32).round().astype(int)
+    ys[-1], xs[-1] = h, w
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    out = np.empty((32, 32), dtype=np.float64)
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            out[i, j] = (csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]) / area
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (standard pHash construction): grayscale ->
+    32x32 box resize -> 2D DCT -> top-left 8x8 -> bits = coeff > median.
+    Returns a signed int64 (Arrow int64 column)."""
+    gray = (
+        0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+    ).astype(np.float64)
+    small = _resize32(gray)
+    coeff = (_D32 @ small @ _D32.T)[:8, :8]
+    med = np.median(coeff)
+    bits = (coeff > med).flatten()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.view(np.int64))
+
+
+def phash_hamming(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Procedural pixel generation (the simulated web's "camera")
+# ---------------------------------------------------------------------------
+
+
+def generate_pixels(key: str, w: int, h: int) -> np.ndarray:
+    """Deterministic smooth RGB test image for ``key`` — sum of low-frequency
+    cosine gratings with key-derived phases over a key-derived base color.
+    Smooth content keeps the lossy round-trip comfortably above PSNR 40dB."""
+    seed = int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    yy /= max(h, 1)
+    xx /= max(w, 1)
+    img = np.empty((h, w, 3), dtype=np.float64)
+    for c in range(3):
+        base = rng.uniform(64, 192)
+        acc = np.full((h, w), base)
+        for _ in range(3):
+            fx, fy = rng.uniform(0.5, 3.0, size=2)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(10, 40)
+            acc += amp * np.cos(2 * np.pi * (fx * xx + fy * yy) + phase)
+        img[:, :, c] = acc
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)

@@ -1,0 +1,87 @@
+import pyarrow as pa
+
+from spiderman_ray.functions.textops import (
+    clean,
+    clean_column,
+    coalesce,
+    deal_time_stamp,
+    decode_base64,
+    encode_base64,
+)
+from spiderman_ray.functions.urls import (
+    canonical_host,
+    canonicalize,
+    get_file_type,
+    url_check,
+    url_check_mask,
+    urljoin,
+)
+
+
+def test_url_check_reference_dirty_words():
+    # SP/utils/tool.py:116-134 semantics
+    assert not url_check("https://www.baidu.com/x")
+    assert not url_check("javascript:void(0)")
+    assert not url_check("mailto:someone@x.com")
+    assert url_check("https://esf.zhifang.com/dq00000/1")
+    assert not url_check("https://ok.example/x", dirty_words="ok.example")
+    assert not url_check("https://ok.example/x", dirty_words=["nope", "example"])
+
+
+def test_url_check_mask_matches_scalar():
+    urls = [
+        "https://www.baidu.com/x",
+        "https://esf.zhifang.com/1",
+        "mailto:a@qq.com",
+        "https://fine.example/a",
+    ]
+    mask = url_check_mask(pa.array(urls))
+    assert mask.to_pylist() == [url_check(u) for u in urls]
+
+
+def test_get_file_type():
+    # SP/utils/tool.py:88-113 semantics
+    assert get_file_type("http://x/a.jpg") == "jpg"
+    assert get_file_type("http://x/a.JPG?v=1") == "JPG"  # case preserved, suffix stripped
+    assert get_file_type("http://x/a.png&size=2") == "png"
+    assert get_file_type("http://x/a.html", "jpg") == "jpg"  # fallback arg
+    assert get_file_type("data:image/png;base64,AAA") == "png"
+    assert get_file_type("http://x/a.html") == ""
+
+
+def test_urljoin_and_canonicalize():
+    assert urljoin("https://esf.zhifang.com/dq00000/1", "/detail/9") == (
+        "https://esf.zhifang.com/detail/9"
+    )
+    assert canonicalize("HTTPS://Host.Example:443/p?q=1#frag") == "https://host.example/p?q=1"
+    assert canonicalize("http://host.example") == "http://host.example/"
+    assert canonical_host("https://A.B.Example:8080/x") == "a.b.example"
+
+
+def test_clean_reference_rule():
+    # SP/utils/tool.py:17-27
+    assert clean("  a\nb\tc\x0d\xa0\001  ") == "abc"
+    assert clean(None) == ""
+    assert clean(123) == "123"
+
+
+def test_clean_column_matches_scalar():
+    vals = ["  a\nb ", None, "\tx\x0d", "ok"]
+    out = clean_column(pa.array(vals)).to_pylist()
+    assert out == [clean(v) for v in vals]
+
+
+def test_coalesce():
+    assert coalesce(["", None, "x", "y"]) == "x"
+    assert coalesce([[], ["a", "b"]]) == "a"
+    assert coalesce("z") == "z"
+    assert coalesce([None, ""]) == ""
+
+
+def test_base64_roundtrip():
+    assert decode_base64(encode_base64("héllo")) == "héllo"
+
+
+def test_deal_time_stamp():
+    assert deal_time_stamp(1600000000, unit="s") == "2020-09-13"
+    assert deal_time_stamp(1600000000000, unit="ms") == "2020-09-13"
