@@ -1,0 +1,88 @@
+"""Columnar table store: Lance when available, partitioned Parquet otherwise.
+
+The north rule stores tables as Lance datasets; this container has no
+``lance`` wheel, so the same API transparently writes a directory of Parquet
+part files instead (identical layout guarantees: one directory per logical
+table, many part files, atomic-rename commit). Every write goes to a temp
+dir first and is renamed into place so readers never see partial tables —
+the 'resumable output' contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+try:  # pragma: no cover - lance absent in this container
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def write_dataset(ds: rd.Dataset, uri: str, *, min_rows_per_file: int | None = None) -> str:
+    """Write a Ray Dataset to ``uri`` (directory), atomically."""
+    tmp = f"{uri}.tmp-{uuid.uuid4().hex[:8]}"
+    if HAVE_LANCE:  # pragma: no cover
+        ds.write_lance(tmp)
+    else:
+        kwargs = {}
+        if min_rows_per_file:
+            kwargs["min_rows_per_file"] = min_rows_per_file
+        ds.write_parquet(tmp, **kwargs)
+    if os.path.exists(uri):
+        shutil.rmtree(uri)
+    os.rename(tmp, uri)
+    return uri
+
+
+def write_table(tbl: pa.Table, uri: str) -> str:
+    """Write one Arrow table (small/driver-side) to ``uri`` atomically."""
+    tmp = f"{uri}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    if HAVE_LANCE:  # pragma: no cover
+        import lance
+
+        lance.write_dataset(tbl, tmp)
+    else:
+        pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    if os.path.exists(uri):
+        shutil.rmtree(uri)
+    os.rename(tmp, uri)
+    return uri
+
+
+def read_dataset(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
+    if HAVE_LANCE and os.path.exists(os.path.join(uri, "_versions")):  # pragma: no cover
+        return rd.read_lance(uri, columns=columns)
+    return rd.read_parquet(uri, columns=columns)
+
+
+def read_arrow(uri: str, *, columns: list[str] | None = None) -> pa.Table:
+    if HAVE_LANCE and os.path.exists(os.path.join(uri, "_versions")):  # pragma: no cover
+        import lance
+
+        return lance.dataset(uri).to_table(columns=columns)
+    paths = sorted(
+        os.path.join(uri, f) for f in os.listdir(uri) if f.endswith(".parquet")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no parquet parts under {uri}")
+    return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+
+
+def append_part(tbl: pa.Table, uri: str, tag: str = "") -> str:
+    """Append one part file to a table directory (used by in-task sinks).
+    Part files are uniquely named; completeness is recorded by the caller's
+    manifest, and readers of incomplete generations ignore the directory."""
+    os.makedirs(uri, exist_ok=True)
+    name = f"part-{tag + '-' if tag else ''}{uuid.uuid4().hex}.parquet"
+    path = os.path.join(uri, name)
+    pq.write_table(tbl, path)
+    return path

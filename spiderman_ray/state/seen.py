@@ -1,0 +1,143 @@
+"""Sharded URL-seen-set actor pool — the scrapy-redis dupefilter replacement.
+
+The reference shares one Redis SET (exact, SP/settings.py:103) or sharded
+bloom bitmaps (SP/bloom_dupefilter.py:33) across all spider processes. Here
+each shard is a Ray actor owning one bitmap/set; a fingerprint is routed to
+shard ``int(md5(fp)[0:2], 16) % num_shards`` — the reference's own shard
+function (SP/bloom_dupefilter.py:33) — so bloom-mode bit layouts are
+comparable shard-for-shard.
+
+Scale notes (10^10 URLs): 128+ shards x 1-2 GiB bloom bitmaps spread across
+the cluster; each dedup batch makes ONE ``offer`` RPC per shard (fingerprints
+grouped driver-less, inside the map task), so chatter is O(shards) per batch,
+not O(rows). Checkpoint = per-shard npz snapshot, restored on resume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import ray
+
+from spiderman_ray.functions.hashing import bloom_shards
+from spiderman_ray.state.bloom import ExactSet, NumpyBloom
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One seen-set shard. num_cpus=0.25: shards are memory-bound lookups and
+    must not starve fetch/parse stages of CPU slots."""
+
+    def __init__(self, shard_id: int, mode: str = "exact", bloom_mem_mb: int = 16, bloom_k: int = 7):
+        self.shard_id = shard_id
+        self.mode = mode
+        self.impl = NumpyBloom(bloom_mem_mb, bloom_k) if mode == "bloom" else ExactSet()
+
+    def offer(self, fps: np.ndarray) -> np.ndarray:
+        """Atomic check-then-add for a batch; True = first sight (accepted)."""
+        return self.impl.offer_batch(fps)
+
+    def contains(self, fps: np.ndarray) -> np.ndarray:
+        return self.impl.contains_batch(fps)
+
+    def add(self, fps: np.ndarray) -> int:
+        self.impl.add_batch(fps)
+        return len(fps)
+
+    def count(self) -> int:
+        return self.impl.n_added if self.mode == "bloom" else len(self.impl.fps)
+
+    def snapshot(self, path: str) -> str:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(path, **self.impl.state(), shard_id=self.shard_id)
+        return path
+
+    def restore(self, path: str) -> int:
+        st = np.load(path, allow_pickle=True)
+        mode = str(st["mode"])
+        self.impl = (
+            NumpyBloom.from_state(st) if mode == "bloom" else ExactSet.from_state(st)
+        )
+        self.mode = mode
+        return self.count()
+
+
+class ShardedSeenSet:
+    """Driver-side handle over the shard actors.
+
+    ``route`` + per-shard ``offer`` can also run inside map_batches tasks —
+    the handle is serializable (actor handles pickle fine).
+    """
+
+    def __init__(self, num_shards: int = 4, mode: str = "exact", bloom_mem_mb: int = 16,
+                 bloom_k: int = 7):
+        self.num_shards = num_shards
+        self.mode = mode
+        # Unnamed actors: each engine run owns a fresh pool (no stale state
+        # leaking across runs in one Ray session); resume restores snapshots.
+        self.shards = [
+            SeenShard.remote(i, mode, bloom_mem_mb, bloom_k) for i in range(num_shards)
+        ]
+
+    def route(self, fps) -> np.ndarray:
+        return bloom_shards(fps, self.num_shards)
+
+    def offer(self, fps) -> np.ndarray:
+        """Batch offer: group by shard, ONE rpc per shard, scatter back."""
+        fps = np.asarray(fps, dtype=object)
+        if len(fps) == 0:
+            return np.zeros(0, dtype=bool)
+        sid = self.route(fps)
+        accepted = np.zeros(len(fps), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            mask = sid == s
+            if mask.any():
+                refs.append(self.shards[s].offer.remote(fps[mask]))
+                idxs.append(np.nonzero(mask)[0])
+        for ref, idx in zip(ray.get(refs), idxs):
+            accepted[idx] = ref
+        return accepted
+
+    def contains(self, fps) -> np.ndarray:
+        fps = np.asarray(fps, dtype=object)
+        if len(fps) == 0:
+            return np.zeros(0, dtype=bool)
+        sid = self.route(fps)
+        out = np.zeros(len(fps), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            mask = sid == s
+            if mask.any():
+                refs.append(self.shards[s].contains.remote(fps[mask]))
+                idxs.append(np.nonzero(mask)[0])
+        for ref, idx in zip(ray.get(refs), idxs):
+            out[idx] = ref
+        return out
+
+    def count(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def snapshot(self, dir_path: str) -> list[str]:
+        return ray.get(
+            [
+                s.snapshot.remote(os.path.join(dir_path, f"shard-{i}.npz"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+
+    def restore(self, dir_path: str) -> int:
+        return sum(
+            ray.get(
+                [
+                    s.restore.remote(os.path.join(dir_path, f"shard-{i}.npz"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
