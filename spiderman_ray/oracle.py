@@ -1,0 +1,186 @@
+"""Reference-oracle simulator: the single-process scrapy-redis loop, faithfully.
+
+A pure-Python, single-threaded reimplementation of the reference crawl loop
+(SURVEY.md §5.1) that defines the golden crawl order, URL-seen set and output
+rows the Ray engine must reproduce:
+
+- FIFO frontier: ``rpush`` at tail / ``lpop`` at head
+  (SP/utils/ctrl_redis.py:30,69; README.md:103 calls it breadth-first)
+- dedup at schedule time, first occurrence wins, per-callback opt-out
+  (SP/spiders/SPRedisSpider.py:35; SP/settings.py:103); exact-set or
+  sharded-bloom mode with the reference hash family
+- robots + per-host crawl-delay (virtual clock) — north-rule additions,
+  applied in the pinned order: dedup -> robots -> politeness -> fetch
+- retry policy: RETRY_TIMES extra attempts on the retryable codes
+  (SP/settings.py:122-124); exhausted error -> dead letter (scrapy HttpError
+  drops non-2xx); MINSIZE exhaustion parses anyway
+  (SizeRetryMiddleWare's ``self._retry(...) or response``,
+  SP/middlewares/SPMiddleWare.py:145-153)
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+import numpy as np
+
+from spiderman_ray.functions.hashing import bloom_shards
+from spiderman_ray.parsers import PARSERS, make_image_row, make_request
+from spiderman_ray.policy import CrawlPolicy
+from spiderman_ray.simweb import SimParams, SimWeb
+from spiderman_ray.state.bloom import ExactSet, NumpyBloom
+from spiderman_ray.state.politeness import HostLedger, RobotsCache
+
+
+class ShardedSeenLocal:
+    """In-process equivalent of the actor pool — same shard routing, same
+    filters, so bloom false-positive behavior matches the engine exactly."""
+
+    def __init__(self, policy: CrawlPolicy):
+        n = policy.num_shards
+        if policy.dedup_mode == "bloom":
+            self.filters = [NumpyBloom(policy.bloom_mem_mb, policy.bloom_k) for _ in range(n)]
+        else:
+            self.filters = [ExactSet() for _ in range(n)]
+        self.n = n
+
+    def offer_one(self, fp: str) -> bool:
+        sid = int(bloom_shards([fp], self.n)[0])
+        return bool(self.filters[sid].offer_batch([fp])[0])
+
+    def fingerprints(self) -> set[str]:
+        fps = set()
+        for f in self.filters:
+            if isinstance(f, ExactSet):
+                fps |= f.fps
+        return fps
+
+    def bitmaps(self) -> list[np.ndarray]:
+        return [f.bits for f in self.filters if isinstance(f, NumpyBloom)]
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[dict] = field(default_factory=list)
+    pages: list[dict] = field(default_factory=list)
+    details: list[dict] = field(default_factory=list)
+    images: list[dict] = field(default_factory=list)
+    dead_letters: list[dict] = field(default_factory=list)
+    seen_fps: set[str] = field(default_factory=set)
+    seen_bitmaps: list[np.ndarray] = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+def seed_requests(web: SimWeb) -> list[dict]:
+    """Seed generator — SPJob.make_job equivalent (SP_JOBS/zhifang_job.py:27-41):
+    list pages 1..P in push order, seq = push index."""
+    return [
+        make_request(web.list_url(p), "list", generation=0, seq=p - 1, pagenum=p)
+        for p in range(1, web.p.pages + 1)
+    ]
+
+
+def fetch_outcome(web: SimWeb, url: str, policy: CrawlPolicy) -> tuple[bool, int, int, bool]:
+    """(success, attempts_used, last_status, size_exhausted) — deterministic."""
+    fail_n = web.fail_attempts_for(url)
+    if fail_n >= policy.max_attempts:
+        return False, policy.max_attempts, web.status_code_for(url), False
+    attempts = fail_n + 1
+    size_exhausted = False
+    if policy.min_size is not None and web.body_size_for(url) < policy.min_size:
+        # size-retries stack after the status-retries in attempts accounting;
+        # response is parsed anyway once the budget is exhausted
+        attempts = policy.max_attempts
+        size_exhausted = True
+    return True, attempts, 200, size_exhausted
+
+
+def run_oracle(
+    params: SimParams,
+    policy: CrawlPolicy | None = None,
+    delays_ms: dict[str, int] | None = None,
+) -> OracleResult:
+    policy = policy or CrawlPolicy()
+    web = SimWeb(params)
+    pol_cfg = web.politeness_config(delays_ms)
+    robots = RobotsCache({h: c["robots_disallow"] for h, c in pol_cfg.items()})
+    ledger = HostLedger(
+        {h: c["crawl_delay_ms"] for h, c in pol_cfg.items()},
+        default_delay_ms=policy.default_delay_ms,
+        clock="virtual",
+    )
+    seen = ShardedSeenLocal(policy)
+    res = OracleResult()
+    frontier = deque(seed_requests(web))
+    fetches = 0
+
+    while frontier:
+        req = frontier.popleft()
+        if policy.dedup_for(req["callback"]) and not seen.offer_one(req["fp"]):
+            continue  # duplicate — first-pushed occurrence already crawled
+        host, path = req["host"], urlsplit(req["url"]).path
+        if not robots.allowed(host, path):
+            res.dead_letters.append(
+                {
+                    "url": req["url"],
+                    "reason": "robots",
+                    "status_code": 0,
+                    "attempts": 0,
+                    "generation": req["generation"],
+                    "seq": req["seq"],
+                    "host": host,
+                }
+            )
+            continue
+        t = ledger.acquire(host)
+        ok, attempts, status, size_exhausted = fetch_outcome(web, req["url"], policy)
+        if not ok:
+            res.dead_letters.append(
+                {
+                    "url": req["url"],
+                    "reason": "http_error",
+                    "status_code": status,
+                    "attempts": attempts,
+                    "generation": req["generation"],
+                    "seq": req["seq"],
+                    "host": host,
+                }
+            )
+            continue
+        fetches += attempts
+        res.crawl_order.append(
+            {
+                "url": req["url"],
+                "generation": req["generation"],
+                "host": host,
+                "seq": req["seq"],
+                "attempts": attempts,
+                "vts_ms": t,
+            }
+        )
+        if req["callback"] == "image":
+            res.images.append(make_image_row(req, web.fetch(req["url"]).body))
+        else:
+            resp = web.fetch(req["url"])
+            rows, children = PARSERS[req["callback"]](resp, req)
+            if req["callback"] == "list":
+                res.pages.extend(rows)
+            else:
+                res.details.extend(rows)
+            frontier.extend(children)  # rpush at tail — BFS expansion
+
+    res.seen_fps = seen.fingerprints()
+    res.seen_bitmaps = seen.bitmaps()
+    res.metrics = {
+        "crawled": len(res.crawl_order),
+        "pages": len(res.pages),
+        "details": len(res.details),
+        "images": len(res.images),
+        "dead": len(res.dead_letters),
+        "attempts_total": fetches,
+        "robots_fetches": robots.fetch_count,
+        "host_vclock_ms": dict(ledger.vnow_ms),
+    }
+    return res

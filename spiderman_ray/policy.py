@@ -1,0 +1,38 @@
+"""CrawlSpec / CrawlPolicy — the user-extension surface (SURVEY.md §2.9).
+
+One engine, many specs: replaces the reference's generated
+``{name}_job.py / {name}.py / {name}_items.py`` triple (easy_scrapy.py) with a
+single dataclass. The policy knobs mirror the reference settings:
+
+- ``retry_times``           SP/settings.py:122  (RETRY_TIMES = 3)
+- ``min_size``              SPMiddleWare.py:136-157 (SizeRetryMiddleWare)
+- ``dedup`` per callback    get_callback's dont_filter flag
+                            (SP/spiders/SPRedisSpider.py:35, zhifang.py:55-61)
+- ``bloom*``                SP/bloom_dupefilter.py + README.md:166-189
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlPolicy:
+    retry_times: int = 3  # extra attempts after the first (scrapy RETRY_TIMES)
+    min_size: int | None = None  # MINSIZE; None = middleware off (reference default)
+    dedup: bool = True  # global default (README's recommended config)
+    dedup_overrides: dict[str, bool] = field(default_factory=dict)  # per callback
+    dedup_mode: str = "exact"  # 'exact' | 'bloom'
+    bloom_mem_mb: int = 16
+    bloom_k: int = 7
+    num_shards: int = 4  # seen-set shards (engine actors == oracle sub-filters)
+    max_generations: int = 16
+    clock: str = "virtual"  # 'virtual' | 'wall' politeness clock
+    default_delay_ms: int = 0
+
+    @property
+    def max_attempts(self) -> int:
+        return self.retry_times + 1
+
+    def dedup_for(self, callback: str) -> bool:
+        return self.dedup_overrides.get(callback, self.dedup)

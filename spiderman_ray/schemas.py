@@ -39,6 +39,8 @@ FRONTIER = pa.schema(
         ("fkey", pa.string()),
         ("pagenum", pa.int32()),
         ("px", pa.int32()),  # image ordinal within its detail page (0 otherwise)
+        ("caption", pa.string()),  # carried from the detail page for image requests
+
         ("generation", pa.int32()),
         ("seq", pa.int64()),
         ("host", pa.string()),
