@@ -1,0 +1,319 @@
+"""The BFS generation-loop engine: frontier -> dedup -> fetch -> parse/sink.
+
+Replaces the reference's shared Redis FIFO + N scrapy processes
+(SP_JOBS/job.py:96-133) with a driver loop over per-generation frontier
+Datasets (SURVEY.md §7.2.4):
+
+    frontier_0 = seeds                        (gen 0, seq = push order)
+    while frontier_g nonempty:
+        sched   = dedup(frontier_g)           # first-wins groupby + seen actors
+        fetched = sched.groupby(fetch_key).map_groups(FetchGroup)   # politeness
+        frontier_{g+1} = fetched.map_batches(ParseSink)             # rows sunk
+        checkpoint(g)                         # frontier, seen shards, manifest
+
+Each generation runs as ONE streaming Ray Data pipeline with a single
+consumer (writing the next frontier); page/detail/image rows leave the
+pipeline inside ParseSink, so image bytes are never dataset-materialized.
+The BFS barrier per generation is what makes the crawl order equal the
+reference's single-process FIFO (README.md:103; SURVEY.md §7.3) — the
+reference gets it implicitly from its Redis list, we get it explicitly.
+
+Checkpoint/resume (the patch-job model, SP_JOBS/zhifang_job_patch.py, made
+first-class): everything under ``out_dir`` is the checkpoint —
+
+    frontier/gen={g}/      the materialized frontier (parquet/lance parts)
+    tables/{t}/gen={g}/    output rows for generation g
+    seen/gen-{g}/          per-shard seen-set snapshots AFTER gen g
+    manifests/gen-{g}.json lineage: counts, parent manifest hash, complete
+
+``resume=True`` finds the last complete manifest, restores the seen shards,
+deletes any partial later generations, and continues — bit-identical final
+tables (tested by killing mid-crawl in tests/test_engine.py).
+
+Skew: pass ``salt_max_group`` to split hosts with more frontier rows than
+the cap into ``host#i`` sub-groups; per-host politeness stays exact through
+the shared HostClock actor (slot ranges reserved atomically). Salting trades
+the deterministic per-host crawl order INSIDE a generation for parallelism —
+conformance mode leaves it off, throughput mode sets it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from spiderman_ray import schemas
+from spiderman_ray.functions.hashing import hash64, md5_hex
+from spiderman_ray.oracle import seed_requests
+from spiderman_ray.policy import CrawlPolicy
+from spiderman_ray.simweb import SimParams, SimWeb
+from spiderman_ray.sources.table_io import read_dataset, write_dataset
+from spiderman_ray.stages.dedup import dedup_frontier
+from spiderman_ray.stages.fetch import FetchGroup
+from spiderman_ray.stages.parse_sink import CRAWL_ORDER, HOSTMETA, ParseSink
+from spiderman_ray.state.politeness import HostClock
+from spiderman_ray.state.seen import ShardedSeenSet
+
+TABLES = ("pages", "details", "images", "dead_letters", "crawl_order", "hostmeta")
+
+
+def _gen_dir(out: str, kind: str, g: int) -> str:
+    return os.path.join(out, kind, f"gen={g}")
+
+
+def _count_parquet_rows(dir_path: str) -> int:
+    if not os.path.isdir(dir_path):
+        return 0
+    total = 0
+    for f in os.listdir(dir_path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(dir_path, f)).metadata.num_rows
+    return total
+
+
+def _read_gen_table(out: str, table: str, g: int) -> pa.Table:
+    d = _gen_dir(os.path.join(out, "tables"), table, g)
+    parts = sorted(os.listdir(d)) if os.path.isdir(d) else []
+    tabs = [pq.read_table(os.path.join(d, f)) for f in parts if f.endswith(".parquet")]
+    if not tabs:
+        schema = {
+            "pages": schemas.PAGES,
+            "details": schemas.DETAILS,
+            "images": schemas.IMAGES_FULL,
+            "dead_letters": schemas.DEAD_LETTERS,
+            "crawl_order": CRAWL_ORDER,
+            "hostmeta": HOSTMETA,
+        }[table]
+        return schemas.empty(schema)
+    return pa.concat_tables(tabs)
+
+
+def read_table_all_gens(out: str, table: str) -> pa.Table:
+    base = os.path.join(out, "tables", table)
+    gens = sorted(
+        int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("gen=")
+    ) if os.path.isdir(base) else []
+    tabs = [_read_gen_table(out, table, g) for g in gens]
+    return pa.concat_tables(tabs) if tabs else _read_gen_table(out, table, -1)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        params: SimParams,
+        policy: CrawlPolicy | None = None,
+        out_dir: str = "/tmp/spiderman_run",
+        delays_ms: dict[str, int] | None = None,
+        parse_concurrency: int = 3,
+        parse_batch_size: int = 256,
+        salt_max_group: int | None = None,
+    ):
+        self.params = params
+        self.policy = policy or CrawlPolicy()
+        self.out = out_dir
+        self.web = SimWeb(params)
+        self.pol_cfg = self.web.politeness_config(delays_ms)
+        self.parse_concurrency = parse_concurrency
+        self.parse_batch_size = parse_batch_size
+        self.salt_max_group = salt_max_group
+
+    # -- checkpoint helpers ------------------------------------------------
+    def _manifest_path(self, g: int) -> str:
+        return os.path.join(self.out, "manifests", f"gen-{g}.json")
+
+    def last_complete_generation(self) -> int:
+        mdir = os.path.join(self.out, "manifests")
+        if not os.path.isdir(mdir):
+            return -1
+        last = -1
+        for g in range(0, 10_000):
+            p = self._manifest_path(g)
+            if not os.path.exists(p):
+                break
+            with open(p) as f:
+                if json.load(f).get("complete"):
+                    last = g
+                else:
+                    break
+        return last
+
+    def _cleanup_after(self, g_last: int) -> None:
+        """Delete partial state from generations after ``g_last``."""
+        for t in TABLES:
+            base = os.path.join(self.out, "tables", t)
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    if d.startswith("gen=") and int(d.split("=")[1]) > g_last:
+                        shutil.rmtree(os.path.join(base, d))
+        fbase = os.path.join(self.out, "frontier")
+        if os.path.isdir(fbase):
+            for d in os.listdir(fbase):
+                if d.startswith("gen=") and int(d.split("=")[1]) > g_last + 1:
+                    shutil.rmtree(os.path.join(fbase, d))
+        for path in (os.path.join(self.out, "seen"), os.path.join(self.out, "manifests")):
+            if os.path.isdir(path):
+                for d in os.listdir(path):
+                    try:
+                        num = int(d.replace("gen-", "").split(".")[0])
+                    except ValueError:
+                        continue
+                    if num > g_last:
+                        target = os.path.join(path, d)
+                        shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+
+    def _base_slots_through(self, g_last: int) -> dict[str, int]:
+        slots: dict[str, int] = {}
+        for g in range(0, g_last + 1):
+            hm = _read_gen_table(self.out, "hostmeta", g)
+            for host, n in zip(hm["host"].to_pylist(), hm["n_meta"].to_pylist()):
+                slots[host] = slots.get(host, 0) + int(n)
+        return slots
+
+    # -- the run -----------------------------------------------------------
+    def run(self, resume: bool = False) -> dict:
+        t0 = time.time()
+        policy = self.policy
+        if resume:
+            g_last = self.last_complete_generation()
+            self._cleanup_after(g_last)
+            start_gen = g_last + 1
+        else:
+            if os.path.isdir(self.out):
+                shutil.rmtree(self.out)
+            start_gen = 0
+        os.makedirs(os.path.join(self.out, "manifests"), exist_ok=True)
+
+        pool = ShardedSeenSet(
+            num_shards=policy.num_shards,
+            mode=policy.dedup_mode,
+            bloom_mem_mb=policy.bloom_mem_mb,
+            bloom_k=policy.bloom_k,
+        )
+        base_slots: dict[str, int] = {}
+        host_clock = None
+        if resume and start_gen > 0:
+            pool.restore(os.path.join(self.out, "seen", f"gen-{start_gen - 1}"))
+            base_slots = self._base_slots_through(start_gen - 1)
+
+        if start_gen == 0:
+            seeds = pa.Table.from_pylist(
+                seed_requests(self.web), schema=schemas.FRONTIER
+            )
+            write_dataset(
+                rd.from_arrow(seeds), _gen_dir(self.out, "frontier", 0)
+            )
+
+        g = start_gen
+        while g < policy.max_generations:
+            fdir = _gen_dir(self.out, "frontier", g)
+            n_frontier = _count_parquet_rows(fdir)
+            if n_frontier == 0:
+                break
+            frontier = read_dataset(fdir)
+
+            sched = dedup_frontier(frontier, pool, policy)
+
+            # fetch partitioning key: host, salted for oversized hosts
+            salt_map: dict[str, int] = {}
+            if self.salt_max_group:
+                counts = frontier.groupby("host").count().to_pandas()
+                for h, c in zip(counts["host"], counts["count()"]):
+                    if c > self.salt_max_group:
+                        salt_map[h] = int(np.ceil(c / self.salt_max_group))
+                if salt_map and host_clock is None:
+                    host_clock = HostClock.remote()
+
+            def add_fetch_key(t: pa.Table, salt_map=salt_map) -> pa.Table:
+                hosts = t["host"].to_pylist()
+                if salt_map:
+                    salts = hash64(t["url"].to_pylist())
+                    keys = [
+                        f"{h}#{int(s) % salt_map[h]}" if h in salt_map else h
+                        for h, s in zip(hosts, salts)
+                    ]
+                else:
+                    keys = hosts
+                return t.append_column("fetch_key", pa.array(keys, type=pa.string()))
+
+            keyed = sched.map_batches(add_fetch_key, batch_format="pyarrow")
+
+            fetcher = FetchGroup(
+                self.params,
+                policy,
+                self.pol_cfg,
+                base_slots=base_slots,
+                host_clock=host_clock if salt_map else None,
+            )
+            def fetch_group(df, fetcher=fetcher):
+                return fetcher(df)
+
+            fetched = keyed.groupby("fetch_key").map_groups(
+                fetch_group, batch_format="pandas"
+            )
+
+            next_frontier = fetched.map_batches(
+                ParseSink(self.out),
+                batch_format="pyarrow",
+                batch_size=self.parse_batch_size,
+                concurrency=self.parse_concurrency,
+                num_cpus=1,
+            )
+            # the single consumer: materializing the next frontier checkpoint
+            write_dataset(next_frontier, _gen_dir(self.out, "frontier", g + 1))
+
+            # account politeness slots for cross-generation continuity
+            hm = _read_gen_table(self.out, "hostmeta", g)
+            for host, n in zip(hm["host"].to_pylist(), hm["n_meta"].to_pylist()):
+                base_slots[host] = base_slots.get(host, 0) + int(n)
+
+            snap_dir = os.path.join(self.out, "seen", f"gen-{g}")
+            pool.snapshot(snap_dir)
+
+            counts = {t: _count_parquet_rows(
+                _gen_dir(os.path.join(self.out, "tables"), t, g)
+            ) for t in TABLES}
+            parent = self._manifest_path(g - 1)
+            manifest = {
+                "generation": g,
+                "frontier_in": n_frontier,
+                "frontier_next": _count_parquet_rows(_gen_dir(self.out, "frontier", g + 1)),
+                "counts": counts,
+                "seen_snapshot": snap_dir,
+                "seen_count": pool.count(),
+                "parent_hash": md5_hex(open(parent).read()) if os.path.exists(parent) else "",
+                "salted_hosts": salt_map,
+                "wall_s": round(time.time() - t0, 3),
+                "complete": True,
+            }
+            tmp = self._manifest_path(g) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(g))
+            g += 1
+
+        totals = {t: 0 for t in TABLES}
+        for gg in range(0, g):
+            for t in TABLES:
+                totals[t] += _count_parquet_rows(
+                    _gen_dir(os.path.join(self.out, "tables"), t, gg)
+                )
+        metrics = {
+            "generations": g,
+            "crawled": totals["crawl_order"],
+            "pages": totals["pages"],
+            "details": totals["details"],
+            "images": totals["images"],
+            "dead": totals["dead_letters"],
+            "seen_count": pool.count(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self._pool = pool  # kept for tests (seen-set comparisons); callers may shutdown
+        return metrics

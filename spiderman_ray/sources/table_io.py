@@ -29,6 +29,8 @@ except ImportError:
 def write_dataset(ds: rd.Dataset, uri: str, *, min_rows_per_file: int | None = None) -> str:
     """Write a Ray Dataset to ``uri`` (directory), atomically."""
     tmp = f"{uri}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files; the
+    # directory must still commit so readers see "0 rows", not "missing"
     if HAVE_LANCE:  # pragma: no cover
         ds.write_lance(tmp)
     else:

@@ -1,0 +1,91 @@
+"""Frontier dedup: deterministic first-wins, sharded seen-set check.
+
+Reference semantics: dedup happens when a request is scheduled; with FIFO pop
+order the EARLIEST-pushed duplicate crawls and later ones drop
+(SP/bloom_dupefilter.py:77-83 + Redis list FIFO, SP/utils/ctrl_redis.py:30,69).
+Duplicates carry different metadata (fkey/pagenum/px from different parents),
+so which duplicate survives is observable — first-wins must be by ``seq``,
+not by arrival order.
+
+Two phases per generation:
+
+1. intra-generation: keep the min-``seq`` row per fingerprint. Local
+   vectorized pre-dedup inside ``map_batches`` (cheap combiner), then a
+   ``groupby('fp')`` shuffle for the global first-wins. This is THE dedup
+   exchange; its key (fp = md5 of canonical URL) is uniform by construction,
+   so no skew handling is needed here.
+2. cross-generation: offer the (now unique) fingerprints to the sharded
+   seen-set actor pool — one RPC per shard per batch; the pool both filters
+   and records, atomically per shard.
+
+Per-callback opt-out (``dont_filter``, SP/spiders/zhifang.py:55-61): rows
+whose callback has dedup disabled bypass BOTH phases and are never added to
+the seen set (scrapy never consults the dupefilter for them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from spiderman_ray.policy import CrawlPolicy
+from spiderman_ray.state.seen import ShardedSeenSet
+
+
+def _local_first_wins(batch: pa.Table) -> pa.Table:
+    """Vectorized per-batch combiner: min-seq row per fp."""
+    df = batch.to_pandas()
+    idx = df.groupby("fp", sort=False)["seq"].idxmin()
+    out = pa.Table.from_pandas(df.loc[np.sort(idx.values)], preserve_index=False)
+    return out.replace_schema_metadata(None)
+
+
+def _group_first(group: pd.DataFrame) -> pd.DataFrame:
+    return group.nsmallest(1, "seq")
+
+
+class SeenOffer:
+    """map_batches callable offering fingerprints to the shard actors and
+    keeping only first-seen rows. Actor handles serialize into tasks."""
+
+    def __init__(self, pool: ShardedSeenSet):
+        self.pool = pool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        accepted = self.pool.offer(batch.column("fp").to_pylist())
+        return batch.filter(pa.array(accepted))
+
+
+def dedup_frontier(
+    frontier: rd.Dataset, pool: ShardedSeenSet, policy: CrawlPolicy
+) -> rd.Dataset:
+    """Apply both dedup phases; returns the accepted (scheduled) frontier."""
+    dedup_cb = {cb: policy.dedup_for(cb) for cb in ("list", "detail", "image")}
+    if all(dedup_cb.values()):
+        filtered, bypass = frontier, None
+    elif not any(dedup_cb.values()):
+        return frontier
+    else:
+        on = [cb for cb, v in dedup_cb.items() if v]
+        filtered = frontier.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["callback"], value_set=pa.array(on))),
+            batch_format="pyarrow",
+        )
+        bypass = frontier.map_batches(
+            lambda t: t.filter(
+                pa.compute.invert(pa.compute.is_in(t["callback"], value_set=pa.array(on)))
+            ),
+            batch_format="pyarrow",
+        )
+
+    deduped = (
+        filtered.map_batches(_local_first_wins, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(_group_first, batch_format="pandas")
+        .map_batches(SeenOffer(pool), batch_format="pyarrow")
+    )
+    return deduped.union(bypass) if bypass is not None else deduped

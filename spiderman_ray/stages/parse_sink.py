@@ -1,0 +1,144 @@
+"""Parse + sink stage: wire batches -> table part files + next frontier.
+
+One single-pass consumer per generation: each batch of fetch output is
+dispatched through the parser registry (spiderman_ray.parsers — the same
+functions the oracle runs), rows are appended to the per-generation table
+partitions, and ONLY the child requests flow onward as the next frontier.
+This avoids materializing image bytes dataset-wide: bytes stream
+fetch -> parse -> parquet part and leave the pipeline.
+
+Sink layout (resumable output):
+    {out}/tables/{pages|details|images|dead_letters|crawl_order|hostmeta}/gen={g}/
+Each part file is named by a content key (md5 of the row seqs), written
+tmp+rename — a retried task overwrites its own part idempotently instead of
+duplicating rows (the reference's bucket sink instead degrades to
+row-at-a-time and DROPS poison rows, SP/pipelines/pipelines_rdbm.py:90-105;
+we never drop).
+
+This is an actor-pool stage (callable class + ``concurrency=``): image
+decode + phash are the CPU-heavy part and benefit from long-lived workers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spiderman_ray import schemas
+from spiderman_ray.functions.hashing import md5_hex
+from spiderman_ray.parsers import PARSERS, make_image_row
+from spiderman_ray.simweb import SimResponse
+
+HOSTMETA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("n_meta", pa.int64()),
+        ("vts_ms", pa.float64()),
+        ("generation", pa.int32()),
+    ]
+)
+
+CRAWL_ORDER = pa.schema(
+    [
+        ("url", pa.string()),
+        ("generation", pa.int32()),
+        ("host", pa.string()),
+        ("seq", pa.int64()),
+        ("attempts", pa.int32()),
+        ("vts_ms", pa.float64()),
+    ]
+)
+
+
+def write_part(rows: list[dict], schema: pa.Schema, table_dir: str, gen: int) -> int:
+    """Idempotent part write: content-keyed filename, tmp+rename."""
+    if not rows:
+        return 0
+    os.makedirs(table_dir, exist_ok=True)
+    key = md5_hex(",".join(str(r.get("seq", i)) for i, r in enumerate(rows)))[:16]
+    path = os.path.join(table_dir, f"part-g{gen}-{key}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    return len(rows)
+
+
+class ParseSink:
+    """Callable actor-pool stage: wire batch in, next-frontier batch out."""
+
+    def __init__(self, out_dir: str):
+        self.out = out_dir
+
+    def _dir(self, table: str, gen: int) -> str:
+        return os.path.join(self.out, "tables", table, f"gen={gen}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages: list[dict] = []
+        details: list[dict] = []
+        images: list[dict] = []
+        dead: list[dict] = []
+        order: list[dict] = []
+        meta: list[dict] = []
+        children: list[dict] = []
+        gen = 0
+        for row in batch.to_pylist():
+            kind = row["kind"]
+            gen = row["generation"]
+            if kind == "hostmeta":
+                meta.append(
+                    {k: row[k] for k in ("host", "n_meta", "vts_ms", "generation")}
+                )
+                continue
+            if kind == "dead":
+                dead.append(
+                    {
+                        "url": row["url"],
+                        "reason": row["reason"],
+                        "status_code": row["status_code"],
+                        "attempts": row["attempts"],
+                        "generation": row["generation"],
+                        "seq": row["seq"],
+                        "host": row["host"],
+                    }
+                )
+                continue
+            order.append(
+                {
+                    "url": row["url"],
+                    "generation": row["generation"],
+                    "host": row["host"],
+                    "seq": row["seq"],
+                    "attempts": row["attempts"],
+                    "vts_ms": row["vts_ms"],
+                }
+            )
+            cb = row["callback"]
+            if cb == "image":
+                images.append(make_image_row(row, row["body"]))
+                continue
+            resp = SimResponse(
+                url=row["url"],
+                kind=cb,
+                links=list(row["links"] or []),
+                rows=json.loads(row["rows_json"]) if row["rows_json"] else [],
+                fields=json.loads(row["fields_json"]) if row["fields_json"] else {},
+                image_urls=list(row["image_urls"] or []),
+                captions=list(row["captions"] or []),
+            )
+            rows_out, reqs = PARSERS[cb](resp, row)
+            if cb == "list":
+                pages.extend(rows_out)
+            else:
+                details.extend(rows_out)
+            children.extend(reqs)
+
+        write_part(pages, schemas.PAGES, self._dir("pages", gen), gen)
+        write_part(details, schemas.DETAILS, self._dir("details", gen), gen)
+        write_part(images, schemas.IMAGES_FULL, self._dir("images", gen), gen)
+        write_part(dead, schemas.DEAD_LETTERS, self._dir("dead_letters", gen), gen)
+        write_part(order, CRAWL_ORDER, self._dir("crawl_order", gen), gen)
+        write_part(meta, HOSTMETA, self._dir("hostmeta", gen), gen)
+        return pa.Table.from_pylist(children, schema=schemas.FRONTIER)

@@ -48,6 +48,12 @@ class SeenShard:
     def count(self) -> int:
         return self.impl.n_added if self.mode == "bloom" else len(self.impl.fps)
 
+    def dump(self):
+        """Exact mode: sorted fps array; bloom mode: the bitmap (tests)."""
+        return self.impl.bits if self.mode == "bloom" else np.array(
+            sorted(self.impl.fps), dtype=object
+        )
+
     def snapshot(self, path: str) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez_compressed(path, **self.impl.state(), shard_id=self.shard_id)
@@ -136,6 +142,10 @@ class ShardedSeenSet:
                 ]
             )
         )
+
+    def dump(self) -> list:
+        """Per-shard state: fps arrays (exact) or bitmaps (bloom)."""
+        return ray.get([s.dump.remote() for s in self.shards])
 
     def shutdown(self) -> None:
         for s in self.shards:

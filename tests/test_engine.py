@@ -1,0 +1,251 @@
+"""End-to-end conformance: Ray engine ≡ single-process reference oracle.
+
+Checks (SURVEY.md §5.3): (a) crawl-order match, (b) URL-seen-set equality
+(exact fps; bloom bitmaps bit-for-bit), (c) row invariants incl. image
+bytes/caption/phash, (d) kill-resume bit-identical, (e) politeness budgets.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spiderman_ray.policy import CrawlPolicy
+from spiderman_ray.simweb import SimParams
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _run(params, policy, out, **kw):
+    from spiderman_ray.engine import CrawlEngine
+
+    eng = CrawlEngine(params, policy, out_dir=out, **kw)
+    metrics = eng.run()
+    return eng, metrics
+
+
+def _table(out, name):
+    from spiderman_ray.engine import read_table_all_gens
+
+    return read_table_all_gens(out, name)
+
+
+def _sorted_df(tbl: pa.Table, keys=("generation", "seq")) -> pd.DataFrame:
+    return (
+        tbl.to_pandas().sort_values(list(keys)).reset_index(drop=True)
+    )
+
+
+def assert_rows_equal(engine_tbl: pa.Table, oracle_rows: list[dict], schema: pa.Schema):
+    exp = pa.Table.from_pylist(oracle_rows, schema=schema)
+    got, want = _sorted_df(engine_tbl), _sorted_df(exp)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{len(got)} rows != {len(want)}"
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), f"column {col} differs"
+
+
+@pytest.fixture(scope="module")
+def t1_oracle():
+    from spiderman_ray.oracle import run_oracle
+
+    return run_oracle(SimParams.for_scale("t1"))
+
+
+@pytest.fixture(scope="module")
+def t1_engine(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl") / "t1")
+    eng, metrics = _run(SimParams.for_scale("t1"), CrawlPolicy(), out)
+    return eng, metrics, out
+
+
+class TestT1Conformance:
+    def test_crawl_order_exact(self, t1_engine, t1_oracle):
+        _, _, out = t1_engine
+        co = _sorted_df(_table(out, "crawl_order"))
+        assert co["url"].tolist() == [c["url"] for c in t1_oracle.crawl_order]
+        assert co["host"].tolist() == [c["host"] for c in t1_oracle.crawl_order]
+        assert co["attempts"].tolist() == [c["attempts"] for c in t1_oracle.crawl_order]
+
+    def test_politeness_vclock_match(self, t1_engine, t1_oracle):
+        _, _, out = t1_engine
+        co = _sorted_df(_table(out, "crawl_order"))
+        assert co["vts_ms"].tolist() == [c["vts_ms"] for c in t1_oracle.crawl_order]
+
+    def test_seen_set_equality(self, t1_engine, t1_oracle):
+        eng, metrics, _ = t1_engine
+        engine_fps = set().union(*(set(d.tolist()) for d in eng._pool.dump()))
+        assert engine_fps == t1_oracle.seen_fps
+
+    def test_tables_equal(self, t1_engine, t1_oracle):
+        from spiderman_ray import schemas
+
+        _, _, out = t1_engine
+        assert_rows_equal(_table(out, "pages"), t1_oracle.pages, schemas.PAGES)
+        assert_rows_equal(_table(out, "details"), t1_oracle.details, schemas.DETAILS)
+        assert_rows_equal(_table(out, "dead_letters"), t1_oracle.dead_letters, schemas.DEAD_LETTERS)
+
+    def test_image_rows_and_invariants(self, t1_engine, t1_oracle):
+        from spiderman_ray import schemas
+        from spiderman_ray.functions.imaging import decode_image, psnr, generate_pixels
+
+        _, _, out = t1_engine
+        imgs = _table(out, "images")
+        assert_rows_equal(imgs, t1_oracle.images, schemas.IMAGES_FULL)
+        # decoded-pixel invariant vs the pristine source pixels
+        df = imgs.to_pandas()
+        assert len(df) > 0
+        for _, row in df.iterrows():
+            px = decode_image(row["bytes"])
+            assert (px.shape[1], px.shape[0]) == (row["w"], row["h"])
+            src = generate_pixels(row["url"], row["w"], row["h"])
+            if row["fmt"] == "png":
+                assert (px == src).all()
+            else:
+                assert psnr(src, px) >= 40.0
+
+    def test_dead_letters_present(self, t1_engine):
+        _, metrics, out = t1_engine
+        dead = _table(out, "dead_letters").to_pandas()
+        assert set(dead["reason"]) <= {"robots", "http_error"}
+        assert metrics["dead"] == len(dead)
+
+    def test_manifest_lineage(self, t1_engine):
+        import json
+        import os
+
+        _, metrics, out = t1_engine
+        gens = metrics["generations"]
+        hashes = {}
+        for g in range(gens):
+            with open(os.path.join(out, "manifests", f"gen-{g}.json")) as f:
+                man = json.load(f)
+            assert man["complete"] and man["generation"] == g
+            if g > 0:
+                import hashlib
+
+                with open(os.path.join(out, "manifests", f"gen-{g-1}.json")) as f2:
+                    parent_content = f2.read()
+                # parent hash must match the PARENT AS WRITTEN at its time;
+                # manifests are immutable after completion so current == then
+                assert man["parent_hash"] == hashlib.md5(parent_content.encode()).hexdigest()
+
+
+def test_bloom_mode_bit_for_bit(tmp_path):
+    """Engine bloom bitmaps == oracle bloom bitmaps, shard for shard."""
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, bloom_k=7, num_shards=3)
+    o = run_oracle(params, policy)
+    eng, metrics, = None, None
+    eng, metrics = _run(params, policy, str(tmp_path / "bloom"))
+    dumps = eng._pool.dump()
+    assert len(dumps) == len(o.seen_bitmaps) == 3
+    for got, want in zip(dumps, o.seen_bitmaps):
+        assert (got == want).all()
+    assert metrics["crawled"] == o.metrics["crawled"]
+
+
+def test_dedup_off_crawls_duplicates(tmp_path):
+    """zhifang demo mode: dont_filter=True for all callbacks."""
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(dedup=False)
+    o = run_oracle(params, policy)
+    _, metrics = _run(params, policy, str(tmp_path / "nodedup"))
+    assert metrics["crawled"] == o.metrics["crawled"]
+    assert metrics["images"] == o.metrics["images"]
+    out = str(tmp_path / "nodedup")
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+
+
+def test_min_size_policy(tmp_path):
+    """MINSIZE retry exhaustion: response parsed anyway, extra attempts."""
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(min_size=512)
+    o = run_oracle(params, policy)
+    _, metrics = _run(params, policy, str(tmp_path / "minsize"))
+    assert metrics["crawled"] == o.metrics["crawled"]
+    co = _sorted_df(_table(str(tmp_path / "minsize"), "crawl_order"))
+    assert co["attempts"].tolist() == [c["attempts"] for c in o.crawl_order]
+
+
+def test_kill_resume_bit_identical(tmp_path):
+    """Stop after generation 1 (simulated kill at the barrier), resume, and
+    compare every output table + seen set against an uninterrupted run."""
+    params = SimParams.for_scale("t1")
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "resumed")
+
+    _, m_full = _run(params, CrawlPolicy(), out_a)
+
+    # run that "dies" after gen 1 (max_generations caps the loop)
+    _, m_part = _run(params, CrawlPolicy(max_generations=2), out_b)
+    assert m_part["generations"] == 2 < m_full["generations"]
+    # resume with the full budget
+    from spiderman_ray.engine import CrawlEngine
+
+    eng2 = CrawlEngine(params, CrawlPolicy(), out_dir=out_b)
+    m_res = eng2.run(resume=True)
+    assert m_res["generations"] == m_full["generations"]
+
+    for t in ("pages", "details", "images", "dead_letters", "crawl_order"):
+        a, b = _sorted_df(_table(out_a, t)), _sorted_df(_table(out_b, t))
+        pd.testing.assert_frame_equal(a, b)
+    # seen set equality after resume
+    fps_resumed = set().union(*(set(d.tolist()) for d in eng2._pool.dump()))
+    from spiderman_ray.oracle import run_oracle
+
+    assert fps_resumed == run_oracle(params).seen_fps
+
+
+def test_resume_noop_when_complete(tmp_path):
+    """Resuming a finished run does nothing and changes nothing."""
+    params = SimParams.for_scale("t1")
+    out = str(tmp_path / "c")
+    _, m1 = _run(params, CrawlPolicy(), out)
+    before = {t: _sorted_df(_table(out, t)) for t in ("pages", "images")}
+    from spiderman_ray.engine import CrawlEngine
+
+    m2 = CrawlEngine(params, CrawlPolicy(), out_dir=out).run(resume=True)
+    assert m2["generations"] == m1["generations"]
+    for t, df in before.items():
+        pd.testing.assert_frame_equal(df, _sorted_df(_table(out, t)))
+
+
+def test_salted_hot_host_same_results(tmp_path):
+    """Salting splits hot hosts; tables and seen set must be unchanged
+    (order within a host is sacrificed, so compare as sorted sets)."""
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    o = run_oracle(params)
+    eng, metrics = _run(params, CrawlPolicy(), str(tmp_path / "salt"), salt_max_group=5)
+    assert metrics["crawled"] == o.metrics["crawled"]
+    assert metrics["images"] == o.metrics["images"]
+    engine_fps = set().union(*(set(d.tolist()) for d in eng._pool.dump()))
+    assert engine_fps == o.seen_fps
+    # per-host politeness accounting holds: slot totals equal oracle's
+    co = _table(str(tmp_path / "salt"), "crawl_order").to_pandas()
+    want = pd.Series([c["host"] for c in o.crawl_order]).value_counts().to_dict()
+    assert co["host"].value_counts().to_dict() == want
+
+
+def test_wall_clock_politeness_enforced(tmp_path):
+    """Wall mode with a 25ms budget on one host: observed gaps >= budget."""
+    params = SimParams(pages=2, details=3, images=0, hosts=1, img_hosts=1)
+    policy = CrawlPolicy(clock="wall")
+    eng, metrics = _run(
+        params, policy, str(tmp_path / "wall"), delays_ms={"h0.shop.example": 25}
+    )
+    co = _table(str(tmp_path / "wall"), "crawl_order").to_pandas()
+    host_rows = co[co["host"] == "h0.shop.example"]
+    assert len(host_rows) >= 3  # politeness had to space these fetches
+    # wall mode records vts from the virtual slot ledger; real enforcement is
+    # time-based — assert the run took at least (n-1)*25ms
+    assert metrics["wall_s"] * 1000 >= (len(host_rows) - 1) * 25
