@@ -112,18 +112,23 @@ class CrawlEngine:
         policy: CrawlPolicy | None = None,
         out_dir: str = "/tmp/spiderman_run",
         delays_ms: dict[str, int] | None = None,
-        parse_concurrency: int = 3,
+        parse_concurrency: int | None = None,
         parse_batch_size: int = 256,
         salt_max_group: int | None = None,
+        auto_salt_cap: int = 256,
     ):
         self.params = params
         self.policy = policy or CrawlPolicy()
         self.out = out_dir
         self.web = SimWeb(params)
         self.pol_cfg = self.web.politeness_config(delays_ms)
+        if parse_concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            parse_concurrency = max(2, ncpu // 2)
         self.parse_concurrency = parse_concurrency
         self.parse_batch_size = parse_batch_size
         self.salt_max_group = salt_max_group
+        self.auto_salt_cap = auto_salt_cap
 
     # -- checkpoint helpers ------------------------------------------------
     def _manifest_path(self, g: int) -> str:
@@ -221,15 +226,26 @@ class CrawlEngine:
 
             sched = dedup_frontier(frontier, pool, policy)
 
-            # fetch partitioning key: host, salted for oversized hosts
+            # fetch partitioning key: host, salted for oversized hosts.
+            # Salting never changes recorded (generation, seq) order — only
+            # which worker fetches — so zero-delay hosts are ALWAYS safe to
+            # salt (their virtual timestamps are 0 regardless of slot).
+            # Hosts with a crawl-delay budget are salted only on request
+            # (throughput mode) and then draw slot ranges from HostClock.
             salt_map: dict[str, int] = {}
-            if self.salt_max_group:
-                counts = frontier.groupby("host").count().to_pandas()
-                for h, c in zip(counts["host"], counts["count()"]):
-                    if c > self.salt_max_group:
-                        salt_map[h] = int(np.ceil(c / self.salt_max_group))
-                if salt_map and host_clock is None:
-                    host_clock = HostClock.remote()
+            need_clock = False
+            counts = frontier.groupby("host").count().to_pandas()
+            for h, c in zip(counts["host"], counts["count()"]):
+                cfg = self.pol_cfg.get(h)
+                delay = int(cfg["crawl_delay_ms"]) if cfg else self.policy.default_delay_ms
+                if delay == 0 and c > self.auto_salt_cap:
+                    salt_map[h] = int(np.ceil(c / self.auto_salt_cap))
+                elif self.salt_max_group and c > self.salt_max_group:
+                    salt_map[h] = int(np.ceil(c / self.salt_max_group))
+                    need_clock = True
+            if need_clock and host_clock is None:
+                host_clock = HostClock.remote()
+                ray.get(host_clock.init.remote(base_slots))
 
             def add_fetch_key(t: pa.Table, salt_map=salt_map) -> pa.Table:
                 hosts = t["host"].to_pylist()
@@ -250,7 +266,7 @@ class CrawlEngine:
                 policy,
                 self.pol_cfg,
                 base_slots=base_slots,
-                host_clock=host_clock if salt_map else None,
+                host_clock=host_clock,  # set only when a delayed host is salted
             )
             def fetch_group(df, fetcher=fetcher):
                 return fetcher(df)

@@ -1,0 +1,137 @@
+"""Image pipelines over the input_hint table (decode/validate, near-dup).
+
+The §7.1 minimum slice: read the image+caption table -> actor-pool decode ->
+recompute (w, h, phash) -> validate against stored columns -> write/return.
+Multimodal plumbing notes: bytes stay in Arrow binary columns end to end;
+``batch_size`` is small because rows are wide; decode state (codec tables)
+lives in the actor. Real JPEG decode would slot into
+functions/imaging.decode_image behind the Pillow gate — the Ray-side
+plumbing here is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from spiderman_ray.functions.imaging import decode_image, phash64, psnr
+from spiderman_ray.sources.table_io import read_dataset
+
+
+class DecodeValidate:
+    """Actor-pool stage: decode bytes, recompute w/h/phash, check invariants.
+
+    Output per row: image_id, ok flags, recomputed dims/phash, psnr_db_x100
+    (-1 for lossless exact matches)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "image_id": [],
+            "w_ok": [],
+            "h_ok": [],
+            "phash_ok": [],
+            "w": [],
+            "h": [],
+            "phash": [],
+        }
+        for row in batch.to_pylist():
+            px = decode_image(row["bytes"])
+            h, w = px.shape[:2]
+            ph = phash64(px)
+            out["image_id"].append(row["image_id"])
+            out["w_ok"].append(w == row["w"])
+            out["h_ok"].append(h == row["h"])
+            out["phash_ok"].append(ph == row["phash"])
+            out["w"].append(w)
+            out["h"].append(h)
+            out["phash"].append(ph)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], type=pa.string()),
+                "w_ok": pa.array(out["w_ok"]),
+                "h_ok": pa.array(out["h_ok"]),
+                "phash_ok": pa.array(out["phash_ok"]),
+                "w": pa.array(out["w"], type=pa.int32()),
+                "h": pa.array(out["h"], type=pa.int32()),
+                "phash": pa.array(out["phash"], type=pa.int64()),
+            }
+        )
+
+
+def decode_validate(images_uri: str, concurrency: int = 4, batch_size: int = 64) -> rd.Dataset:
+    """read images table -> decode/validate actor pool. Small batch_size:
+    rows are wide (binary payloads)."""
+    return read_dataset(images_uri).map_batches(
+        DecodeValidate,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def phash_near_dups(images_uri: str, max_hamming: int = 6) -> pa.Table:
+    """Image near-dup pairs by pHash hamming distance <= t. Bucketing: split
+    the 64-bit hash into 4 x 16-bit bands — any pair within hamming t <= 6
+    shares at least one exact band (pigeonhole over 4 bands tolerates 3
+    differing bands) -> band groupby -> verify hamming exactly."""
+    ds = read_dataset(images_uri, columns=["image_id", "phash"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        out = []
+        for b in range(4):
+            band_val = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(
+                pa.table(
+                    {
+                        "image_id": batch["image_id"],
+                        "phash": batch["phash"],
+                        "band": pa.array(np.full(len(ph), b, dtype=np.int64)),
+                        "band_val": pa.array(band_val),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates("image_id").sort_values("image_id")
+        ids = rows["image_id"].tolist()
+        phs = rows["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            x = phs[i] ^ phs[i + 1 :]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(ham <= max_hamming)[0]:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+        return pd.DataFrame({"a": out_a, "b": out_b}) if out_a else pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+        )
+
+    cand = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    df = cand.to_pandas()
+    if df.empty:  # zero near-dups: keep the (a, b) string schema
+        df = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+        return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())})
+    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def validate_summary(images_uri: str) -> pa.Table:
+    """Aggregate of decode_validate: totals + failures (0 expected)."""
+    df = decode_validate(images_uri).to_pandas()
+    return pa.table(
+        {
+            "n_images": pa.array([len(df)], type=pa.int64()),
+            "n_w_bad": pa.array([int((~df["w_ok"]).sum())], type=pa.int64()),
+            "n_h_bad": pa.array([int((~df["h_ok"]).sum())], type=pa.int64()),
+            "n_phash_bad": pa.array([int((~df["phash_ok"]).sum())], type=pa.int64()),
+        }
+    )

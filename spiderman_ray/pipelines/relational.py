@@ -1,0 +1,226 @@
+"""Relational operators: anti-joins, grouped aggregates, sorts, set ops.
+
+These are the Ray-Data expressions of the reference's SQL surface:
+- the patch jobs' completeness queries (left anti join / distinct set
+  difference, SP_JOBS/zhifang_job_patch.py:28-76)
+- row keying via uppercase md5 (SP/utils/base.py:38-40)
+- epoch/date formatting (SP/utils/tool.py:76-85)
+- bucket/limit/top-k knobs (SP/settings.py:31, job CLI caps)
+
+Scale notes: the anti-joins broadcast the (distinct) key side — at testdata
+scale the key set is tiny; at 100 TB the same operator swaps the broadcast
+set for a bloom filter of keys (state/bloom.py) or a bucketed hash join
+(add ``bucket = hash64(key) % B`` to both sides, groupby bucket, join per
+group). Aggregates pre-combine per batch before the small groupby shuffle
+where the key cardinality allows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from spiderman_ray.functions.hashing import fingerprints
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def missing_pages(sf_dir: str) -> rd.Dataset:
+    """Orders with no lineitem — the 'missing pages' completeness anti-join
+    (zhifang_job_patch.make_list_job, SP_JOBS/zhifang_job_patch.py:28-51).
+    Broadcast the distinct fact keys, filter the dimension side."""
+    import pyarrow.parquet as pq
+
+    have = pc.unique(
+        pq.read_table(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])["l_orderkey"]
+    )
+    have_set = pa.array(have.to_pylist(), type=pa.int64())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["o_orderkey"], value_set=have_set))
+        return batch.filter(mask)
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"])
+        .map_batches(anti, batch_format="pyarrow")
+    )
+
+
+def missing_details(sf_dir: str) -> rd.Dataset:
+    """Customers with no URGENT order — left anti join on pkey/fkey against a
+    filtered fact side (zhifang_job_patch.make_detail_job,
+    SP_JOBS/zhifang_job_patch.py:53-76; the filter mirrors its
+    ``WHERE b.keyid IS NULL`` narrowing)."""
+    import pyarrow.parquet as pq
+
+    otab = pq.read_table(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+    urgent = otab.filter(pc.equal(otab["o_orderpriority"], "1-URGENT"))
+    have = pc.unique(urgent["o_custkey"])
+    have_set = pa.array(have.to_pylist(), type=pa.int64())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=have_set)))
+
+    return rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+def grouped_returns(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-shaped grouped aggregate (the engine's groupby surface;
+    pre-aggregation happens inside Ray's aggregate implementation)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        # integer cents via floor(x*100 + 0.5): identical IEEE float ops on
+        # the Ray and DuckDB sides, so grouped SUMs hash-match exactly
+        # (float SUM order differs between engines; integer SUM does not)
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        qty_c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_quantity"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_x100": qty_c,
+                "rev_cents": rev_c,
+            }
+        )
+
+    return (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_x100", alias_name="sum_qty_x100"),
+            Sum("rev_cents", alias_name="sum_rev_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+def md5_keys(sf_dir: str) -> rd.Dataset:
+    """Row keying: pkey = uppercase md5 (SP/utils/base.py:38-40) over a
+    business column, vectorized per batch."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        fps = fingerprints(batch["c_name"].to_pylist())
+        return pa.table(
+            {"c_custkey": batch["c_custkey"], "pkey": pa.array(fps, type=pa.string())}
+        )
+
+    return rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).map_batches(key, batch_format="pyarrow")
+
+
+def event_days(sf_dir: str) -> rd.Dataset:
+    """deal_time_stamp equivalent: timestamp -> '%Y-%m-%d' string
+    (SP/utils/tool.py:76-85), vectorized with pc.strftime."""
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            }
+        )
+
+    return rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts"]).map_batches(
+        fmt, batch_format="pyarrow"
+    )
+
+
+def top_orders(sf_dir: str) -> rd.Dataset:
+    """Top-25 orders by totalprice — sort + limit (deterministic tie-break
+    by orderkey). Sort is a shuffle; limit pushes down."""
+    return (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(25)
+    )
+
+
+def windowed_events(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per event_type — the streaming-window analog
+    (SURVEY.md §2.8): event-time bucketing then grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.strftime(hour, format="%Y-%m-%d %H:00:00"),
+                "value_cents": cents,
+            }
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def customers_per_region(sf_dir: str) -> rd.Dataset:
+    """Broadcast dimension join chain customer->nation->region + grouped
+    count (small sides shipped once, no shuffle join)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup = {nk: r2name[rk] for nk, rk in n2r.items()}
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        names = [lookup[nk] for nk in batch["c_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, type=pa.string())})
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_nationkey"])
+        .map_batches(enrich, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def priority_union(sf_dir: str) -> rd.Dataset:
+    """ds.union of two filtered branches + grouped count (the reference's
+    union-typed item stream split, SP/pipelines/pipelines_rdbm.py:40-57)."""
+    from ray.data.aggregate import Count
+
+    base = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderpriority"])
+    urgent = base.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")), batch_format="pyarrow"
+    )
+    high = base.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "2-HIGH")), batch_format="pyarrow"
+    )
+    return urgent.union(high).groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+def distinct_brands(sf_dir: str) -> pa.Table:
+    """ds.unique — grouped distinct (GROUP BY pagenum completeness check,
+    SP_JOBS/zhifang_job_patch.py:31-34)."""
+    vals = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_brand"]).unique("p_brand")
+    return pa.table({"p_brand": pa.array(sorted(vals), type=pa.string())})

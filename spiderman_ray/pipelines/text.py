@@ -1,0 +1,347 @@
+"""Text analysis + deduplication families over the ``documents`` table.
+
+Training-data operators (first-class per the build brief), expressed
+Ray-Data-first: vectorized/batched kernels in ``map_batches``, LSH banding
+via groupby, no driver-side loops over rows.
+
+- exact dedup: content md5, first-wins by doc_id (the reference's dedup
+  ordering contract, SP/bloom_dupefilter.py:77-83, applied to documents)
+- MinHash + LSH near-dup: shingle -> 64 minhashes -> 16 bands x 4 rows ->
+  band-bucket groupby -> candidate pairs -> exact Jaccard verify ->
+  min-label cluster survivors
+- SimHash 64-bit near-dup buckets
+- n-gram Jaccard pair scoring
+- language ID (stopword-profile heuristic), quality scoring, token counts,
+  rolling-hash document fingerprints
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from spiderman_ray.functions.textops import clean_column
+
+
+def _pq(sf_dir: str, table: str = "documents") -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
+    return rd.read_parquet(_pq(sf_dir), columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup / fingerprints / cleaning
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Content fingerprint per doc: lowercase md5 of text (encode_md5,
+    SP/utils/tool.py:46-53)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(hs, type=pa.string())})
+
+    return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup, first-wins by doc_id: hash-partition by content md5,
+    keep min doc_id per group. Returns survivors (doc_id, fp)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    return doc_fingerprints(sf_dir).groupby("fp").map_groups(first, batch_format="pandas")
+
+
+def clean_doc_lengths(sf_dir: str) -> rd.Dataset:
+    """CleanPipeline equivalent over text + recomputed length
+    (SP/pipelines/pipelines_clean.py:14-29)."""
+
+    def cl(batch: pa.Table) -> pa.Table:
+        cleaned = clean_column(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_len": pc.cast(pc.utf8_length(cleaned), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(cl, batch_format="pyarrow")
+
+
+def dirty_word_filter(sf_dir: str) -> rd.Dataset:
+    """url_check-style substring blocklist filter (SP/utils/tool.py:116-134)
+    applied to document text."""
+    words = ("drop", "null")
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ok = np.ones(batch.num_rows, dtype=bool)
+        for w in words:
+            ok &= np.invert(pc.match_substring(batch["text"], w).to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(ok)).select(["doc_id"])
+
+    return _read_docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token counts / quality / language id
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "on", "for", "with")
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count + stopword count per doc, vectorized via
+    pandas str ops per batch."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        n = toks.str.len().astype("int64")
+        stop = toks.map(lambda ws: sum(w in _STOPWORDS for w in ws)).astype("int64")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": n, "n_stop": stop})
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pandas")
+
+
+def tokens_by_lang(sf_dir: str) -> rd.Dataset:
+    """Total whitespace tokens per language — combine-then-shuffle grouped
+    aggregate (partial per batch, tiny groupby)."""
+    from ray.data.aggregate import Count, Sum
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_tokens": batch["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["lang", "text"])
+        .map_batches(stats, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
+    )
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    """Quality heuristics per doc: token count, mean token length x100
+    (int), alpha-char count. Integer outputs keep the oracle hash stable."""
+
+    def q(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        n = toks.str.len().astype("int64")
+        total_len = toks.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        alpha = batch["text"].str.count(r"[A-Za-z]").astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n,
+                "mean_tok_len_x100": (total_len * 100 // n.clip(lower=1)).astype("int64"),
+                "n_alpha": alpha,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(q, batch_format="pandas")
+
+
+class LangId:
+    """Actor-pool language-ID stage: per-language stopword profiles compiled
+    once per actor (__init__), scored per batch. A real system would load a
+    fasttext model here — same plumbing."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "a", "in", "is"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "mit"},
+        "fr": {"le", "la", "les", "et", "est", "une", "des"},
+        "es": {"el", "la", "los", "y", "es", "una", "de"},
+        "zh": {"的", "是", "了", "在", "和", "有", "我"},
+    }
+
+    def __init__(self):
+        self.word_re = re.compile(r"[\w一-鿿]+", re.U)
+        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            words = set(self.word_re.findall(text.lower())[:200])
+            scores = {k: len(words & prof) for k, prof in self.profiles.items()}
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "und")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        LangId, batch_format="pandas", batch_size=256, concurrency=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: minhash-LSH / simhash / ngram jaccard
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 64
+_BANDS = 16  # 16 bands x 4 rows
+_ROWS = _N_HASHES // _BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashed k-word shingles (uint64)."""
+    words = text.split()
+    if len(words) < k:
+        joined = [" ".join(words)] if words else [""]
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(
+        np.frombuffer(
+            b"".join(hashlib.md5(s.encode()).digest()[:8] for s in joined), dtype=np.uint64
+        )
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: random linear permutations fixed at init (seeded),
+    emits per-doc minhash signature rows exploded to (band, band_hash)."""
+
+    def __init__(self, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=_N_HASHES, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=_N_HASHES, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text)
+        if len(sh) == 0:
+            return np.zeros(_N_HASHES, dtype=np.uint64)
+        # (a*x + b) mod p, then min over shingles, per hash function
+        x = sh[:, None].astype(np.object_)  # object to avoid uint64 overflow
+        vals = (x * self.a[None, :].astype(np.object_) + self.b[None, :]) % _MERSENNE
+        return np.min(vals.astype(np.uint64), axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "band": [], "band_hash": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sig = self.signature(text)
+            for band in range(_BANDS):
+                chunk = sig[band * _ROWS : (band + 1) * _ROWS]
+                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                out["doc_id"].append(doc_id)
+                out["band"].append(band)
+                out["band_hash"].append(bh)
+        return pd.DataFrame(out)
+
+
+def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
+    """LSH banding: docs sharing any (band, band_hash) bucket become
+    candidate pairs (a < b), deduplicated across bands."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(out, columns=["a", "b"]) if out else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+
+    cand = (
+        _read_docs(sf_dir)
+        .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=2)
+        .groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Candidate pairs verified by EXACT shingle Jaccard >= threshold.
+    Verification joins the two docs' shingle sets via a broadcast text map
+    (documents are small per-row; at 100 TB this becomes a bucketed
+    re-shuffle join on doc_id)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(_pq(sf_dir), columns=["doc_id", "text"])
+    textmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    textmap_ref = __import__("ray").put(textmap)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        tm = _ray.get(textmap_ref)
+        keep, jac = [], []
+        for a, b in zip(batch["a"], batch["b"]):
+            j = _jaccard(_shingle_hashes(tm[a]), _shingle_hashes(tm[b]))
+            keep.append(j >= threshold)
+            jac.append(round(j, 4))
+        out = batch.assign(jaccard_x10k=(np.array(jac) * 10000).astype("int64"))
+        return out[np.array(keep)]
+
+    res = minhash_candidate_pairs(sf_dir).map_batches(verify, batch_format="pandas")
+    return res.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Near-dup clusters via union-find over verified pairs (candidate set is
+    LSH-bounded and small relative to the corpus); survivors = min doc_id
+    per cluster. Returns (doc_id,) survivors sorted."""
+    import pyarrow.parquet as pq
+
+    pairs = minhash_verified_pairs(sf_dir, threshold)
+    all_ids = pq.read_table(_pq(sf_dir), columns=["doc_id"])["doc_id"].to_pylist()
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    survivors = sorted({find(i) for i in all_ids})
+    return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
+
+
+class SimHasher:
+    """64-bit SimHash per doc (word-feature hashing, sign-sum of bits)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch["text"]:
+            acc = np.zeros(64, dtype=np.int64)
+            for w in set(text.split()):
+                h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
+                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                acc += np.where(bits == 1, 1, -1)
+            val = int(np.sum((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)  # int64 two's-complement
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": np.array(out, dtype=np.int64)})
+
+
+def simhash_table(sf_dir: str) -> rd.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        SimHasher, batch_format="pandas", batch_size=256, concurrency=2
+    )

@@ -80,6 +80,11 @@ class HostClock:
     def __init__(self):
         self._slots: dict[str, int] = {}
 
+    def init(self, base: dict[str, int]) -> None:
+        """Seed per-host slot counters (resume continuity)."""
+        for h, n in base.items():
+            self._slots[h] = max(self._slots.get(h, 0), int(n))
+
     def reserve(self, host: str, n: int) -> int:
         start = self._slots.get(host, 0)
         self._slots[host] = start + n

@@ -236,6 +236,27 @@ def test_salted_hot_host_same_results(tmp_path):
     assert co["host"].value_counts().to_dict() == want
 
 
+def test_t2_conformance(tmp_path):
+    """Larger scale (~2.5k URLs, 8 hosts, auto-salted image hosts): order,
+    vclock, counts and image table equality vs the oracle."""
+    from spiderman_ray import schemas
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t2")
+    out = str(tmp_path / "t2")
+    eng, metrics = _run(params, CrawlPolicy(), out)
+    o = run_oracle(params)
+    assert {k: metrics[k] for k in ("crawled", "pages", "details", "images", "dead")} == {
+        k: o.metrics[k] for k in ("crawled", "pages", "details", "images", "dead")
+    }
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    assert co["vts_ms"].tolist() == [c["vts_ms"] for c in o.crawl_order]
+    assert_rows_equal(_table(out, "images"), o.images, schemas.IMAGES_FULL)
+    engine_fps = set().union(*(set(d.tolist()) for d in eng._pool.dump()))
+    assert engine_fps == o.seen_fps
+
+
 def test_wall_clock_politeness_enforced(tmp_path):
     """Wall mode with a 25ms budget on one host: observed gaps >= budget."""
     params = SimParams(pages=2, details=3, images=0, hosts=1, img_hosts=1)
