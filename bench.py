@@ -1,0 +1,158 @@
+"""Benchmark harness: headline crawl + data pipelines, one JSON line out.
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling     # 8 vs 32 CPUs in fresh processes
+
+Headline: the bench-scale crawl (≈90k-URL frontier, ≈57k unique images
+through fetch->decode->phash->parquet) — the north-rule workload. The
+``queries`` map adds the data-pipeline operators over $GRAFT_SF_DIR.
+Scaling evidence per BASELINE.md: same job at two parallelism levels in
+fresh Ray sessions; efficiency = (t_lo/t_hi)/(cpu_hi/cpu_lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ONLY = os.environ.get("BENCH_ONLY", "")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.pipelines import images as I
+    from spiderman_ray.pipelines import relational as R
+    from spiderman_ray.pipelines import text as T
+    from spiderman_ray.pipelines import vectors as V
+    from spiderman_ray.policy import CrawlPolicy
+    from spiderman_ray.simweb import SimParams
+
+    timings: dict[str, float] = {}
+    crawl_stats: dict = {}
+
+    def timed(name, fn):
+        if ONLY and name not in ONLY.split(","):
+            return
+        t0 = time.time()
+        res = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return res
+
+    # -- headline: bench-scale crawl --------------------------------------
+    out = f"/tmp/spiderman_bench_{NCPU}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    def crawl():
+        eng = CrawlEngine(
+            SimParams.for_scale("bench"),
+            CrawlPolicy(),
+            out_dir=out,
+            salt_max_group=2000,
+        )
+        m = eng.run()
+        eng._pool.shutdown()
+        return m
+
+    m = timed("crawl", crawl)
+    if m:
+        crawl_stats = {
+            "urls_crawled": m["crawled"],
+            "images": m["images"],
+            "urls_per_sec": round(m["crawled"] / timings["crawl"], 1),
+            "images_per_sec": round(m["images"] / timings["crawl"], 1),
+        }
+        timed(
+            "decode_validate",
+            lambda: I.decode_validate(os.path.join(out, "tables", "images"))
+            .count(),
+        )
+
+    # -- data pipelines over $GRAFT_SF_DIR ---------------------------------
+    for name, fn in [
+        ("grouped_returns", lambda: R.grouped_returns(SF_DIR).to_pandas()),
+        ("windowed_events", lambda: R.windowed_events(SF_DIR).to_pandas()),
+        ("missing_pages", lambda: R.missing_pages(SF_DIR).count()),
+        ("dedup_exact", lambda: T.dedup_exact(SF_DIR).count()),
+        ("token_stats", lambda: T.token_stats(SF_DIR).count()),
+        ("lang_id", lambda: T.lang_id(SF_DIR).count()),
+        ("simhash", lambda: T.simhash_table(SF_DIR).count()),
+        ("dedup_minhash", lambda: T.dedup_minhash_survivors(SF_DIR).num_rows),
+        ("ann_cosine_topk", lambda: V.ann_cosine_topk(SF_DIR).num_rows),
+        ("cosine_dup_pairs", lambda: V.cosine_dup_pairs(SF_DIR).num_rows),
+    ]:
+        timed(name, fn)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "bench-scale crawl + data-pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "crawl": crawl_stats,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="crawl", GRAFT_SF_DIR=SF_DIR
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo, hi = one(lo_n), one(hi_n)
+    t_lo, t_hi = lo["queries"]["crawl"], hi["queries"]["crawl"]
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl scaling efficiency",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "cpus_lo": lo_n,
+                "cpus_hi": hi_n,
+                "urls_per_sec_lo": lo["crawl"]["urls_per_sec"],
+                "urls_per_sec_hi": hi["crawl"]["urls_per_sec"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

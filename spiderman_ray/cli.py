@@ -1,0 +1,104 @@
+"""CLI — the ``ray job submit`` entry point for the crawl engine.
+
+    python -m spiderman_ray.cli crawl --scale t2 --out /tmp/run [--resume]
+        [--bloom] [--no-dedup] [--salt-max-group N] [--max-generations N]
+    python -m spiderman_ray.cli validate --images /tmp/run/tables/images
+    python -m spiderman_ray.cli oracle --scale t1
+
+Replaces the reference's job launchers (``python SP_JOBS/zhifang_job.py -p P
+-n N``, SP_JOBS/job.py:96-133) and ``execute_download.py``. This module OWNS
+a Ray session (guarded init); library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    ray = _ray_session()
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.policy import CrawlPolicy
+    from spiderman_ray.simweb import SimParams
+
+    policy = CrawlPolicy(
+        dedup=not args.no_dedup,
+        dedup_mode="bloom" if args.bloom else "exact",
+        max_generations=args.max_generations,
+    )
+    eng = CrawlEngine(
+        SimParams.for_scale(args.scale),
+        policy,
+        out_dir=args.out,
+        salt_max_group=args.salt_max_group,
+    )
+    metrics = eng.run(resume=args.resume)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    ray = _ray_session()
+    from spiderman_ray.pipelines.images import validate_summary
+
+    print(validate_summary(args.images).to_pydict())
+    ray.shutdown()
+    return 0
+
+
+def cmd_oracle(args: argparse.Namespace) -> int:
+    from spiderman_ray.oracle import run_oracle
+    from spiderman_ray.simweb import SimParams
+
+    res = run_oracle(SimParams.for_scale(args.scale))
+    print(json.dumps({k: v for k, v in res.metrics.items() if k != "host_vclock_ms"}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spiderman_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the crawl engine over the simulated web")
+    c.add_argument("--scale", default="t1", help="t1 | t2 | bench")
+    c.add_argument("--out", default="/tmp/spiderman_run")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--bloom", action="store_true", help="bloom seen-set mode")
+    c.add_argument("--no-dedup", action="store_true", help="dont_filter mode")
+    c.add_argument("--salt-max-group", type=int, default=None)
+    c.add_argument("--max-generations", type=int, default=16)
+    c.set_defaults(fn=cmd_crawl)
+
+    v = sub.add_parser("validate", help="decode/validate an images table")
+    v.add_argument("--images", required=True)
+    v.set_defaults(fn=cmd_validate)
+
+    o = sub.add_parser("oracle", help="run the reference-oracle simulator")
+    o.add_argument("--scale", default="t1")
+    o.set_defaults(fn=cmd_oracle)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

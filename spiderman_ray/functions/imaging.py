@@ -255,21 +255,21 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _resize32(gray: np.ndarray) -> np.ndarray:
-    """Box-average resize to 32x32 (deterministic, pure numpy)."""
+    """Box-average resize to 32x32 (deterministic, fully vectorized via the
+    2D summed-area table + fancy indexing)."""
     h, w = gray.shape
     ys = (np.arange(33) * h / 32).round().astype(int)
     xs = (np.arange(33) * w / 32).round().astype(int)
     ys[-1], xs[-1] = h, w
+    y0, x0 = ys[:-1], xs[:-1]
+    y1 = np.maximum(ys[1:], y0 + 1)
+    x1 = np.maximum(xs[1:], x0 + 1)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-    out = np.empty((32, 32), dtype=np.float64)
-    for i in range(32):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(32):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[i, j] = (csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]) / area
-    return out
+    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+    return (
+        csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)] - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
+    ) / area
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -282,11 +282,9 @@ def phash64(pixels: np.ndarray) -> int:
     small = _resize32(gray)
     coeff = (_D32 @ small @ _D32.T)[:8, :8]
     med = np.median(coeff)
-    bits = (coeff > med).flatten()
-    val = np.uint64(0)
-    for b in bits:
-        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
-    return int(val.view(np.int64))
+    bits = (coeff > med).flatten().astype(np.uint64)
+    val = int(np.sum(bits << np.arange(63, -1, -1, dtype=np.uint64)))
+    return val - (1 << 64) if val >= (1 << 63) else val  # int64 two's-complement
 
 
 def phash_hamming(a: int, b: int) -> int:

@@ -55,13 +55,29 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
 
 
 def dedup_exact(sf_dir: str) -> rd.Dataset:
-    """Exact dedup, first-wins by doc_id: hash-partition by content md5,
-    keep min doc_id per group. Returns survivors (doc_id, fp)."""
+    """Exact dedup, first-wins by doc_id. Grouping key = hash shard of the
+    content md5 (64 groups), NOT the md5 itself — per-group dispatch must
+    stay O(parallelism); the within-shard first-wins is one vectorized pass
+    (same pattern as stages/dedup.py)."""
+
+    def shard(batch: pa.Table) -> pa.Table:
+        from spiderman_ray.functions.hashing import hash64
+
+        sh = hash64(batch["fp"].to_pylist()).view(np.uint64) % np.uint64(64)
+        return batch.append_column("_dshard", pa.array(sh.astype(np.int64)))
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+        return (
+            g.sort_values(["fp", "doc_id"]).drop_duplicates("fp", keep="first")
+            .drop(columns=["_dshard"])
+        )
 
-    return doc_fingerprints(sf_dir).groupby("fp").map_groups(first, batch_format="pandas")
+    return (
+        doc_fingerprints(sf_dir)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_dshard")
+        .map_groups(first, batch_format="pandas")
+    )
 
 
 def clean_doc_lengths(sf_dir: str) -> rd.Dataset:
@@ -196,7 +212,6 @@ def lang_id(sf_dir: str) -> rd.Dataset:
 _N_HASHES = 64
 _BANDS = 16  # 16 bands x 4 rows
 _ROWS = _N_HASHES // _BANDS
-_MERSENNE = (1 << 61) - 1
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -219,17 +234,19 @@ class MinHasher:
 
     def __init__(self, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=_N_HASHES, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=_N_HASHES, dtype=np.uint64)
+        # odd multipliers, (a*x + b) mod 2**64 via uint64 wraparound — a
+        # multiply-shift universal hash family; exactness of the modulus is
+        # irrelevant for LSH, speed is (no bigint math per shingle)
+        self.a = rng.integers(1, np.iinfo(np.uint64).max, size=_N_HASHES, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, np.iinfo(np.uint64).max, size=_N_HASHES, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text)
         if len(sh) == 0:
             return np.zeros(_N_HASHES, dtype=np.uint64)
-        # (a*x + b) mod p, then min over shingles, per hash function
-        x = sh[:, None].astype(np.object_)  # object to avoid uint64 overflow
-        vals = (x * self.a[None, :].astype(np.object_) + self.b[None, :]) % _MERSENNE
-        return np.min(vals.astype(np.uint64), axis=0)
+        with np.errstate(over="ignore"):
+            vals = sh[:, None] * self.a[None, :] + self.b[None, :]
+        return np.min(vals, axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_id": [], "band": [], "band_hash": []}

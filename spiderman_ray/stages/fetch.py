@@ -187,9 +187,10 @@ class FetchGroup:
                     body=resp.body,
                 )
             )
+        fetch_key = str(group["fetch_key"].iloc[0]) if "fetch_key" in group else host
         out.append(
             _wire_row(None, kind="hostmeta", host=host, n_meta=slot - slot0,
-                      vts_ms=float(slot * delay),
+                      vts_ms=float(slot * delay), url=fetch_key,
                       generation=int(group["generation"].iloc[0]))
         )
         return pa.Table.from_pylist(out, schema=WIRE_SCHEMA)

@@ -38,6 +38,7 @@ HOSTMETA = pa.schema(
         ("n_meta", pa.int64()),
         ("vts_ms", pa.float64()),
         ("generation", pa.int32()),
+        ("fetch_key", pa.string()),
     ]
 )
 
@@ -53,12 +54,23 @@ CRAWL_ORDER = pa.schema(
 )
 
 
-def write_part(rows: list[dict], schema: pa.Schema, table_dir: str, gen: int) -> int:
-    """Idempotent part write: content-keyed filename, tmp+rename."""
+def write_part(
+    rows: list[dict],
+    schema: pa.Schema,
+    table_dir: str,
+    gen: int,
+    key_fields: tuple[str, ...] = ("seq",),
+) -> int:
+    """Idempotent part write: content-keyed filename, tmp+rename. The key
+    fields must uniquely identify the row set within (table, gen) — ``seq``
+    for row tables; hostmeta rows need (url=fetch_key, n_meta) because all
+    their seqs are 0."""
     if not rows:
         return 0
     os.makedirs(table_dir, exist_ok=True)
-    key = md5_hex(",".join(str(r.get("seq", i)) for i, r in enumerate(rows)))[:16]
+    key = md5_hex(
+        ",".join("|".join(str(r.get(f, "")) for f in key_fields) for r in rows)
+    )[:16]
     path = os.path.join(table_dir, f"part-g{gen}-{key}.parquet")
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
@@ -89,7 +101,13 @@ class ParseSink:
             gen = row["generation"]
             if kind == "hostmeta":
                 meta.append(
-                    {k: row[k] for k in ("host", "n_meta", "vts_ms", "generation")}
+                    {
+                        "host": row["host"],
+                        "n_meta": row["n_meta"],
+                        "vts_ms": row["vts_ms"],
+                        "generation": row["generation"],
+                        "fetch_key": row["url"],  # FetchGroup stamps the group key here
+                    }
                 )
                 continue
             if kind == "dead":
@@ -140,5 +158,8 @@ class ParseSink:
         write_part(images, schemas.IMAGES_FULL, self._dir("images", gen), gen)
         write_part(dead, schemas.DEAD_LETTERS, self._dir("dead_letters", gen), gen)
         write_part(order, CRAWL_ORDER, self._dir("crawl_order", gen), gen)
-        write_part(meta, HOSTMETA, self._dir("hostmeta", gen), gen)
+        write_part(
+            meta, HOSTMETA, self._dir("hostmeta", gen), gen,
+            key_fields=("fetch_key", "host", "n_meta"),
+        )
         return pa.Table.from_pylist(children, schema=schemas.FRONTIER)

@@ -257,6 +257,23 @@ def test_t2_conformance(tmp_path):
     assert engine_fps == o.seen_fps
 
 
+def test_virtual_clock_with_delays_matches_oracle(tmp_path):
+    """Per-host crawl-delay budgets > 0: virtual timestamps must match the
+    oracle fetch-for-fetch ACROSS generations (slot continuity)."""
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    delays = {"h0.shop.example": 100, "h1.shop.example": 50, "img0.cdn.example": 10}
+    o = run_oracle(params, CrawlPolicy(), delays_ms=delays)
+    out = str(tmp_path / "vdelay")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out, delays_ms=delays)
+    eng.run()
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    assert co["vts_ms"].tolist() == [c["vts_ms"] for c in o.crawl_order]
+
+
 def test_wall_clock_politeness_enforced(tmp_path):
     """Wall mode with a 25ms budget on one host: observed gaps >= budget."""
     params = SimParams(pages=2, details=3, images=0, hosts=1, img_hosts=1)
