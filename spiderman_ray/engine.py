@@ -56,9 +56,8 @@ from spiderman_ray.oracle import seed_requests
 from spiderman_ray.policy import CrawlPolicy
 from spiderman_ray.simweb import SimParams, SimWeb
 from spiderman_ray.sources.table_io import read_dataset, write_dataset
-from spiderman_ray.stages.dedup import dedup_frontier
 from spiderman_ray.stages.fetch import FetchGroup
-from spiderman_ray.stages.parse_sink import CRAWL_ORDER, HOSTMETA, ParseSink
+from spiderman_ray.stages.parse_sink import CRAWL_ORDER, HOSTMETA, make_parse_sink
 from spiderman_ray.state.politeness import HostClock
 from spiderman_ray.state.seen import ShardedSeenSet
 
@@ -77,6 +76,19 @@ def _count_parquet_rows(dir_path: str) -> int:
         if f.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(dir_path, f)).metadata.num_rows
     return total
+
+
+def _host_counts(frontier_dir: str) -> dict:
+    import collections
+
+    ctr: collections.Counter = collections.Counter()
+    for f in os.listdir(frontier_dir):
+        if f.endswith(".parquet"):
+            col = pq.read_table(os.path.join(frontier_dir, f), columns=["host"])["host"]
+            vc = col.combine_chunks().value_counts()
+            for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                ctr[v] += c
+    return {"host": list(ctr.keys()), "count()": list(ctr.values())}
 
 
 def _read_gen_table(out: str, table: str, g: int) -> pa.Table:
@@ -115,7 +127,7 @@ class CrawlEngine:
         parse_concurrency: int | None = None,
         parse_batch_size: int = 256,
         salt_max_group: int | None = None,
-        auto_salt_cap: int = 256,
+        auto_salt_cap: int = 128,
     ):
         self.params = params
         self.policy = policy or CrawlPolicy()
@@ -218,13 +230,29 @@ class CrawlEngine:
 
         g = start_gen
         while g < policy.max_generations:
+            tg0 = time.time()
+            phase: dict[str, float] = {}
+
+            def mark(name: str, _p=phase, _t=[time.time()]) -> None:
+                now = time.time()
+                _p[name] = round(now - _t[0], 3)
+                _t[0] = now
+
             fdir = _gen_dir(self.out, "frontier", g)
             n_frontier = _count_parquet_rows(fdir)
             if n_frontier == 0:
                 break
-            frontier = read_dataset(fdir)
-
-            sched = dedup_frontier(frontier, pool, policy)
+            # block sizing: ~1k frontier rows per block, capped at 4x CPUs.
+            # The post-shuffle map_groups runs ONE TASK PER BLOCK (groups are
+            # packed into blocks), so block count IS the fetch parallelism —
+            # too few blocks leaves CPUs idle behind stragglers; tiny
+            # generations must still not pay a wide sort.
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            nblocks = max(1, min(n_frontier // 1000 + 1, 4 * ncpu))
+            frontier = read_dataset(fdir, override_num_blocks=nblocks)
+            # dedup is fused into the fetch stage (one shuffle serves dedup
+            # AND politeness: fp determines host) — see stages/fetch.py
+            sched = frontier
 
             # fetch partitioning key: host, salted for oversized hosts.
             # Salting never changes recorded (generation, seq) order — only
@@ -234,7 +262,13 @@ class CrawlEngine:
             # (throughput mode) and then draw slot ranges from HostClock.
             salt_map: dict[str, int] = {}
             need_clock = False
-            counts = frontier.groupby("host").count().to_pandas()
+            # host histogram straight off the frontier checkpoint (one
+            # column, no Ray job — the checkpoint was just written). At
+            # 10^10 the same histogram comes from the previous generation's
+            # hostmeta aggregate instead of a raw scan.
+            mark("count")
+            counts = _host_counts(fdir)
+            mark("salt_histogram")
             for h, c in zip(counts["host"], counts["count()"]):
                 cfg = self.pol_cfg.get(h)
                 delay = int(cfg["crawl_delay_ms"]) if cfg else self.policy.default_delay_ms
@@ -267,6 +301,7 @@ class CrawlEngine:
                 self.pol_cfg,
                 base_slots=base_slots,
                 host_clock=host_clock,  # set only when a delayed host is salted
+                seen_pool=pool,
             )
             def fetch_group(df, fetcher=fetcher):
                 return fetcher(df)
@@ -275,23 +310,32 @@ class CrawlEngine:
                 fetch_group, batch_format="pandas"
             )
 
+            # parse/sink runs FUSED with the fetch tasks (plain function):
+            # bytes-heavy blocks never re-cross the object store. Measured
+            # alternatives: per-generation actor pools pay startup + copy
+            # costs that dwarf the straggler overlap they buy.
             next_frontier = fetched.map_batches(
-                ParseSink(self.out),
+                make_parse_sink(self.out),
                 batch_format="pyarrow",
                 batch_size=self.parse_batch_size,
-                concurrency=self.parse_concurrency,
                 num_cpus=1,
             )
+            mark("plan")
             # the single consumer: materializing the next frontier checkpoint
             write_dataset(next_frontier, _gen_dir(self.out, "frontier", g + 1))
+            mark("pipeline")
+            if os.environ.get("SPIDERMAN_STATS"):
+                print(f"--- generation {g} stats ---\n{next_frontier.stats()}")
 
             # account politeness slots for cross-generation continuity
             hm = _read_gen_table(self.out, "hostmeta", g)
             for host, n in zip(hm["host"].to_pylist(), hm["n_meta"].to_pylist()):
                 base_slots[host] = base_slots.get(host, 0) + int(n)
 
+            mark("hostmeta")
             snap_dir = os.path.join(self.out, "seen", f"gen-{g}")
             pool.snapshot(snap_dir)
+            mark("snapshot")
 
             counts = {t: _count_parquet_rows(
                 _gen_dir(os.path.join(self.out, "tables"), t, g)
@@ -307,6 +351,8 @@ class CrawlEngine:
                 "parent_hash": md5_hex(open(parent).read()) if os.path.exists(parent) else "",
                 "salted_hosts": salt_map,
                 "wall_s": round(time.time() - t0, 3),
+                "gen_wall_s": round(time.time() - tg0, 3),
+                "phase_s": phase,
                 "complete": True,
             }
             tmp = self._manifest_path(g) + ".tmp"

@@ -42,7 +42,12 @@ UA_POOL_SIZE = 18
 SCALES: dict[str, dict] = {
     "t1": dict(pages=5, details=4, images=2, hosts=3, img_hosts=2),
     "t2": dict(pages=50, details=10, images=4, hosts=8, img_hosts=3),
-    "bench": dict(pages=500, details=20, images=8, hosts=16, img_hosts=4),
+    # bench uses web-realistic image dimensions so the measured workload is
+    # dominated by image decode/hash compute, as a real crawl's would be
+    "bench": dict(
+        pages=500, details=20, images=8, hosts=16, img_hosts=4,
+        img_sizes=(96, 128, 160, 224, 256),
+    ),
 }
 
 _WORDS = (
@@ -66,6 +71,7 @@ class SimParams:
     fail_rate: float = 0.05
     dead_rate: float = 0.01
     small_body_rate: float = 0.01
+    img_sizes: tuple = (32, 48, 64, 96, 128)
 
     @classmethod
     def for_scale(cls, scale: str, **overrides) -> "SimParams":
@@ -178,7 +184,7 @@ class SimWeb:
         return f"Plot {p}-{d} photo {k}: {ws}"
 
     def image_dims(self, p: int, d: int, k: int) -> tuple[int, int]:
-        sizes = (32, 48, 64, 96, 128)
+        sizes = self.p.img_sizes
         return (
             sizes[self._pick("imw", len(sizes), p, d, k)],
             sizes[self._pick("imh", len(sizes), p, d, k)],

@@ -60,10 +60,13 @@ def write_table(tbl: pa.Table, uri: str) -> str:
     return uri
 
 
-def read_dataset(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
+def read_dataset(
+    uri: str, *, columns: list[str] | None = None, override_num_blocks: int | None = None
+) -> rd.Dataset:
     if HAVE_LANCE and os.path.exists(os.path.join(uri, "_versions")):  # pragma: no cover
         return rd.read_lance(uri, columns=columns)
-    return rd.read_parquet(uri, columns=columns)
+    kwargs = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+    return rd.read_parquet(uri, columns=columns, **kwargs)
 
 
 def read_arrow(uri: str, *, columns: list[str] | None = None) -> pa.Table:

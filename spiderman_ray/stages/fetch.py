@@ -106,12 +106,20 @@ class FetchGroup:
         pol_cfg: dict,
         base_slots: dict[str, int] | None = None,
         host_clock: "ray.actor.ActorHandle | None" = None,
+        seen_pool=None,
     ):
         self.params = params
         self.policy = policy
         self.pol_cfg = pol_cfg
         self.base_slots = base_slots or {}
         self.host_clock = host_clock
+        # Dedup is FUSED into this stage: a URL's fingerprint determines its
+        # host (fp = md5(canonical url)), so the politeness partition already
+        # co-locates every duplicate of a fingerprint — one shuffle serves
+        # both dedup and politeness. Salting keeps this (salt = hash64(url),
+        # same url -> same sub-group). ``seen_pool`` is the cross-generation
+        # sharded seen-set handle (actor handles serialize into tasks).
+        self.seen_pool = seen_pool
         self._web = None  # constructed lazily per worker
 
     @property
@@ -130,6 +138,23 @@ class FetchGroup:
 
     def __call__(self, group: pd.DataFrame) -> pa.Table:
         group = group.sort_values("seq")  # per-host FIFO by (generation, seq)
+        if self.seen_pool is not None:
+            # first-wins dedup (intra-generation by seq order, then the
+            # cross-generation seen actors), per-callback opt-out like the
+            # reference's dont_filter (SP/spiders/zhifang.py:55-61)
+            dmask = group["callback"].map(self.policy.dedup_for).to_numpy(dtype=bool)
+            sub = group[dmask]
+            if len(sub):
+                sub = sub.drop_duplicates("fp", keep="first")  # seq-sorted
+                accepted = self.seen_pool.offer(sub["fp"].to_numpy(dtype=object))
+                sub = sub[accepted]
+                group = (
+                    pd.concat([sub, group[~dmask]]).sort_values("seq")
+                    if (~dmask).any()
+                    else sub
+                )
+            if group.empty:
+                return pa.Table.from_pylist([], schema=WIRE_SCHEMA)
         host = str(group["host"].iloc[0])
         delay = self._delay(host)
         records = group.to_dict("records")

@@ -15,8 +15,11 @@ duplicating rows (the reference's bucket sink instead degrades to
 row-at-a-time and DROPS poison rows, SP/pipelines/pipelines_rdbm.py:90-105;
 we never drop).
 
-This is an actor-pool stage (callable class + ``concurrency=``): image
-decode + phash are the CPU-heavy part and benefit from long-lived workers.
+ParseSink carries no per-worker state beyond the output dir, so it runs as
+STATELESS TASKS (``make_parse_sink`` closure) — an actor pool here would
+pay multi-second pool startup per generation for no amortization benefit
+(measured: ~2-4s x generations of fixed cost). The actor-pool pattern
+belongs to genuinely stateful stages (seen-set shards, decode_validate).
 """
 
 from __future__ import annotations
@@ -78,8 +81,18 @@ def write_part(
     return len(rows)
 
 
+def make_parse_sink(out_dir: str):
+    """Stateless map_batches fn: wire batch in, next-frontier batch out."""
+    sink = ParseSink(out_dir)
+
+    def parse_sink(batch: pa.Table) -> pa.Table:
+        return sink(batch)
+
+    return parse_sink
+
+
 class ParseSink:
-    """Callable actor-pool stage: wire batch in, next-frontier batch out."""
+    """Wire batch in, next-frontier batch out (see make_parse_sink)."""
 
     def __init__(self, out_dir: str):
         self.out = out_dir
