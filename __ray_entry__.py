@@ -79,6 +79,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _crawl_out("t1")
         return I.phash_near_dups(os.path.join(out, "tables", "images"))
 
+    def crawl_thumbnails(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.multimodal import thumbnails
+
+        out = _crawl_out("t1")
+        return thumbnails(os.path.join(out, "tables", "images"), size=16).select_columns(
+            ["image_id", "w", "h", "fmt", "phash"]
+        )
+
     return {
         # -- crawl engine (pytest-verified vs oracle; rows-only here) ------
         "crawl_images": crawl_images,
@@ -86,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dead_letters": crawl_dead_letters,
         "crawl_validate": crawl_validate,
         "crawl_phash_dups": crawl_phash_dups,
+        "crawl_thumbnails": crawl_thumbnails,
         # -- relational / reference query surface (SQL-checked) ------------
         "missing_pages": R.missing_pages,
         "missing_details": R.missing_details,
@@ -111,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": T.simhash_table,
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
+        "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf),
         "cosine_dup_pairs": V.cosine_dup_pairs,
         "embedding_norms": V.embedding_norms,
     }

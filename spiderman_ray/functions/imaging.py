@@ -261,9 +261,11 @@ def _resize32(gray: np.ndarray) -> np.ndarray:
     ys = (np.arange(33) * h / 32).round().astype(int)
     xs = (np.arange(33) * w / 32).round().astype(int)
     ys[-1], xs[-1] = h, w
-    y0, x0 = ys[:-1], xs[:-1]
-    y1 = np.maximum(ys[1:], y0 + 1)
-    x1 = np.maximum(xs[1:], x0 + 1)
+    # clip so upsampling (h or w < 32) cannot index past the table edge
+    y0 = np.minimum(ys[:-1], h - 1)
+    x0 = np.minimum(xs[:-1], w - 1)
+    y1 = np.minimum(np.maximum(ys[1:], y0 + 1), h)
+    x1 = np.minimum(np.maximum(xs[1:], x0 + 1), w)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
     area = np.outer(y1 - y0, x1 - x0).astype(np.float64)

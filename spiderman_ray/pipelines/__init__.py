@@ -8,3 +8,15 @@ These re-express the reference's query/data-processing surface (SURVEY.md
 plus the training-data operators (dedup families, similarity search, text
 analysis) over generic tables.
 """
+
+from __future__ import annotations
+
+
+def pool_size(requested: int) -> int:
+    """Cap an actor-pool size at cluster CPUs - 1: a pool that reserves every
+    CPU starves the upstream read tasks and the pipeline deadlocks
+    (observed: concurrency=4 on a num_cpus=4 session never completes)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(requested, cpus - 1))

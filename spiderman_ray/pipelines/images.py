@@ -63,11 +63,13 @@ class DecodeValidate:
 def decode_validate(images_uri: str, concurrency: int = 4, batch_size: int = 64) -> rd.Dataset:
     """read images table -> decode/validate actor pool. Small batch_size:
     rows are wide (binary payloads)."""
+    from spiderman_ray.pipelines import pool_size
+
     return read_dataset(images_uri).map_batches(
         DecodeValidate,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 

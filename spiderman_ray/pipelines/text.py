@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from spiderman_ray.functions.textops import clean_column
+from spiderman_ray.pipelines import pool_size
 
 
 def _pq(sf_dir: str, table: str = "documents") -> str:
@@ -201,7 +202,7 @@ class LangId:
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(
-        LangId, batch_format="pandas", batch_size=256, concurrency=2
+        LangId, batch_format="pandas", batch_size=256, concurrency=pool_size(2)
     )
 
 
@@ -280,7 +281,7 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
 
     cand = (
         _read_docs(sf_dir)
-        .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=2)
+        .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2))
         .groupby(["band", "band_hash"])
         .map_groups(pairs, batch_format="pandas")
     )
@@ -360,5 +361,5 @@ class SimHasher:
 
 def simhash_table(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(
-        SimHasher, batch_format="pandas", batch_size=256, concurrency=2
+        SimHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2)
     )

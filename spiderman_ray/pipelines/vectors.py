@@ -112,6 +112,74 @@ def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def _kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = 11) -> np.ndarray:
+    """Small seeded k-means on (pre-normalized) vectors — centroid fitting
+    runs on a sample at scale; here the sample is the table."""
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+    return cents
+
+
+def ann_ivf_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4
+) -> pa.Table:
+    """IVF-style approximate top-k — the 100 TB scale path for similarity
+    search: centroids are broadcast, each batch assigns its vectors to a
+    cluster and emits partial top-k ONLY for queries probing that cluster.
+    Work drops from O(n*q) to ~O(n*q*nprobe/n_centroids). Same output shape
+    as ``ann_cosine_topk``; tests check recall against the exact baseline.
+    """
+    tab = pq.read_table(_pq(sf_dir))
+    qids = tab["vec_id"].to_pylist()[:n_queries]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = _kmeans(mat, n_centroids)
+    qmat = mat[:n_queries]
+    # per-query probed clusters
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((np.array(qids), qmat, cents, probes))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, q, c, pr = ray.get(ref)
+        m = _batch_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(m @ c.T, axis=1)
+        ids = batch["vec_id"].to_numpy()
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for j, qid in enumerate(q_ids):
+            cand_mask = np.isin(assign, pr[j]) & (ids != qid)
+            if not cand_mask.any():
+                continue
+            sims = m[cand_mask] @ q[j]
+            cand_ids = ids[cand_mask]
+            order = np.lexsort((cand_ids, -sims))[:k]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(cand_ids[order])
+            out["sim"].extend(sims[order])
+        return pd.DataFrame(out)
+
+    partials = (
+        rd.read_parquet(_pq(sf_dir))
+        .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), int(r["neighbor_id"]), rank))
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]), preserve_index=False
+    )
+
+
 def embedding_norms(sf_dir: str) -> rd.Dataset:
     """Per-vector L2 norm x1e6 as int64 (stable hashing) — the simplest
     vectorized map_batches over the list<float> column."""

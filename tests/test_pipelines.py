@@ -1,0 +1,192 @@
+"""Pipeline-level tests: multimodal stages, ANN recall, near-dup detection
+with planted ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def images_table(tmp_path_factory):
+    """Small input_hint-shaped table incl. one planted near-duplicate pair
+    (same pixels, png vs jpeg encode)."""
+    from spiderman_ray.functions.imaging import (
+        decode_image,
+        encode_image,
+        generate_pixels,
+        phash64,
+    )
+
+    rows = []
+    for i in range(12):
+        px = generate_pixels(f"imgtab-{i}", 64, 48)
+        fmt = "png" if i % 3 == 0 else "jpeg"
+        data = encode_image(px, fmt)
+        rows.append(
+            {
+                "image_id": f"ID{i:03d}",
+                "bytes": data,
+                "w": 64,
+                "h": 48,
+                "fmt": fmt,
+                "caption": f"caption {i}",
+                "phash": phash64(decode_image(data)),
+            }
+        )
+    # planted near-dup: re-encode image 0's pixels lossily
+    px0 = generate_pixels("imgtab-0", 64, 48)
+    data = encode_image(px0, "jpeg")
+    rows.append(
+        {
+            "image_id": "ID999",
+            "bytes": data,
+            "w": 64,
+            "h": 48,
+            "fmt": "jpeg",
+            "caption": "near dup of 0",
+            "phash": phash64(decode_image(data)),
+        }
+    )
+    d = tmp_path_factory.mktemp("imgs")
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+    return str(d)
+
+
+def test_decode_validate_all_ok(images_table):
+    from spiderman_ray.pipelines.images import validate_summary
+
+    out = validate_summary(images_table).to_pydict()
+    assert out["n_images"] == [13]
+    assert out["n_w_bad"] == [0] and out["n_h_bad"] == [0] and out["n_phash_bad"] == [0]
+
+
+def test_phash_near_dups_finds_planted_pair(images_table):
+    from spiderman_ray.pipelines.images import phash_near_dups
+
+    pairs = phash_near_dups(images_table, max_hamming=6).to_pydict()
+    assert ("ID000", "ID999") in list(zip(pairs["a"], pairs["b"]))
+
+
+def test_thumbnails(images_table):
+    from spiderman_ray.functions.imaging import decode_image
+    from spiderman_ray.pipelines.multimodal import thumbnails
+
+    out = thumbnails(images_table, size=16, concurrency=2).to_pandas()
+    assert len(out) == 13
+    for _, r in out.iterrows():
+        px = decode_image(r["bytes"])
+        assert px.shape == (16, 16, 3)
+        assert r["w"] == 16 and r["h"] == 16
+
+
+def test_audio_features_fake_and_video_stub():
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.multimodal import AudioFeatures, video_frame_sample
+
+    tbl = pa.table(
+        {
+            "clip_id": ["c1", "c2"],
+            "payload": [b"\x01\x02\x03\x04fakebytes", b"other-fake-bytes"],
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+    )
+    assert list(out.columns) == ["clip_id", "duration_ms", "rms_x1e6", "n_frames"]
+    assert (out["n_frames"] == 4).all()
+    # deterministic: same payload -> same features
+    out2 = (
+        rd.from_arrow(tbl)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+    with pytest.raises(NotImplementedError):
+        video_frame_sample()
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(mode="real")
+
+
+def test_ann_ivf_recall_vs_exact():
+    from spiderman_ray.pipelines.vectors import ann_cosine_topk, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_cosine_topk(sf, n_queries=8, k=5).to_pandas()
+    approx = ann_ivf_topk(sf, n_queries=8, k=5, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4 of 8 centroids
+
+
+def test_minhash_finds_planted_near_dup(tmp_path):
+    """Plant a doc that shares ~90% of its shingles with another."""
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    t0 = base.iloc[0]["text"]
+    words = t0.split()
+    dup = " ".join(words[: int(len(words) * 0.95)]) + " zzz"
+    planted = pd.concat(
+        [
+            base[["doc_id", "text"]],
+            pd.DataFrame({"doc_id": [99999], "text": [dup]}),
+        ]
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(planted, preserve_index=False), str(d / "documents.parquet")
+    )
+    from spiderman_ray.pipelines.text import minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(str(tmp_path / "docs"), threshold=0.6)
+    assert ((pairs["a"] == 0) & (pairs["b"] == 99999)).any()
+
+
+def test_simhash_close_for_similar_docs():
+    from spiderman_ray.pipelines.text import SimHasher
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the river bank",
+                "the quick brown fox jumps over the lazy dog near the river bend",
+                "completely different words about database query optimization engines",
+            ],
+        }
+    )
+    out = SimHasher()(batch)
+    h = dict(zip(out["doc_id"], out["simhash"]))
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+    assert ham(h[1], h[2]) <= 12
+
+
+def test_lang_id_profiles():
+    from spiderman_ray.pipelines.text import LangId
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat is on the mat and a dog is in the house",
+                "der Hund ist nicht mit der Katze und das ist gut",
+                "le chat est sur la table et les chiens sont là",
+            ],
+        }
+    )
+    out = LangId()(batch)
+    assert out["lang_pred"].tolist() == ["en", "de", "fr"]
