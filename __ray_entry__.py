@@ -79,6 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _crawl_out("t1")
         return I.phash_near_dups(os.path.join(out, "tables", "images"))
 
+    def crawl_price_monitor(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.monitor import price_monitor
+
+        out = _crawl_out("t1")
+        return price_monitor(os.path.join(out, "tables", "pages"), threshold=5500)
+
     def crawl_thumbnails(sf_dir: str) -> Any:
         from spiderman_ray.pipelines.multimodal import thumbnails
 
@@ -95,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_validate": crawl_validate,
         "crawl_phash_dups": crawl_phash_dups,
         "crawl_thumbnails": crawl_thumbnails,
+        "crawl_price_monitor": crawl_price_monitor,
+        "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
         "missing_pages": R.missing_pages,
         "missing_details": R.missing_details,

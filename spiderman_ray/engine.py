@@ -128,7 +128,11 @@ class CrawlEngine:
         parse_batch_size: int = 256,
         salt_max_group: int | None = None,
         auto_salt_cap: int = 128,
+        parsers: dict | None = None,
+        seed_fn=None,
     ):
+        self.parsers = parsers  # None -> parsers.PARSERS (spec.CrawlSpec surface)
+        self.seed_fn = seed_fn or seed_requests
         self.params = params
         self.policy = policy or CrawlPolicy()
         self.out = out_dir
@@ -222,7 +226,7 @@ class CrawlEngine:
 
         if start_gen == 0:
             seeds = pa.Table.from_pylist(
-                seed_requests(self.web), schema=schemas.FRONTIER
+                self.seed_fn(self.web), schema=schemas.FRONTIER
             )
             write_dataset(
                 rd.from_arrow(seeds), _gen_dir(self.out, "frontier", 0)
@@ -315,7 +319,7 @@ class CrawlEngine:
             # alternatives: per-generation actor pools pay startup + copy
             # costs that dwarf the straggler overlap they buy.
             next_frontier = fetched.map_batches(
-                make_parse_sink(self.out),
+                make_parse_sink(self.out, self.parsers),
                 batch_format="pyarrow",
                 batch_size=self.parse_batch_size,
                 num_cpus=1,

@@ -81,9 +81,9 @@ def write_part(
     return len(rows)
 
 
-def make_parse_sink(out_dir: str):
+def make_parse_sink(out_dir: str, parsers: dict | None = None):
     """Stateless map_batches fn: wire batch in, next-frontier batch out."""
-    sink = ParseSink(out_dir)
+    sink = ParseSink(out_dir, parsers)
 
     def parse_sink(batch: pa.Table) -> pa.Table:
         return sink(batch)
@@ -94,8 +94,9 @@ def make_parse_sink(out_dir: str):
 class ParseSink:
     """Wire batch in, next-frontier batch out (see make_parse_sink)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, parsers: dict | None = None):
         self.out = out_dir
+        self.parsers = parsers or PARSERS
 
     def _dir(self, table: str, gen: int) -> str:
         return os.path.join(self.out, "tables", table, f"gen={gen}")
@@ -159,7 +160,7 @@ class ParseSink:
                 image_urls=list(row["image_urls"] or []),
                 captions=list(row["captions"] or []),
             )
-            rows_out, reqs = PARSERS[cb](resp, row)
+            rows_out, reqs = self.parsers[cb](resp, row)
             if cb == "list":
                 pages.extend(rows_out)
             else:
