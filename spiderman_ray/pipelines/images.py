@@ -60,7 +60,7 @@ class DecodeValidate:
         )
 
 
-def decode_validate(images_uri: str, concurrency: int = 4, batch_size: int = 64) -> rd.Dataset:
+def decode_validate(images_uri: str, concurrency: int | None = None, batch_size: int = 64) -> rd.Dataset:
     """read images table -> decode/validate actor pool. Small batch_size:
     rows are wide (binary payloads)."""
     from spiderman_ray.pipelines import pool_size
@@ -69,7 +69,7 @@ def decode_validate(images_uri: str, concurrency: int = 4, batch_size: int = 64)
         DecodeValidate,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=pool_size(concurrency),
+        concurrency=pool_size(concurrency or 10**6),  # None -> all CPUs - 1
         num_cpus=1,
     )
 
@@ -98,24 +98,33 @@ def phash_near_dups(images_uri: str, max_hamming: int = 6) -> pa.Table:
             )
         return pa.concat_tables(out)
 
+    def shard(batch: pa.Table) -> pa.Table:
+        # group at SHARD granularity (band_val % 64), not per bucket —
+        # per-bucket Ray dispatch doesn't scale; buckets enumerate inside
+        bv = batch["band_val"].to_numpy(zero_copy_only=False)
+        sh = (bv.astype(np.int64) % 64).astype(np.int64)
+        return batch.append_column("_bshard", pa.array(sh))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("image_id").sort_values("image_id")
-        ids = rows["image_id"].tolist()
-        phs = rows["phash"].to_numpy().astype(np.int64).view(np.uint64)
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            x = phs[i] ^ phs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(ham <= max_hamming)[0]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-        return pd.DataFrame({"a": out_a, "b": out_b}) if out_a else pd.DataFrame(
-            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+        for (_, _), grp in g.groupby(["band", "band_val"], sort=False):
+            rows = grp.drop_duplicates("image_id").sort_values("image_id")
+            ids = rows["image_id"].tolist()
+            phs = rows["phash"].to_numpy().astype(np.int64).view(np.uint64)
+            for i in range(len(ids)):
+                x = phs[i] ^ phs[i + 1 :]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
         )
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_bshard")
         .map_groups(pairs, batch_format="pandas")
     )
     df = cand.to_pandas()

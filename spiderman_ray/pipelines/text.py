@@ -270,26 +270,51 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
     """LSH banding: docs sharing any (band, band_hash) bucket become
-    candidate pairs (a < b), deduplicated across bands."""
+    candidate pairs (a < b), deduplicated across bands.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["a", "b"]) if out else pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
-        )
+    Grouping key = hash shard of band_hash (64 groups), NOT the bucket
+    itself — per-bucket Ray dispatch is O(n_buckets) Python calls; inside a
+    shard one pandas groupby enumerates its buckets. Pair dedup is a
+    drop_duplicates inside a second shard groupby (same reasoning)."""
 
-    cand = (
-        _read_docs(sf_dir)
-        .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2))
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-    )
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(grp["doc_id"].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    def shard_on(col_fn, name):
+        def add(batch: pa.Table) -> pa.Table:
+            from spiderman_ray.functions.hashing import hash64
+
+            sh = hash64(col_fn(batch)).view(np.uint64) % np.uint64(64)
+            return batch.append_column(name, pa.array(sh.astype(np.int64)))
+
+        return add
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        return g.drop_duplicates(["a", "b"]).drop(columns=["_pshard"])
 
-    return cand.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return (
+        _read_docs(sf_dir)
+        .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2))
+        .map_batches(shard_on(lambda b: b["band_hash"].to_pylist(), "_bshard"),
+                     batch_format="pyarrow")
+        .groupby("_bshard")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            shard_on(lambda b: [f"{x}|{y}" for x, y in zip(b["a"].to_pylist(), b["b"].to_pylist())],
+                     "_pshard"),
+            batch_format="pyarrow",
+        )
+        .groupby("_pshard")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:

@@ -1,4 +1,10 @@
-"""Frontier dedup: deterministic first-wins, sharded seen-set check.
+"""Standalone frontier dedup: deterministic first-wins, sharded seen check.
+
+NOTE: the crawl engine FUSES this logic into the fetch stage
+(stages/fetch.py) because the politeness partition already co-locates
+duplicates (fp determines host) — one shuffle instead of two. This module
+remains the standalone operator for frontiers that are NOT about to be
+host-partitioned (e.g. deduplicating a merged seed list before a run).
 
 Reference semantics: dedup happens when a request is scheduled; with FIFO pop
 order the EARLIEST-pushed duplicate crawls and later ones drop
