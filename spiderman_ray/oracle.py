@@ -158,6 +158,7 @@ def run_oracle(
                 "seq": req["seq"],
                 "attempts": attempts,
                 "vts_ms": t,
+                "ua_idx": web.ua_index(req["url"], attempts),
             }
         )
         if req["callback"] == "image":

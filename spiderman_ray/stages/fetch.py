@@ -64,6 +64,7 @@ WIRE_FIELDS = [
     ("captions", pa.list_(pa.string())),
     ("body", pa.binary()),
     ("n_meta", pa.int64()),  # hostmeta: fetches in this group
+    ("ua_idx", pa.int32()),  # deterministic UA pick f(url, final attempt)
 ]
 WIRE_SCHEMA = pa.schema(WIRE_FIELDS)
 
@@ -83,6 +84,7 @@ def _wire_row(req: dict | None = None, **over) -> dict:
             "captions": [],
             "body": b"",
             "n_meta": 0,
+            "ua_idx": 0,
         }
     )
     if req is not None:
@@ -203,7 +205,7 @@ class FetchGroup:
             out.append(
                 _wire_row(
                     req, kind="fetched", status_code=200, attempts=attempts,
-                    vts_ms=vts,
+                    vts_ms=vts, ua_idx=web.ua_index(url, attempts),
                     links=resp.links,
                     rows_json=json.dumps(resp.rows) if resp.rows else "",
                     fields_json=json.dumps(resp.fields) if resp.fields else "",

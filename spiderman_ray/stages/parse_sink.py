@@ -53,6 +53,7 @@ CRAWL_ORDER = pa.schema(
         ("seq", pa.int64()),
         ("attempts", pa.int32()),
         ("vts_ms", pa.float64()),
+        ("ua_idx", pa.int32()),
     ]
 )
 
@@ -145,6 +146,7 @@ class ParseSink:
                     "seq": row["seq"],
                     "attempts": row["attempts"],
                     "vts_ms": row["vts_ms"],
+                    "ua_idx": row["ua_idx"],
                 }
             )
             cb = row["callback"]

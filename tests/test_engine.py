@@ -66,6 +66,9 @@ class TestT1Conformance:
         assert co["url"].tolist() == [c["url"] for c in t1_oracle.crawl_order]
         assert co["host"].tolist() == [c["host"] for c in t1_oracle.crawl_order]
         assert co["attempts"].tolist() == [c["attempts"] for c in t1_oracle.crawl_order]
+        # UA middleware parity: deterministic pick f(url, attempt)
+        # (replaces random.choice, SP/middlewares/SPMiddleWare.py:18-46)
+        assert co["ua_idx"].tolist() == [c["ua_idx"] for c in t1_oracle.crawl_order]
 
     def test_politeness_vclock_match(self, t1_engine, t1_oracle):
         _, _, out = t1_engine
