@@ -75,11 +75,24 @@ class OracleResult:
 
 def seed_requests(web: SimWeb) -> list[dict]:
     """Seed generator — SPJob.make_job equivalent (SP_JOBS/zhifang_job.py:27-41):
-    list pages 1..P in push order, seq = push index."""
-    return [
+    list pages 1..P in push order, seq = push index; optional POST-search
+    seeds after them (FormRequest path — same URL, distinct bodies, so the
+    fingerprint covers the body)."""
+    seeds = [
         make_request(web.list_url(p), "list", generation=0, seq=p - 1, pagenum=p)
         for p in range(1, web.p.pages + 1)
     ]
+    import json as _json
+
+    for k in range(web.p.search_seeds):
+        seeds.append(
+            make_request(
+                web.search_url(k % web.p.hosts), "search", generation=0,
+                seq=web.p.pages + k, pagenum=0, method="POST",
+                body=_json.dumps({"kw": k}),
+            )
+        )
+    return seeds
 
 
 def fetch_outcome(web: SimWeb, url: str, policy: CrawlPolicy) -> tuple[bool, int, int, bool]:
@@ -164,9 +177,9 @@ def run_oracle(
         if req["callback"] == "image":
             res.images.append(make_image_row(req, web.fetch(req["url"]).body))
         else:
-            resp = web.fetch(req["url"])
+            resp = web.fetch(req["url"], req.get("body") or "")
             rows, children = PARSERS[req["callback"]](resp, req)
-            if req["callback"] == "list":
+            if req["callback"] in ("list", "search"):
                 res.pages.extend(rows)
             else:
                 res.details.extend(rows)

@@ -38,6 +38,10 @@ def child_seq(parent_seq: int, idx: int) -> int:
 def make_request(url: str, callback: str, *, generation: int, seq: int,
                  fkey: str = "", pagenum: int = 0, px: int = 0, caption: str = "",
                  method: str = "GET", body: str = "") -> dict:
+    # fingerprint covers the body for POST requests: two POSTs to the same
+    # URL with different payloads are distinct work (scrapy's fingerprint
+    # hashes method+url+body; GET requests keep the pure-URL md5 scheme)
+    fp_src = canonicalize(url) + (f"|{body}" if body else "")
     return {
         "url": url,
         "method": method,
@@ -50,7 +54,7 @@ def make_request(url: str, callback: str, *, generation: int, seq: int,
         "generation": generation,
         "seq": seq,
         "host": canonical_host(url),
-        "fp": md5_upper(canonicalize(url)),
+        "fp": md5_upper(fp_src),
     }
 
 
@@ -138,5 +142,11 @@ def make_image_row(req: dict, body: bytes) -> dict:
     }
 
 
+def parse_search(resp: SimResponse, req: dict) -> tuple[list[dict], list[dict]]:
+    """POST-search results: emit page rows + detail requests (list-shaped;
+    FormRequest path, SP/spiders/SPRedisSpider.py:55-59)."""
+    return parse_list(resp, req)
+
+
 #: callback tag -> parser (the get_callback registry equivalent).
-PARSERS = {"list": parse_list, "detail": parse_detail}
+PARSERS = {"list": parse_list, "detail": parse_detail, "search": parse_search}

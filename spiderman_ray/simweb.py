@@ -72,6 +72,10 @@ class SimParams:
     dead_rate: float = 0.01
     small_body_rate: float = 0.01
     img_sizes: tuple = (32, 48, 64, 96, 128)
+    #: POST-search seeds (0 = off): each seed POSTs {"kw": k} to the host's
+    #: /search endpoint — same URL, different bodies (FormRequest parity,
+    #: SP/spiders/SPRedisSpider.py:55-59)
+    search_seeds: int = 0
 
     @classmethod
     def for_scale(cls, scale: str, **overrides) -> "SimParams":
@@ -218,10 +222,23 @@ class SimWeb:
         return self._pick("ua", UA_POOL_SIZE, url, attempt)
 
     # -- the network -------------------------------------------------------
+    def search_url(self, host_idx: int = 0) -> str:
+        return f"https://h{host_idx}.shop.example/search"
+
+    def search_results(self, kw: int) -> list[tuple[int, int]]:
+        """Deterministic detail identities matching a search keyword."""
+        n = 1 + self._pick("srchN", 3, kw)
+        return [
+            (1 + self._pick(f"srchP{i}", self.p.pages, kw), self._pick(f"srchD{i}", self.p.details, kw))
+            for i in range(n)
+        ]
+
     def parse_url(self, url: str) -> tuple[str, tuple]:
         rest = url.split("://", 1)[1]
         host, _, path = rest.partition("/")
         segs = path.split("/")
+        if segs[0] == "search":
+            return "search", ()
         if segs[0] == "list":
             return "list", (int(segs[1]),)
         if segs[0] in ("detail", "private"):
@@ -233,10 +250,22 @@ class SimWeb:
             return "image", (int(p), int(d), int(k))
         raise ValueError(f"not a simulated-web url: {url}")
 
-    def fetch(self, url: str) -> SimResponse:
+    def fetch(self, url: str, body: str = "") -> SimResponse:
         """Content of a URL (success case — failures are modeled by the
-        caller via ``fail_attempts_for``)."""
+        caller via ``fail_attempts_for``). POST bodies select content for
+        the /search endpoint (same URL, different payloads)."""
+        import json as _json
+
         kind, key = self.parse_url(url)
+        if kind == "search":
+            kw = int(_json.loads(body or "{}").get("kw", 0))
+            targets = self.search_results(kw)
+            return SimResponse(
+                url=url,
+                kind="search",
+                links=[self.detail_url(tp, td) for tp, td in targets],
+                rows=[self.row_fields(tp, td) for tp, td in targets],
+            )
         if kind == "list":
             (p,) = key
             targets = self.list_link_targets(p)

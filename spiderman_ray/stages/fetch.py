@@ -201,7 +201,7 @@ class FetchGroup:
             attempts = fail_n + 1
             if policy.min_size is not None and web.body_size_for(url) < policy.min_size:
                 attempts = policy.max_attempts  # size-retry exhausts, parses anyway
-            resp = web.fetch(url)
+            resp = web.fetch(url, req.get("body") or "")
             out.append(
                 _wire_row(
                     req, kind="fetched", status_code=200, attempts=attempts,

@@ -163,7 +163,7 @@ class ParseSink:
                 captions=list(row["captions"] or []),
             )
             rows_out, reqs = self.parsers[cb](resp, row)
-            if cb == "list":
+            if cb in ("list", "search"):
                 pages.extend(rows_out)
             else:
                 details.extend(rows_out)

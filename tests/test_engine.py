@@ -290,3 +290,24 @@ def test_wall_clock_politeness_enforced(tmp_path):
     # wall mode records vts from the virtual slot ledger; real enforcement is
     # time-based — assert the run took at least (n-1)*25ms
     assert metrics["wall_s"] * 1000 >= (len(host_rows) - 1) * 25
+
+
+def test_post_search_seeds_conformance(tmp_path):
+    """POST seeds (same /search URL, distinct bodies): body-aware
+    fingerprints keep them distinct; engine ≡ oracle end to end."""
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1", search_seeds=4)
+    o = run_oracle(params)
+    out = str(tmp_path / "post")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out)
+    m = eng.run()
+    assert m["crawled"] == o.metrics["crawled"]
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    # all 4 search POSTs crawled even though two share a URL (k=0 and k=3
+    # both hit h0's /search): the body-aware fingerprint keeps them distinct
+    assert (co["url"].str.endswith("/search")).sum() == 4
+    assert co[co["url"].str.endswith("/search")]["url"].nunique() == 3
+    eng._pool.shutdown()
