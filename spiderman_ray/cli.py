@@ -56,6 +56,18 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_patch(args: argparse.Namespace) -> int:
+    ray = _ray_session()
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.patch import run_patch
+    from spiderman_ray.simweb import SimParams
+
+    eng = CrawlEngine(SimParams.for_scale(args.scale), out_dir=args.out)
+    print(json.dumps({"patched_per_generation": run_patch(eng)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     ray = _ray_session()
     from spiderman_ray.pipelines.images import validate_summary
@@ -87,6 +99,13 @@ def main(argv=None) -> int:
     c.add_argument("--salt-max-group", type=int, default=None)
     c.add_argument("--max-generations", type=int, default=16)
     c.set_defaults(fn=cmd_crawl)
+
+    pt = sub.add_parser(
+        "patch", help="re-crawl anything scheduled but missing from the sinks"
+    )
+    pt.add_argument("--scale", default="t1")
+    pt.add_argument("--out", required=True)
+    pt.set_defaults(fn=cmd_patch)
 
     v = sub.add_parser("validate", help="decode/validate an images table")
     v.add_argument("--images", required=True)

@@ -144,6 +144,7 @@ def run_oracle(
                     "generation": req["generation"],
                     "seq": req["seq"],
                     "host": host,
+                    "fp": req["fp"],
                 }
             )
             continue
@@ -159,6 +160,7 @@ def run_oracle(
                     "generation": req["generation"],
                     "seq": req["seq"],
                     "host": host,
+                    "fp": req["fp"],
                 }
             )
             continue
@@ -172,6 +174,7 @@ def run_oracle(
                 "attempts": attempts,
                 "vts_ms": t,
                 "ua_idx": web.ua_index(req["url"], attempts),
+                "fp": req["fp"],
             }
         )
         if req["callback"] == "image":

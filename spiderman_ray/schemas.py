@@ -106,6 +106,7 @@ DEAD_LETTERS = pa.schema(
         ("generation", pa.int32()),
         ("seq", pa.int64()),
         ("host", pa.string()),
+        ("fp", pa.string()),
     ]
 )
 

@@ -54,6 +54,8 @@ CRAWL_ORDER = pa.schema(
         ("attempts", pa.int32()),
         ("vts_ms", pa.float64()),
         ("ua_idx", pa.int32()),
+        ("fp", pa.string()),  # enables exact patch anti-joins (POST bodies
+        # are not reconstructible from the URL alone)
     ]
 )
 
@@ -135,6 +137,7 @@ class ParseSink:
                         "generation": row["generation"],
                         "seq": row["seq"],
                         "host": row["host"],
+                        "fp": row["fp"],
                     }
                 )
                 continue
@@ -147,6 +150,7 @@ class ParseSink:
                     "attempts": row["attempts"],
                     "vts_ms": row["vts_ms"],
                     "ua_idx": row["ua_idx"],
+                    "fp": row["fp"],
                 }
             )
             cb = row["callback"]

@@ -1,0 +1,82 @@
+"""Patch-job semantics: rebuild lost work from the checkpointed frontier by
+anti-join against the sink log (zhifang_job_patch model)."""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from spiderman_ray.policy import CrawlPolicy
+from spiderman_ray.simweb import SimParams
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _tables(out):
+    from spiderman_ray.engine import read_table_all_gens
+
+    return {
+        t: read_table_all_gens(out, t).to_pandas().sort_values(["generation", "seq"]).reset_index(drop=True)
+        for t in ("pages", "details", "images", "crawl_order", "dead_letters")
+    }
+
+
+def test_patch_restores_lost_generation(tmp_path):
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.patch import find_residual, run_patch
+
+    params = SimParams.for_scale("t1")
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+    before = _tables(out)
+
+    # nothing missing -> nothing to do
+    assert find_residual(out, 2).num_rows == 0
+    assert run_patch(eng) == {}
+
+    # simulate data loss: generation 2 (images) vanishes from every sink
+    for t in ("images", "crawl_order", "dead_letters"):
+        shutil.rmtree(f"{out}/tables/{t}/gen=2", ignore_errors=True)
+    assert find_residual(out, 2).num_rows > 0
+
+    stats = run_patch(eng)
+    assert 2 in stats and stats[2] > 0
+
+    after = _tables(out)
+    for t, df in before.items():
+        pd.testing.assert_frame_equal(
+            df.drop(columns=["vts_ms"], errors="ignore"),
+            after[t].drop(columns=["vts_ms"], errors="ignore"),
+        )
+
+
+def test_patch_repairs_mid_depth_loss_and_descendants(tmp_path):
+    """Lose generation 1 (details) INCLUDING its emitted frontier for gen 2:
+    the patch must re-crawl details and then their image children."""
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.patch import run_patch
+
+    params = SimParams.for_scale("t1")
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+    before = _tables(out)
+
+    for t in ("details", "crawl_order", "dead_letters"):
+        shutil.rmtree(f"{out}/tables/{t}/gen=1", ignore_errors=True)
+    for t in ("images", "crawl_order", "dead_letters"):
+        shutil.rmtree(f"{out}/tables/{t}/gen=2", ignore_errors=True)
+    shutil.rmtree(f"{out}/frontier/gen=2", ignore_errors=True)
+
+    stats = run_patch(eng)
+    assert stats.get(1, 0) > 0 and stats.get(2, 0) > 0
+
+    after = _tables(out)
+    for t, df in before.items():
+        pd.testing.assert_frame_equal(
+            df.drop(columns=["vts_ms"], errors="ignore"),
+            after[t].drop(columns=["vts_ms"], errors="ignore"),
+        )
