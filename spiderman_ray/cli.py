@@ -77,6 +77,25 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Datafile-sink parity (SP/pipelines/pipelines_datafile.py): dump a
+    crawled table as csv/parquet for debugging."""
+    ray = _ray_session()
+    import ray.data as rd
+
+    from spiderman_ray.engine import read_table_all_gens
+
+    tbl = read_table_all_gens(args.out, args.table)
+    ds = rd.from_arrow(tbl)
+    if args.fmt == "csv":
+        ds.write_csv(args.dest)
+    else:
+        ds.write_parquet(args.dest)
+    print(json.dumps({"rows": tbl.num_rows, "dest": args.dest}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_oracle(args: argparse.Namespace) -> int:
     from spiderman_ray.oracle import run_oracle
     from spiderman_ray.simweb import SimParams
@@ -110,6 +129,13 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate", help="decode/validate an images table")
     v.add_argument("--images", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    e = sub.add_parser("export", help="export a crawled table to csv/parquet")
+    e.add_argument("--out", required=True, help="crawl output dir")
+    e.add_argument("--table", default="pages")
+    e.add_argument("--fmt", default="csv", choices=["csv", "parquet"])
+    e.add_argument("--dest", required=True)
+    e.set_defaults(fn=cmd_export)
 
     o = sub.add_parser("oracle", help="run the reference-oracle simulator")
     o.add_argument("--scale", default="t1")

@@ -71,3 +71,14 @@ def deal_time_stamp(time_stamp, unit: str = "ms", format: str = "%Y-%m-%d") -> s
     """Epoch (s/ms) -> formatted date string, UTC."""
     ts = int(int(time_stamp) / 1000) if unit == "ms" else int(time_stamp)
     return _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(format)
+
+
+def str2dict(block: str) -> dict:
+    """'Header: value' text block -> dict (dev probe tool,
+    test_html.py:15-24 equivalent)."""
+    out = {}
+    for line in block.strip().splitlines():
+        if ":" in line:
+            k, _, v = line.partition(":")
+            out[k.strip()] = v.strip()
+    return out
