@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_days": R.event_days,
         "top_orders": R.top_orders,
         "windowed_events": R.windowed_events,
+        "sessionized_events": R.sessionized_events,
         "customers_per_region": R.customers_per_region,
         "priority_union": R.priority_union,
         "distinct_brands": R.distinct_brands,
@@ -164,6 +165,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, hour"
+        ),
+        "sessionized_events": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+            "SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start, "
+            "COUNT(*) AS n_events, "
+            "CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT) AS span_s "
+            "FROM s GROUP BY user_id, sid"
         ),
         "customers_per_region": (
             "SELECT r_name, COUNT(*) AS n_customers FROM customer "

@@ -96,6 +96,7 @@ def run_bench() -> dict:
     for name, fn in [
         ("grouped_returns", lambda: R.grouped_returns(SF_DIR).to_pandas()),
         ("windowed_events", lambda: R.windowed_events(SF_DIR).to_pandas()),
+        ("sessionized_events", lambda: R.sessionized_events(SF_DIR).count()),
         ("missing_pages", lambda: R.missing_pages(SF_DIR).count()),
         ("dedup_exact", lambda: T.dedup_exact(SF_DIR).count()),
         ("token_stats", lambda: T.token_stats(SF_DIR).count()),
@@ -106,6 +107,10 @@ def run_bench() -> dict:
         ("cosine_dup_pairs", lambda: V.cosine_dup_pairs(SF_DIR).num_rows),
     ]:
         timed(name, fn)
+
+    # leave no multi-GB bench output behind on tmpfs across rounds
+    if os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {

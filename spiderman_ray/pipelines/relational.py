@@ -180,6 +180,45 @@ def windowed_events(sf_dir: str) -> rd.Dataset:
     )
 
 
+def sessionized_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user (30-min inactivity gap) — the
+    streaming-session operator (SURVEY.md §2.8 guidance): partition by
+    user_id, sort by ts within the group, close a session when the gap
+    exceeds the threshold. Output: one row per session with count and span.
+
+    The groupby key is user_id directly (bounded cardinality here); for a
+    high-cardinality key the shard-group pattern of dedup_exact applies.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64")  # us since epoch
+        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = (
+            g.assign(_s=new_session, _ts=ts)
+            .groupby("_s")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("_ts", "min"),
+                n_events=("event_id", "count"),
+                span_s=("_ts", lambda x: (x.max() - x.min()) // 1_000_000),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["span_s"] = out["span_s"].astype("int64")
+        return out
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
 def customers_per_region(sf_dir: str) -> rd.Dataset:
     """Broadcast dimension join chain customer->nation->region + grouped
     count (small sides shipped once, no shuffle join)."""
