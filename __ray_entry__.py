@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": lambda sf: T.minhash_verified_pairs(sf),
         "dedup_minhash": T.dedup_minhash_survivors,
         "simhash": T.simhash_table,
+        "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
         "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf),

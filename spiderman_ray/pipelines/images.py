@@ -74,11 +74,12 @@ def decode_validate(images_uri: str, concurrency: int | None = None, batch_size:
     )
 
 
-def phash_near_dups(images_uri: str, max_hamming: int = 6) -> pa.Table:
+def phash_near_dups(images_uri: str, max_hamming: int = 3) -> pa.Table:
     """Image near-dup pairs by pHash hamming distance <= t. Bucketing: split
-    the 64-bit hash into 4 x 16-bit bands — any pair within hamming t <= 6
-    shares at least one exact band (pigeonhole over 4 bands tolerates 3
-    differing bands) -> band groupby -> verify hamming exactly."""
+    the 64-bit hash into 4 x 16-bit bands; a pair within hamming 3 cannot
+    differ in all 4 bands (pigeonhole), so banding is EXACT through
+    hamming 3 — B bands are exact through B-1 -> band groupby -> verify
+    hamming exactly."""
     ds = read_dataset(images_uri, columns=["image_id", "phash"])
 
     def bands(batch: pa.Table) -> pa.Table:

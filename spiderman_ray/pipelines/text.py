@@ -388,3 +388,55 @@ def simhash_table(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(
         SimHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2)
     )
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup pairs: 4 x 16-bit bands, shard-grouped enumeration,
+    exact hamming verify. The banding is EXACT for hamming <= 3 (3 differing
+    bits cannot touch all 4 bands); larger thresholds would need more bands
+    (B bands are exact through hamming B-1)."""
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        frames = []
+        for b in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "simhash": batch["simhash"],
+                        "band": b,
+                        "band_val": ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype("int64"),
+                        "_bshard": (((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)) % np.uint64(64)).astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(frames)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["band", "band_val"], sort=False):
+            rows = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].tolist()
+            hs = rows["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1 :]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+        )
+
+    cand = (
+        simhash_table(sf_dir)
+        .map_batches(bands, batch_format="pandas")
+        .groupby("_bshard")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    cand = cand.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(cand, preserve_index=False)

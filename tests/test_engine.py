@@ -311,3 +311,29 @@ def test_post_search_seeds_conformance(tmp_path):
     assert (co["url"].str.endswith("/search")).sum() == 4
     assert co[co["url"].str.endswith("/search")]["url"].nunique() == 3
     eng._pool.shutdown()
+
+
+def test_t2_hard_mode_conformance(tmp_path):
+    """Everything at once: t2 scale, bloom seen set, per-host crawl delays,
+    POST search seeds — order, vclock, bitmaps all match the oracle."""
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t2", search_seeds=5)
+    policy = CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, num_shards=4)
+    delays = {"h1.shop.example": 40, "img0.cdn.example": 5}
+    o = run_oracle(params, policy, delays_ms=delays)
+    out = str(tmp_path / "hard")
+    eng = CrawlEngine(params, policy, out_dir=out, delays_ms=delays)
+    m = eng.run()
+    assert m["crawled"] == o.metrics["crawled"]
+    co = (
+        read_table_all_gens(out, "crawl_order")
+        .to_pandas()
+        .sort_values(["generation", "seq"])
+    )
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    assert co["vts_ms"].tolist() == [c["vts_ms"] for c in o.crawl_order]
+    for got, want in zip(eng._pool.dump(), o.seen_bitmaps):
+        assert (got == want).all()
+    eng._pool.shutdown()

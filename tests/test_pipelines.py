@@ -67,7 +67,7 @@ def test_decode_validate_all_ok(images_table):
 def test_phash_near_dups_finds_planted_pair(images_table):
     from spiderman_ray.pipelines.images import phash_near_dups
 
-    pairs = phash_near_dups(images_table, max_hamming=6).to_pydict()
+    pairs = phash_near_dups(images_table, max_hamming=3).to_pydict()
     assert ("ID000", "ID999") in list(zip(pairs["a"], pairs["b"]))
 
 
