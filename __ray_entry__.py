@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_brands": R.distinct_brands,
         # -- text analysis / dedup families --------------------------------
         "doc_fingerprints": T.doc_fingerprints,
+        "winnow_fingerprints": T.winnow_fingerprints,
         "dedup_exact": T.dedup_exact,
         "clean_doc_lengths": T.clean_doc_lengths,
         "dirty_word_filter": T.dirty_word_filter,

@@ -368,6 +368,45 @@ def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
 
 
+def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 6) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    public algorithm): rolling polynomial hash over char k-grams, keep the
+    min hash of each sliding window; the distinct mins are the document's
+    fingerprint set. Vectorized per doc with numpy stride tricks. Output:
+    (doc_id, n_fps, fps_checksum) — checksum = xor of the fingerprint set,
+    stable for comparisons."""
+    weights = np.power(
+        np.uint64(1000003), np.arange(k - 1, -1, -1, dtype=np.uint64)
+    )
+
+    def fps_of(text: str) -> tuple[int, int]:
+        codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(codes) < k:
+            return 0, 0
+        with np.errstate(over="ignore"):
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+            hashes = (grams * weights[None, :]).sum(axis=1)  # mod 2**64 wraparound
+        if len(hashes) < window:
+            sel = np.array([hashes.min()])
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            sel = np.unique(wins.min(axis=1))
+        checksum = np.bitwise_xor.reduce(sel)
+        return int(len(sel)), int(checksum.astype(np.int64))
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        res = [fps_of(t) for t in batch["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fps": pd.Series([r[0] for r in res], dtype="int64"),
+                "fps_checksum": pd.Series([r[1] for r in res], dtype="int64"),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(stage, batch_format="pandas")
+
+
 class SimHasher:
     """64-bit SimHash per doc (word-feature hashing, sign-sum of bits)."""
 

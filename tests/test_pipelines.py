@@ -190,3 +190,28 @@ def test_lang_id_profiles():
     )
     out = LangId()(batch)
     assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+
+
+def test_winnow_fingerprints_overlap_property(tmp_path):
+    """Docs sharing a long prefix share winnowing fingerprints; disjoint
+    docs share almost none (checksums differ, counts positive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = "the quick brown fox jumps over the lazy dog " * 8
+    b = a + "and then some extra trailing content appears here"
+    c = "zzz completely unrelated writing about columnar engines " * 8
+    d = tmp_path / "w"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": [a, b, c]}),
+        str(d / "documents.parquet"),
+    )
+    from spiderman_ray.pipelines.text import winnow_fingerprints
+
+    out = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id")
+    assert (out["n_fps"] > 0).all()
+    # deterministic
+    out2 = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id")
+    assert out["fps_checksum"].tolist() == out2["fps_checksum"].tolist()
+    assert out.loc[1, "fps_checksum"] != out.loc[3, "fps_checksum"]
