@@ -209,9 +209,9 @@ def test_winnow_fingerprints_overlap_property(tmp_path):
     )
     from spiderman_ray.pipelines.text import winnow_fingerprints
 
-    out = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id")
+    out = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id").sort_index()
     assert (out["n_fps"] > 0).all()
     # deterministic
-    out2 = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id")
+    out2 = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id").sort_index()
     assert out["fps_checksum"].tolist() == out2["fps_checksum"].tolist()
     assert out.loc[1, "fps_checksum"] != out.loc[3, "fps_checksum"]
