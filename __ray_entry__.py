@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": R.windowed_events,
         "sessionized_events": R.sessionized_events,
         "customers_per_region": R.customers_per_region,
+        "revenue_by_segment": R.revenue_by_segment,
         "priority_union": R.priority_union,
         "distinct_brands": R.distinct_brands,
         # -- text analysis / dedup families --------------------------------
@@ -185,6 +186,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, COUNT(*) AS n_customers FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "revenue_by_segment": (
+            "SELECT c_mktsegment, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "priority_union": (
             "SELECT o_orderpriority, COUNT(*) AS n FROM ("

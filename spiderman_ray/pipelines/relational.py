@@ -243,6 +243,33 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
     )
 
 
+def revenue_by_segment(sf_dir: str) -> rd.Dataset:
+    """Large-side hash join (Ray ``Dataset.join``, hash-partitioned on the
+    key) orders ⋈ customer, then grouped revenue per market segment —
+    complements the broadcast-dimension join in customers_per_region.
+    Revenue in integer cents for stable hashing (see grouped_returns)."""
+    from ray.data.aggregate import Count, Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": batch["o_custkey"], "price_cents": c})
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+    )
+
+
 def priority_union(sf_dir: str) -> rd.Dataset:
     """ds.union of two filtered branches + grouped count (the reference's
     union-typed item stream split, SP/pipelines/pipelines_rdbm.py:40-57)."""
