@@ -114,6 +114,7 @@ def run_oracle(
     params: SimParams,
     policy: CrawlPolicy | None = None,
     delays_ms: dict[str, int] | None = None,
+    parsers: dict | None = None,
 ) -> OracleResult:
     policy = policy or CrawlPolicy()
     web = SimWeb(params)
@@ -124,12 +125,25 @@ def run_oracle(
         default_delay_ms=policy.default_delay_ms,
         clock="virtual",
     )
+    parsers = parsers or PARSERS
     seen = ShardedSeenLocal(policy)
     res = OracleResult()
-    frontier = deque(seed_requests(web))
+    # priority frontier: scrapy-redis pops the highest-priority request;
+    # within one BFS wave that equals sorting the wave by (-priority, seq)
+    # (children belong to the NEXT wave — list->detail->image is strictly
+    # level-ordered). All-zero priorities reduce to the pure FIFO.
+    frontier = deque(
+        sorted(seed_requests(web), key=lambda r: (-r["priority"], r["seq"]))
+    )
+    pending_next: list = []
     fetches = 0
 
-    while frontier:
+    while frontier or pending_next:
+        if not frontier:
+            frontier = deque(
+                sorted(pending_next, key=lambda r: (-r["priority"], r["seq"]))
+            )
+            pending_next = []
         req = frontier.popleft()
         if policy.dedup_for(req["callback"]) and not seen.offer_one(req["fp"]):
             continue  # duplicate — first-pushed occurrence already crawled
@@ -181,12 +195,12 @@ def run_oracle(
             res.images.append(make_image_row(req, web.fetch(req["url"]).body))
         else:
             resp = web.fetch(req["url"], req.get("body") or "")
-            rows, children = PARSERS[req["callback"]](resp, req)
+            rows, children = parsers[req["callback"]](resp, req)
             if req["callback"] in ("list", "search"):
                 res.pages.extend(rows)
             else:
                 res.details.extend(rows)
-            frontier.extend(children)  # rpush at tail — BFS expansion
+            pending_next.extend(children)  # next wave (priority-sorted later)
 
     res.seen_fps = seen.fingerprints()
     res.seen_bitmaps = seen.bitmaps()

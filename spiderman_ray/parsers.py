@@ -37,7 +37,7 @@ def child_seq(parent_seq: int, idx: int) -> int:
 
 def make_request(url: str, callback: str, *, generation: int, seq: int,
                  fkey: str = "", pagenum: int = 0, px: int = 0, caption: str = "",
-                 method: str = "GET", body: str = "") -> dict:
+                 method: str = "GET", body: str = "", priority: int = 0) -> dict:
     # fingerprint covers the body for POST requests: two POSTs to the same
     # URL with different payloads are distinct work (scrapy's fingerprint
     # hashes method+url+body; GET requests keep the pure-URL md5 scheme)
@@ -51,6 +51,7 @@ def make_request(url: str, callback: str, *, generation: int, seq: int,
         "pagenum": pagenum,
         "px": px,
         "caption": caption,
+        "priority": priority,
         "generation": generation,
         "seq": seq,
         "host": canonical_host(url),

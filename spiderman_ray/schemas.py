@@ -41,6 +41,7 @@ FRONTIER = pa.schema(
         ("px", pa.int32()),  # image ordinal within its detail page (0 otherwise)
         ("caption", pa.string()),  # carried from the detail page for image requests
 
+        ("priority", pa.int32()),  # higher first within a generation
         ("generation", pa.int32()),
         ("seq", pa.int64()),
         ("host", pa.string()),

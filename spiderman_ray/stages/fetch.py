@@ -48,6 +48,7 @@ WIRE_FIELDS = [
     ("pagenum", pa.int32()),
     ("px", pa.int32()),
     ("caption", pa.string()),
+    ("priority", pa.int32()),
     ("generation", pa.int32()),
     ("seq", pa.int64()),
     ("host", pa.string()),
@@ -89,11 +90,12 @@ def _wire_row(req: dict | None = None, **over) -> dict:
     )
     if req is not None:
         for k in ("url", "callback", "fkey", "pagenum", "px", "caption",
-                  "generation", "seq", "host", "fp"):
+                  "priority", "generation", "seq", "host", "fp"):
             row[k] = req[k]
     else:
         row.update({"url": "", "callback": "", "fkey": "", "pagenum": 0, "px": 0,
-                    "caption": "", "generation": 0, "seq": 0, "host": "", "fp": ""})
+                    "caption": "", "priority": 0, "generation": 0, "seq": 0,
+                    "host": "", "fp": ""})
     row.update(over)
     return row
 
@@ -139,7 +141,10 @@ class FetchGroup:
         return bool(cfg) and any(path.startswith(p) for p in cfg["robots_disallow"])
 
     def __call__(self, group: pd.DataFrame) -> pa.Table:
-        group = group.sort_values("seq")  # per-host FIFO by (generation, seq)
+        # per-host order: priority first (scrapy-redis priority-queue
+        # semantics, higher pops first), FIFO seq as the tiebreak — with all
+        # priorities 0 this IS the reference FIFO
+        group = group.sort_values(["priority", "seq"], ascending=[False, True])
         if self.seen_pool is not None:
             # first-wins dedup (intra-generation by seq order, then the
             # cross-generation seen actors), per-callback opt-out like the
@@ -147,7 +152,7 @@ class FetchGroup:
             dmask = group["callback"].map(self.policy.dedup_for).to_numpy(dtype=bool)
             sub = group[dmask]
             if len(sub):
-                sub = sub.drop_duplicates("fp", keep="first")  # seq-sorted
+                sub = sub.drop_duplicates("fp", keep="first")  # priority/seq-sorted
                 accepted = self.seen_pool.offer(sub["fp"].to_numpy(dtype=object))
                 sub = sub[accepted]
                 group = (

@@ -82,3 +82,57 @@ def test_price_monitor(tmp_path):
     assert 0 < len(hits) < len(pages)
     assert (pd.to_numeric(hits["price"]) < thr).all()
     eng._pool.shutdown()
+
+
+def priority_list_parse(resp, req):
+    """Custom parser: image-poor details first? Demo: priority from the
+    target detail ordinal (module-level so it pickles into Ray tasks)."""
+    from spiderman_ray.parsers import parse_list
+
+    rows, reqs = parse_list(resp, req)
+    for r in reqs:
+        r["priority"] = int(r["url"].rsplit("-", 1)[1]) % 3  # 0..2
+    return rows, reqs
+
+
+def test_priority_frontier_conformance(tmp_path):
+    """Non-zero priorities reorder fetches within a generation; engine must
+    match the priority-queue oracle on order AND politeness slots."""
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+    from spiderman_ray.parsers import PARSERS
+
+    params = SimParams.for_scale("t1")
+    parsers = {**PARSERS, "list": priority_list_parse}
+    delays = {"h0.shop.example": 50}
+    o = run_oracle(params, CrawlPolicy(), delays_ms=delays, parsers=parsers)
+    out = str(tmp_path / "prio")
+    eng = CrawlEngine(
+        params, CrawlPolicy(), out_dir=out, delays_ms=delays, parsers=parsers
+    )
+    eng.run()
+    # compare in the oracle's (generation, -priority, seq) order — need the
+    # priority back: join from the frontier checkpoint
+    import pyarrow.parquet as pq
+    import pandas as pd
+    import os
+
+    fparts = []
+    for g in (0, 1, 2):
+        d = os.path.join(out, "frontier", f"gen={g}")
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    fparts.append(pq.read_table(os.path.join(d, f)).to_pandas())
+    fr = pd.concat(fparts)[["fp", "priority", "generation"]].drop_duplicates(["fp", "generation"])
+    co = read_table_all_gens(out, "crawl_order").to_pandas().merge(
+        fr, on=["fp", "generation"], how="left"
+    )
+    co = co.sort_values(
+        ["generation", "priority", "seq"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    assert co["vts_ms"].tolist() == [c["vts_ms"] for c in o.crawl_order]
+    # priorities actually reordered something (not a vacuous test)
+    assert (co[co["generation"] == 1]["priority"].to_numpy() != 0).any()
+    eng._pool.shutdown()
