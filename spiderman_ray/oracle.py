@@ -200,6 +200,23 @@ def run_oracle(
                 res.pages.extend(rows)
             else:
                 res.details.extend(rows)
+            if policy.dirty_words:
+                from spiderman_ray.functions.urls import url_check
+
+                kept = []
+                for r in children:
+                    if url_check(r["url"], list(policy.dirty_words)):
+                        kept.append(r)
+                    else:
+                        res.dead_letters.append(
+                            {
+                                "url": r["url"], "reason": "dirty_url",
+                                "status_code": 0, "attempts": 0,
+                                "generation": r["generation"], "seq": r["seq"],
+                                "host": r["host"], "fp": r["fp"],
+                            }
+                        )
+                children = kept
             pending_next.extend(children)  # next wave (priority-sorted later)
 
     res.seen_fps = seen.fingerprints()

@@ -29,6 +29,11 @@ class CrawlPolicy:
     max_generations: int = 16
     clock: str = "virtual"  # 'virtual' | 'wall' politeness clock
     default_delay_ms: int = 0
+    #: url_check blocklist applied to child requests before they enter the
+    #: frontier (SP/utils/tool.py:116-134; spiders call it pre-push). None =
+    #: off (zhifang does not enable it); blocked urls become dead letters
+    #: with reason 'dirty_url' instead of silent drops.
+    dirty_words: tuple | None = None
 
     @property
     def max_attempts(self) -> int:

@@ -84,9 +84,10 @@ def write_part(
     return len(rows)
 
 
-def make_parse_sink(out_dir: str, parsers: dict | None = None):
+def make_parse_sink(out_dir: str, parsers: dict | None = None,
+                    dirty_words: tuple | None = None):
     """Stateless map_batches fn: wire batch in, next-frontier batch out."""
-    sink = ParseSink(out_dir, parsers)
+    sink = ParseSink(out_dir, parsers, dirty_words)
 
     def parse_sink(batch: pa.Table) -> pa.Table:
         return sink(batch)
@@ -97,9 +98,11 @@ def make_parse_sink(out_dir: str, parsers: dict | None = None):
 class ParseSink:
     """Wire batch in, next-frontier batch out (see make_parse_sink)."""
 
-    def __init__(self, out_dir: str, parsers: dict | None = None):
+    def __init__(self, out_dir: str, parsers: dict | None = None,
+                 dirty_words: tuple | None = None):
         self.out = out_dir
         self.parsers = parsers or PARSERS
+        self.dirty_words = dirty_words
 
     def _dir(self, table: str, gen: int) -> str:
         return os.path.join(self.out, "tables", table, f"gen={gen}")
@@ -171,7 +174,23 @@ class ParseSink:
                 pages.extend(rows_out)
             else:
                 details.extend(rows_out)
-            children.extend(reqs)
+            if self.dirty_words:
+                from spiderman_ray.functions.urls import url_check
+
+                for r in reqs:
+                    if url_check(r["url"], list(self.dirty_words)):
+                        children.append(r)
+                    else:
+                        dead.append(
+                            {
+                                "url": r["url"], "reason": "dirty_url",
+                                "status_code": 0, "attempts": 0,
+                                "generation": r["generation"], "seq": r["seq"],
+                                "host": r["host"], "fp": r["fp"],
+                            }
+                        )
+            else:
+                children.extend(reqs)
 
         write_part(pages, schemas.PAGES, self._dir("pages", gen), gen)
         write_part(details, schemas.DETAILS, self._dir("details", gen), gen)

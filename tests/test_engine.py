@@ -337,3 +337,27 @@ def test_t2_hard_mode_conformance(tmp_path):
     for got, want in zip(eng._pool.dump(), o.seen_bitmaps):
         assert (got == want).all()
     eng._pool.shutdown()
+
+
+def test_dirty_word_blocklist(tmp_path):
+    """url_check pre-push blocklist: blocked children become 'dirty_url'
+    dead letters; engine ≡ oracle incl. the downstream image shrinkage."""
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(dirty_words=("detail/3-", "im/2-"))
+    o = run_oracle(params, policy)
+    out = str(tmp_path / "dirty")
+    eng = CrawlEngine(params, policy, out_dir=out)
+    m = eng.run()
+    assert m["crawled"] == o.metrics["crawled"]
+    dead = _sorted_df(_table(out, "dead_letters"))
+    want = _sorted_df(
+        pa.Table.from_pylist(o.dead_letters, schema=__import__("spiderman_ray.schemas", fromlist=["x"]).DEAD_LETTERS)
+    )
+    pd.testing.assert_frame_equal(dead, want)
+    assert (dead["reason"] == "dirty_url").any()
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    eng._pool.shutdown()
