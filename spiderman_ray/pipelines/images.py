@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from spiderman_ray.functions.imaging import decode_image, phash64, psnr
+from spiderman_ray.functions.imaging import decode_image, phash64
 from spiderman_ray.sources.table_io import read_dataset
 
 
