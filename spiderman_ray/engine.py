@@ -166,18 +166,36 @@ class CrawlEngine:
                     break
         return last
 
+    @staticmethod
+    def _gen_of(dirname: str) -> int | None:
+        """'gen=3' -> 3; interrupted writes leave 'gen=3.tmp-xxxx' dirs which
+        are partial by definition -> report their generation so cleanup
+        removes them instead of crashing on int()."""
+        if not dirname.startswith("gen="):
+            return None
+        tail = dirname[4:]
+        num = tail.split(".tmp-")[0]
+        try:
+            g = int(num)
+        except ValueError:
+            return None
+        return g if ".tmp-" not in tail else -(10**9)  # tmp: always delete
+
     def _cleanup_after(self, g_last: int) -> None:
-        """Delete partial state from generations after ``g_last``."""
+        """Delete partial state from generations after ``g_last`` (and any
+        interrupted .tmp- write dirs)."""
         for t in TABLES:
             base = os.path.join(self.out, "tables", t)
             if os.path.isdir(base):
                 for d in os.listdir(base):
-                    if d.startswith("gen=") and int(d.split("=")[1]) > g_last:
+                    g = self._gen_of(d)
+                    if g is not None and (g > g_last or g < 0):
                         shutil.rmtree(os.path.join(base, d))
         fbase = os.path.join(self.out, "frontier")
         if os.path.isdir(fbase):
             for d in os.listdir(fbase):
-                if d.startswith("gen=") and int(d.split("=")[1]) > g_last + 1:
+                g = self._gen_of(d)
+                if g is not None and (g > g_last + 1 or g < 0):
                     shutil.rmtree(os.path.join(fbase, d))
         for path in (os.path.join(self.out, "seen"), os.path.join(self.out, "manifests")):
             if os.path.isdir(path):

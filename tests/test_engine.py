@@ -361,3 +361,24 @@ def test_dirty_word_blocklist(tmp_path):
     co = _sorted_df(_table(out, "crawl_order"))
     assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
     eng._pool.shutdown()
+
+
+def test_resume_survives_interrupted_frontier_write(tmp_path):
+    """A crash mid write_dataset leaves a gen=N.tmp-* dir; resume must
+    remove it and continue instead of crashing."""
+    import os
+
+    from spiderman_ray.engine import CrawlEngine
+
+    params = SimParams.for_scale("t1")
+    out = str(tmp_path / "r")
+    _run(params, CrawlPolicy(max_generations=2), out)
+    # simulate the crash artifacts: a partial tmp frontier dir + partial table dir
+    os.makedirs(os.path.join(out, "frontier", "gen=3.tmp-deadbeef"))
+    os.makedirs(os.path.join(out, "tables", "images", "gen=9.tmp-feedface"))
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out)
+    m = eng.run(resume=True)
+    assert m["generations"] == 3 and m["images"] > 0
+    assert not os.path.exists(os.path.join(out, "frontier", "gen=3.tmp-deadbeef"))
+    assert not os.path.exists(os.path.join(out, "tables", "images", "gen=9.tmp-feedface"))
+    eng._pool.shutdown()
