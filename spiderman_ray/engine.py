@@ -124,7 +124,6 @@ class CrawlEngine:
         policy: CrawlPolicy | None = None,
         out_dir: str = "/tmp/spiderman_run",
         delays_ms: dict[str, int] | None = None,
-        parse_concurrency: int | None = None,
         parse_batch_size: int = 256,
         salt_max_group: int | None = None,
         auto_salt_cap: int = 128,
@@ -138,10 +137,6 @@ class CrawlEngine:
         self.out = out_dir
         self.web = SimWeb(params)
         self.pol_cfg = self.web.politeness_config(delays_ms)
-        if parse_concurrency is None:
-            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-            parse_concurrency = max(2, ncpu // 2)
-        self.parse_concurrency = parse_concurrency
         self.parse_batch_size = parse_batch_size
         self.salt_max_group = salt_max_group
         self.auto_salt_cap = auto_salt_cap
@@ -355,6 +350,7 @@ class CrawlEngine:
                 base_slots[host] = base_slots.get(host, 0) + int(n)
 
             mark("hostmeta")
+            pool.clear_tokens()  # retry-idempotency tokens live one generation
             snap_dir = os.path.join(self.out, "seen", f"gen-{g}")
             pool.snapshot(snap_dir)
             mark("snapshot")

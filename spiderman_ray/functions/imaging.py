@@ -254,24 +254,34 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
-def _resize32(gray: np.ndarray) -> np.ndarray:
-    """Box-average resize to 32x32 (deterministic, fully vectorized via the
-    2D summed-area table + fancy indexing)."""
-    h, w = gray.shape
-    ys = (np.arange(33) * h / 32).round().astype(int)
-    xs = (np.arange(33) * w / 32).round().astype(int)
+def box_resize(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Box-average resize to (th, tw) — deterministic, fully vectorized via
+    the summed-area table + fancy indexing. Works for 2D (grayscale) and
+    3D (H, W, C) arrays, down- OR up-sampling (indices clamped so a target
+    larger than the source cannot index past the table edge)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(th + 1) * h / th).round().astype(int)
+    xs = (np.arange(tw + 1) * w / tw).round().astype(int)
     ys[-1], xs[-1] = h, w
-    # clip so upsampling (h or w < 32) cannot index past the table edge
     y0 = np.minimum(ys[:-1], h - 1)
     x0 = np.minimum(xs[:-1], w - 1)
     y1 = np.minimum(np.maximum(ys[1:], y0 + 1), h)
     x1 = np.minimum(np.maximum(xs[1:], x0 + 1), w)
-    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+    if img.ndim == 2:
+        csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+        csum[1:, 1:] = img.astype(np.float64).cumsum(0).cumsum(1)
+        area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+    else:
+        csum = np.zeros((h + 1, w + 1, img.shape[2]), dtype=np.float64)
+        csum[1:, 1:] = img.astype(np.float64).cumsum(0).cumsum(1)
+        area = np.outer(y1 - y0, x1 - x0).astype(np.float64)[..., None]
     return (
         csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)] - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
     ) / area
+
+
+def _resize32(gray: np.ndarray) -> np.ndarray:
+    return box_resize(gray, 32, 32)
 
 
 def phash64(pixels: np.ndarray) -> int:

@@ -29,7 +29,7 @@ import numpy as np
 from spiderman_ray.functions.hashing import bloom_shards
 from spiderman_ray.parsers import PARSERS, make_image_row, make_request
 from spiderman_ray.policy import CrawlPolicy
-from spiderman_ray.simweb import SimParams, SimWeb
+from spiderman_ray.simweb import SimParams, SimWeb, fetch_outcome
 from spiderman_ray.state.bloom import ExactSet, NumpyBloom
 from spiderman_ray.state.politeness import HostLedger, RobotsCache
 
@@ -95,19 +95,7 @@ def seed_requests(web: SimWeb) -> list[dict]:
     return seeds
 
 
-def fetch_outcome(web: SimWeb, url: str, policy: CrawlPolicy) -> tuple[bool, int, int, bool]:
-    """(success, attempts_used, last_status, size_exhausted) — deterministic."""
-    fail_n = web.fail_attempts_for(url)
-    if fail_n >= policy.max_attempts:
-        return False, policy.max_attempts, web.status_code_for(url), False
-    attempts = fail_n + 1
-    size_exhausted = False
-    if policy.min_size is not None and web.body_size_for(url) < policy.min_size:
-        # size-retries stack after the status-retries in attempts accounting;
-        # response is parsed anyway once the budget is exhausted
-        attempts = policy.max_attempts
-        size_exhausted = True
-    return True, attempts, 200, size_exhausted
+# fetch_outcome lives in simweb.py and is shared with stages/fetch.py
 
 
 def run_oracle(
@@ -137,9 +125,13 @@ def run_oracle(
     )
     pending_next: list = []
     fetches = 0
+    wave = 0
 
     while frontier or pending_next:
         if not frontier:
+            wave += 1
+            if wave >= policy.max_generations:
+                break  # same cap the engine enforces (engine.py run loop)
             frontier = deque(
                 sorted(pending_next, key=lambda r: (-r["priority"], r["seq"]))
             )
@@ -201,11 +193,12 @@ def run_oracle(
             else:
                 res.details.extend(rows)
             if policy.dirty_words:
-                from spiderman_ray.functions.urls import url_check
+                from spiderman_ray.functions.urls import DIRTY_WORDS
 
+                block = tuple(DIRTY_WORDS) + tuple(policy.dirty_words)
                 kept = []
                 for r in children:
-                    if url_check(r["url"], list(policy.dirty_words)):
+                    if not any(w in r["url"] for w in block):
                         kept.append(r)
                     else:
                         res.dead_letters.append(

@@ -46,13 +46,20 @@ def _frontier_table(out: str, g: int) -> pa.Table:
     return pa.concat_tables(parts) if parts else schemas.empty(schemas.FRONTIER)
 
 
-def find_residual(out: str, g: int) -> pa.Table:
-    """Frontier rows of generation g with no crawl_order/dead_letters row."""
+def find_residual(out: str, g: int, done_prior: set | None = None) -> pa.Table:
+    """Frontier rows of generation g with no crawl_order/dead_letters row in
+    ANY generation <= g (a cross-generation duplicate that was correctly
+    dedup-dropped must not be treated as residual)."""
     frontier = _frontier_table(out, g)
+    done = set(done_prior or ())
+    done |= set(_read_gen_table(out, "crawl_order", g)["fp"].to_pylist())
+    done |= set(_read_gen_table(out, "dead_letters", g)["fp"].to_pylist())
+    if done_prior is None:  # standalone call: collect earlier generations
+        for gg in range(g):
+            done |= set(_read_gen_table(out, "crawl_order", gg)["fp"].to_pylist())
+            done |= set(_read_gen_table(out, "dead_letters", gg)["fp"].to_pylist())
     if frontier.num_rows == 0:
         return frontier
-    done = set(_read_gen_table(out, "crawl_order", g)["fp"].to_pylist())
-    done |= set(_read_gen_table(out, "dead_letters", g)["fp"].to_pylist())
     mask = [fp not in done for fp in frontier["fp"].to_pylist()]
     return frontier.filter(pa.array(mask))
 
@@ -62,9 +69,10 @@ def run_patch(engine: CrawlEngine) -> dict:
     stats: {gen: residual_rows_processed}."""
     out = engine.out
     stats: dict[int, int] = {}
+    done_prior: set = set()
     g = 0
     while g < engine.policy.max_generations and os.path.isdir(_gen_dir(out, "frontier", g)):
-        residual = find_residual(out, g)
+        residual = find_residual(out, g, done_prior)
         if residual.num_rows:
             # fresh pool per patched generation = the reference's cleared
             # dupefilter; intra-residual first-wins still applies (fused)
@@ -100,5 +108,7 @@ def run_patch(engine: CrawlEngine) -> dict:
                 )
             stats[g] = residual.num_rows
             pool.shutdown()
+        done_prior |= set(_read_gen_table(out, "crawl_order", g)["fp"].to_pylist())
+        done_prior |= set(_read_gen_table(out, "dead_letters", g)["fp"].to_pylist())
         g += 1
     return stats

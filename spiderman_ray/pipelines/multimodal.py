@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from spiderman_ray.functions.imaging import decode_image, encode_image, phash64
+from spiderman_ray.functions.imaging import box_resize, decode_image, encode_image, phash64
 from spiderman_ray.sources.table_io import read_dataset
 
 #: Output schema of the thumbnail stage.
@@ -55,21 +55,9 @@ VIDEO_FRAMES = pa.schema(
 
 
 def _box_resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
-    """Deterministic box-average resize to (th, tw) via summed-area table."""
-    h, w = px.shape[:2]
-    ys = (np.arange(th + 1) * h / th).round().astype(int)
-    xs = (np.arange(tw + 1) * w / tw).round().astype(int)
-    ys[-1], xs[-1] = h, w
-    y0, x0 = ys[:-1], xs[:-1]
-    y1, x1 = np.maximum(ys[1:], y0 + 1), np.maximum(xs[1:], x0 + 1)
-    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)[..., None]
-    out = np.empty((th, tw, 3), dtype=np.float64)
-    csum = np.zeros((h + 1, w + 1, 3), dtype=np.float64)
-    csum[1:, 1:] = px.astype(np.float64).cumsum(0).cumsum(1)
-    out = (
-        csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)] - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
-    ) / area
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    """Shared summed-area-table resize (functions.imaging.box_resize) with
+    uint8 rounding — handles up- and down-sampling."""
+    return np.clip(np.round(box_resize(px, tw, th)), 0, 255).astype(np.uint8)
 
 
 class Thumbnailer:

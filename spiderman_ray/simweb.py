@@ -94,6 +94,23 @@ class SimResponse:
     body: bytes = b""  # image bytes
 
 
+def fetch_outcome(web: "SimWeb", url: str, policy) -> tuple[bool, int, int, bool]:
+    """(success, attempts_used, last_status, size_exhausted) — deterministic.
+    THE single fetch-outcome arithmetic, shared by the oracle and the engine
+    fetch stage (parity by construction; see also parsers.py)."""
+    fail_n = web.fail_attempts_for(url)
+    if fail_n >= policy.max_attempts:
+        return False, policy.max_attempts, web.status_code_for(url), False
+    attempts = fail_n + 1
+    size_exhausted = False
+    if policy.min_size is not None and web.body_size_for(url) < policy.min_size:
+        # size-retries exhaust the budget; the (200) response parses anyway
+        # (SizeRetryMiddleWare's `self._retry(...) or response`)
+        attempts = policy.max_attempts
+        size_exhausted = True
+    return True, attempts, 200, size_exhausted
+
+
 class SimWeb:
     """Stateless page/image oracle for one parameterization. Construct freely
     in every worker — creation is O(1)."""

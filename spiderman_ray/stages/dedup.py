@@ -79,22 +79,22 @@ def dedup_frontier(
     frontier: rd.Dataset, pool: ShardedSeenSet, policy: CrawlPolicy
 ) -> rd.Dataset:
     """Apply both dedup phases; returns the accepted (scheduled) frontier."""
-    dedup_cb = {cb: policy.dedup_for(cb) for cb in ("list", "detail", "image")}
-    if all(dedup_cb.values()):
+    # the split is decided per row by policy.dedup_for — custom-spec
+    # callbacks and overrides are honored without any hardcoded list
+    if policy.dedup and not policy.dedup_overrides:
         filtered, bypass = frontier, None
-    elif not any(dedup_cb.values()):
+    elif not policy.dedup and not policy.dedup_overrides:
         return frontier
     else:
-        on = [cb for cb, v in dedup_cb.items() if v]
+        def _mask(t: pa.Table, keep: bool) -> pa.Table:
+            flags = [policy.dedup_for(cb) == keep for cb in t["callback"].to_pylist()]
+            return t.filter(pa.array(flags))
+
         filtered = frontier.map_batches(
-            lambda t: t.filter(pa.compute.is_in(t["callback"], value_set=pa.array(on))),
-            batch_format="pyarrow",
+            lambda t: _mask(t, True), batch_format="pyarrow"
         )
         bypass = frontier.map_batches(
-            lambda t: t.filter(
-                pa.compute.invert(pa.compute.is_in(t["callback"], value_set=pa.array(on)))
-            ),
-            batch_format="pyarrow",
+            lambda t: _mask(t, False), batch_format="pyarrow"
         )
 
     def add_shard(t: pa.Table) -> pa.Table:

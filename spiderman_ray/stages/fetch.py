@@ -39,7 +39,7 @@ import pyarrow as pa
 import ray
 
 from spiderman_ray.policy import CrawlPolicy
-from spiderman_ray.simweb import SimParams, SimWeb
+from spiderman_ray.simweb import SimParams, SimWeb, fetch_outcome
 
 WIRE_FIELDS = [
     ("url", pa.string()),
@@ -153,10 +153,22 @@ class FetchGroup:
             sub = group[dmask]
             if len(sub):
                 sub = sub.drop_duplicates("fp", keep="first")  # priority/seq-sorted
-                accepted = self.seen_pool.offer(sub["fp"].to_numpy(dtype=object))
+                # token makes the offer idempotent under Ray task retry: a
+                # replayed group re-offers with the same (generation, group)
+                # token and gets its prior accepts back instead of False
+                token = (
+                    f"g{int(group['generation'].iloc[0])}|{group['fetch_key'].iloc[0]}"
+                    if "fetch_key" in group
+                    else f"g{int(group['generation'].iloc[0])}|{group['host'].iloc[0]}"
+                )
+                accepted = self.seen_pool.offer(
+                    sub["fp"].to_numpy(dtype=object), token=token
+                )
                 sub = sub[accepted]
                 group = (
-                    pd.concat([sub, group[~dmask]]).sort_values("seq")
+                    pd.concat([sub, group[~dmask]]).sort_values(
+                        ["priority", "seq"], ascending=[False, True]
+                    )
                     if (~dmask).any()
                     else sub
                 )
@@ -192,20 +204,17 @@ class FetchGroup:
             # robots-denied ones never reach the ledger)
             vts = float(slot * delay)
             slot += 1
-            # deterministic fetch outcome (shared failure model)
-            fail_n = web.fail_attempts_for(url)
-            if fail_n >= policy.max_attempts:
+            # deterministic fetch outcome — the SAME function the oracle
+            # runs (engine/oracle parity by construction, like parsers)
+            ok_f, attempts, status, _size_exhausted = fetch_outcome(web, url, policy)
+            if not ok_f:
                 out.append(
                     _wire_row(
                         req, kind="dead", reason="http_error",
-                        status_code=web.status_code_for(url),
-                        attempts=policy.max_attempts,
+                        status_code=status, attempts=attempts,
                     )
                 )
                 continue
-            attempts = fail_n + 1
-            if policy.min_size is not None and web.body_size_for(url) < policy.min_size:
-                attempts = policy.max_attempts  # size-retry exhausts, parses anyway
             resp = web.fetch(url, req.get("body") or "")
             out.append(
                 _wire_row(

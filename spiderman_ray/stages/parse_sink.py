@@ -103,6 +103,12 @@ class ParseSink:
         self.out = out_dir
         self.parsers = parsers or PARSERS
         self.dirty_words = dirty_words
+        if dirty_words:
+            from spiderman_ray.functions.urls import DIRTY_WORDS
+
+            self._blocklist = tuple(DIRTY_WORDS) + tuple(dirty_words)
+        else:
+            self._blocklist = ()
 
     def _dir(self, table: str, gen: int) -> str:
         return os.path.join(self.out, "tables", table, f"gen={gen}")
@@ -175,10 +181,9 @@ class ParseSink:
             else:
                 details.extend(rows_out)
             if self.dirty_words:
-                from spiderman_ray.functions.urls import url_check
-
+                block = self._blocklist
                 for r in reqs:
-                    if url_check(r["url"], list(self.dirty_words)):
+                    if not any(w in r["url"] for w in block):
                         children.append(r)
                     else:
                         dead.append(
@@ -195,7 +200,11 @@ class ParseSink:
         write_part(pages, schemas.PAGES, self._dir("pages", gen), gen)
         write_part(details, schemas.DETAILS, self._dir("details", gen), gen)
         write_part(images, schemas.IMAGES_FULL, self._dir("images", gen), gen)
-        write_part(dead, schemas.DEAD_LETTERS, self._dir("dead_letters", gen), gen)
+        write_part(
+            dead, schemas.DEAD_LETTERS, self._dir("dead_letters", gen), gen,
+            key_fields=("seq", "fp", "reason"),  # seq alone collides across
+            # request/child namespaces (dirty_url deads carry child seqs)
+        )
         write_part(order, CRAWL_ORDER, self._dir("crawl_order", gen), gen)
         write_part(
             meta, HOSTMETA, self._dir("hostmeta", gen), gen,

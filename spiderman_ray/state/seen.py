@@ -33,10 +33,29 @@ class SeenShard:
         self.shard_id = shard_id
         self.mode = mode
         self.impl = NumpyBloom(bloom_mem_mb, bloom_k) if mode == "bloom" else ExactSet()
+        # fp -> idempotency token of the offer that won it. Makes dedup safe
+        # under Ray task retry: a replayed fetch group re-offers with its
+        # deterministic token and gets its prior accepts back instead of
+        # False (which would silently drop the whole group). Bounded by the
+        # in-flight generation; the engine clears it at each barrier.
+        self._tokens: dict[str, str] = {}
 
-    def offer(self, fps: np.ndarray) -> np.ndarray:
-        """Atomic check-then-add for a batch; True = first sight (accepted)."""
-        return self.impl.offer_batch(fps)
+    def offer(self, fps: np.ndarray, token: str | None = None) -> np.ndarray:
+        """Atomic check-then-add for a batch; True = first sight (accepted),
+        or a replay of the accept that carries the same ``token``."""
+        accepted = self.impl.offer_batch(fps)
+        if token is not None:
+            for i, fp in enumerate(fps):
+                if accepted[i]:
+                    self._tokens[fp] = token
+                elif self._tokens.get(fp) == token:
+                    accepted[i] = True  # same offerer replaying after a retry
+        return accepted
+
+    def clear_tokens(self) -> int:
+        n = len(self._tokens)
+        self._tokens.clear()
+        return n
 
     def contains(self, fps: np.ndarray) -> np.ndarray:
         return self.impl.contains_batch(fps)
@@ -89,8 +108,9 @@ class ShardedSeenSet:
     def route(self, fps) -> np.ndarray:
         return bloom_shards(fps, self.num_shards)
 
-    def offer(self, fps) -> np.ndarray:
-        """Batch offer: group by shard, ONE rpc per shard, scatter back."""
+    def offer(self, fps, token: str | None = None) -> np.ndarray:
+        """Batch offer: group by shard, ONE rpc per shard, scatter back.
+        ``token`` (deterministic per fetch group) makes replays idempotent."""
         fps = np.asarray(fps, dtype=object)
         if len(fps) == 0:
             return np.zeros(0, dtype=bool)
@@ -100,11 +120,15 @@ class ShardedSeenSet:
         for s in range(self.num_shards):
             mask = sid == s
             if mask.any():
-                refs.append(self.shards[s].offer.remote(fps[mask]))
+                refs.append(self.shards[s].offer.remote(fps[mask], token))
                 idxs.append(np.nonzero(mask)[0])
         for ref, idx in zip(ray.get(refs), idxs):
             accepted[idx] = ref
         return accepted
+
+    def clear_tokens(self) -> int:
+        """Drop idempotency tokens (end of a generation barrier)."""
+        return sum(ray.get([s.clear_tokens.remote() for s in self.shards]))
 
     def contains(self, fps) -> np.ndarray:
         fps = np.asarray(fps, dtype=object)

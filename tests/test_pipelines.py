@@ -215,3 +215,12 @@ def test_winnow_fingerprints_overlap_property(tmp_path):
     out2 = winnow_fingerprints(str(tmp_path / "w")).to_pandas().set_index("doc_id").sort_index()
     assert out["fps_checksum"].tolist() == out2["fps_checksum"].tolist()
     assert out.loc[1, "fps_checksum"] != out.loc[3, "fps_checksum"]
+
+
+def test_thumbnails_upsample(images_table):
+    """Regression: thumbnail size larger than some sources (upsampling)
+    must not crash the summed-area resize."""
+    from spiderman_ray.pipelines.multimodal import thumbnails
+
+    out = thumbnails(images_table, size=128, concurrency=2).to_pandas()
+    assert len(out) == 13 and (out["w"] == 128).all()

@@ -136,3 +136,29 @@ def test_priority_frontier_conformance(tmp_path):
     # priorities actually reordered something (not a vacuous test)
     assert (co[co["generation"] == 1]["priority"].to_numpy() != 0).any()
     eng._pool.shutdown()
+
+
+def test_priority_with_dont_filter_mix(tmp_path):
+    """Regression: priority order must survive the dedup/dont_filter merge
+    inside fetch groups (was re-sorted by seq only)."""
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+    from spiderman_ray.parsers import PARSERS
+
+    params = SimParams.for_scale("t1")
+    parsers = {**PARSERS, "list": priority_list_parse}
+    policy = CrawlPolicy(dedup_overrides={"detail": False})
+    delays = {"h0.shop.example": 30}
+    o = run_oracle(params, policy, delays_ms=delays, parsers=parsers)
+    out = str(tmp_path / "pmix")
+    eng = CrawlEngine(params, policy, out_dir=out, delays_ms=delays, parsers=parsers)
+    eng.run()
+    co = read_table_all_gens(out, "crawl_order").to_pandas()
+    # politeness slots depend on fetch ORDER within the host group — they
+    # only match the oracle if priority ordering survived the dedup merge
+    want = sorted(
+        ((c["generation"], c["url"], c["vts_ms"]) for c in o.crawl_order)
+    )
+    got = sorted(zip(co["generation"], co["url"], co["vts_ms"]))
+    assert got == want
+    eng._pool.shutdown()

@@ -140,3 +140,25 @@ def test_table_io_roundtrip(tmp_path):
     append_part(tbl, uri3, tag="g0")
     append_part(tbl, uri3, tag="g0")
     assert read_arrow(uri3).num_rows == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_offer_token_idempotent_replay():
+    """Ray-task-retry safety: re-offering with the same token returns the
+    prior accepts; a different offerer still gets False."""
+    from spiderman_ray.state.seen import ShardedSeenSet
+
+    pool = ShardedSeenSet(num_shards=2, mode="exact")
+    fps = np.array([md5_upper(f"r{i}") for i in range(40)], dtype=object)
+    first = pool.offer(fps, token="g1|hostA#0")
+    assert first.all()
+    # simulated task retry: same token -> same accepts (NOT all-False)
+    replay = pool.offer(fps, token="g1|hostA#0")
+    assert replay.all()
+    # a different group offering the same fps is still rejected
+    other = pool.offer(fps, token="g1|hostB#0")
+    assert not other.any()
+    # tokens cleared at the generation barrier: replays stop winning
+    pool.clear_tokens()
+    assert not pool.offer(fps, token="g1|hostA#0").any()
+    pool.shutdown()
