@@ -211,6 +211,40 @@ class CrawlEngine:
                 slots[host] = slots.get(host, 0) + int(n)
         return slots
 
+    @staticmethod
+    def _maybe_rerank(fdir: str) -> None:
+        """Dense re-rank of a frontier checkpoint (seq -> 0..n-1 in seq
+        order) when the child_seq encoding is close to overflow — the same
+        deterministic rule the oracle applies per wave (parsers.py
+        RERANK_THRESHOLD). Order-preserving, so conformance is unaffected.
+        Driver-side at test scale; the 10^10 path is a sort + per-block
+        offset cumsum (distributed dense rank)."""
+        from spiderman_ray.parsers import RERANK_THRESHOLD
+
+        max_seq = 0
+        files = [f for f in os.listdir(fdir) if f.endswith(".parquet")]
+        for f in files:
+            md = pq.ParquetFile(os.path.join(fdir, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "seq" and col.statistics is not None:
+                        max_seq = max(max_seq, col.statistics.max or 0)
+        if max_seq < RERANK_THRESHOLD:
+            return
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(fdir, f)) for f in files]
+        ).sort_by("seq")
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("seq"), "seq",
+            pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+        )
+        tmp = os.path.join(fdir, "reranked.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        for f in files:
+            os.remove(os.path.join(fdir, f))
+        os.replace(tmp, os.path.join(fdir, "part-reranked.parquet"))
+
     # -- the run -----------------------------------------------------------
     def run(self, resume: bool = False) -> dict:
         t0 = time.time()
@@ -259,6 +293,7 @@ class CrawlEngine:
             n_frontier = _count_parquet_rows(fdir)
             if n_frontier == 0:
                 break
+            self._maybe_rerank(fdir)
             # block sizing: ~1k frontier rows per block, capped at 4x CPUs.
             # The post-shuffle map_groups runs ONE TASK PER BLOCK (groups are
             # packed into blocks), so block count IS the fetch parallelism —

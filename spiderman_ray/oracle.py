@@ -27,7 +27,7 @@ from urllib.parse import urlsplit
 import numpy as np
 
 from spiderman_ray.functions.hashing import bloom_shards
-from spiderman_ray.parsers import PARSERS, make_image_row, make_request
+from spiderman_ray.parsers import PARSERS, RERANK_THRESHOLD, make_image_row, make_request
 from spiderman_ray.policy import CrawlPolicy
 from spiderman_ray.simweb import SimParams, SimWeb, fetch_outcome
 from spiderman_ray.state.bloom import ExactSet, NumpyBloom
@@ -132,6 +132,11 @@ def run_oracle(
             wave += 1
             if wave >= policy.max_generations:
                 break  # same cap the engine enforces (engine.py run loop)
+            if pending_next and max(r["seq"] for r in pending_next) >= RERANK_THRESHOLD:
+                # dense re-rank in seq order (same rule as the engine) so
+                # deep graphs never overflow the child_seq encoding
+                for new_seq, r in enumerate(sorted(pending_next, key=lambda r: r["seq"])):
+                    r["seq"] = new_seq
             frontier = deque(
                 sorted(pending_next, key=lambda r: (-r["priority"], r["seq"]))
             )

@@ -28,6 +28,13 @@ from spiderman_ray.simweb import SimResponse
 SEQ_SHIFT = 20
 _MAX_CHILDREN = 1 << SEQ_SHIFT
 
+#: When a generation's max seq reaches this, the frontier is densely
+#: re-ranked (0..n-1 in seq order) before parsing — engine and oracle apply
+#: the SAME deterministic rule, so deep crawl graphs never overflow the
+#: parent_seq<<20|idx encoding. Re-ranking is order-preserving (monotonic),
+#: so (generation, seq) comparisons are unaffected.
+RERANK_THRESHOLD = 1 << 42
+
 
 def child_seq(parent_seq: int, idx: int) -> int:
     if idx >= _MAX_CHILDREN or parent_seq >= (1 << 43):

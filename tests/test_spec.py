@@ -162,3 +162,49 @@ def test_priority_with_dont_filter_mix(tmp_path):
     got = sorted(zip(co["generation"], co["url"], co["vts_ms"]))
     assert got == want
     eng._pool.shutdown()
+
+
+def deep_chain_parse(resp, req):
+    """Deep graph: list pages also link to the NEXT page as a 'list' child,
+    building a chain deeper than the seq encoding's naive 3-level budget."""
+    from spiderman_ray.parsers import make_request, child_seq, parse_list
+
+    rows, reqs = parse_list(resp, req)
+    p = int(req["url"].rsplit("/", 1)[1])
+    if p < 8:  # chain depth 8
+        host = req["url"].split("/list/")[0]
+        reqs.append(
+            make_request(
+                f"{host}/list/{p + 1}", "list",
+                generation=req["generation"] + 1,
+                seq=child_seq(req["seq"], len(reqs)),
+                pagenum=p + 1,
+            )
+        )
+    return rows, reqs
+
+
+def test_deep_chain_rerank_conformance(tmp_path):
+    """Depth-8 crawl: without the dense re-rank the child_seq encoding
+    overflows at depth 4; engine and oracle must re-rank identically."""
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+    from spiderman_ray.parsers import PARSERS
+
+    params = SimParams(pages=1, details=2, images=1, hosts=2, img_hosts=1,
+                       dup_link_rate=0.0, private_rate=0.0, fail_rate=0.0,
+                       dead_rate=0.0)
+    parsers = {**PARSERS, "list": deep_chain_parse}
+    o = run_oracle(params, CrawlPolicy(), parsers=parsers)
+    out = str(tmp_path / "deep")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out, parsers=parsers)
+    m = eng.run()
+    assert m["generations"] >= 8
+    assert m["crawled"] == o.metrics["crawled"]
+    co = (
+        read_table_all_gens(out, "crawl_order")
+        .to_pandas()
+        .sort_values(["generation", "seq"])
+    )
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    eng._pool.shutdown()
