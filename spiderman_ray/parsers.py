@@ -33,7 +33,8 @@ _MAX_CHILDREN = 1 << SEQ_SHIFT
 #: the SAME deterministic rule, so deep crawl graphs never overflow the
 #: parent_seq<<20|idx encoding. Re-ranking is order-preserving (monotonic),
 #: so (generation, seq) comparisons are unaffected.
-RERANK_THRESHOLD = 1 << 42
+RERANK_THRESHOLD = 1 << 43  # == the child_seq parent bound: re-rank
+# exactly when parsing this frontier would otherwise overflow
 
 
 def child_seq(parent_seq: int, idx: int) -> int:

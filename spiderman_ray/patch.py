@@ -72,6 +72,7 @@ def run_patch(engine: CrawlEngine) -> dict:
     done_prior: set = set()
     g = 0
     while g < engine.policy.max_generations and os.path.isdir(_gen_dir(out, "frontier", g)):
+        CrawlEngine._maybe_rerank(_gen_dir(out, "frontier", g))  # same rule as run()
         residual = find_residual(out, g, done_prior)
         if residual.num_rows:
             # fresh pool per patched generation = the reference's cleared
