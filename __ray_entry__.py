@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.top_orders,
         "windowed_events": R.windowed_events,
         "sessionized_events": R.sessionized_events,
+        "running_order_totals": R.running_order_totals,
+        "asof_last_signup": R.asof_last_signup,
         "customers_per_region": R.customers_per_region,
         "revenue_by_segment": R.revenue_by_segment,
         "priority_union": R.priority_union,
@@ -181,6 +183,21 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT) AS span_s "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "running_order_totals": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents "
+            "FROM orders"
+        ),
+        "asof_last_signup": (
+            "WITH w AS (SELECT *, MAX(CASE WHEN event_type = 'signup' THEN ts END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(COALESCE(epoch_us(prev_signup), -1) AS BIGINT) AS prev_signup_us "
+            "FROM w WHERE event_type = 'purchase'"
         ),
         "customers_per_region": (
             "SELECT r_name, COUNT(*) AS n_customers FROM customer "

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -216,6 +217,67 @@ def sessionized_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
         .groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def running_order_totals(sf_dir: str) -> rd.Dataset:
+    """Running per-customer order total — the window-function analog
+    (cumsum over a sorted group via map_groups). Integer cents for stable
+    hashing. Key cardinality is bounded here; the shard-group pattern of
+    dedup_exact applies otherwise."""
+    import pandas as pd
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "running_cents": np.cumsum(cents),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .groupby("o_custkey")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+def asof_last_signup(sf_dir: str) -> rd.Dataset:
+    """As-of lookup within a stream: for every purchase event, the most
+    recent STRICTLY PRIOR signup of the same user (-1 if none) — the
+    merge_asof / stateful-stream operator over (user_id, ts) partitions."""
+    import pandas as pd
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_signup = (g["event_type"] == "signup").to_numpy()
+        # last signup ts BEFORE each row (strictly prior in sort order)
+        prev = np.full(len(g), -1, dtype="int64")
+        last = -1
+        for i in range(len(g)):
+            prev[i] = last
+            if is_signup[i]:
+                last = ts_us[i]
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_signup_us": prev,
+            }
+        )
+        return out[(g["event_type"] == "purchase").to_numpy()]
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
     )
 
 
