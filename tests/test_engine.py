@@ -382,3 +382,23 @@ def test_resume_survives_interrupted_frontier_write(tmp_path):
     assert not os.path.exists(os.path.join(out, "frontier", "gen=3.tmp-deadbeef"))
     assert not os.path.exists(os.path.join(out, "tables", "images", "gen=9.tmp-feedface"))
     eng._pool.shutdown()
+
+
+def test_kill_resume_bloom_mode(tmp_path):
+    """Resume restores BLOOM shard snapshots (not just exact sets): bitmaps
+    after a resumed run equal the oracle's, bit for bit."""
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, num_shards=3)
+    o = run_oracle(params, policy)
+    out = str(tmp_path / "br")
+    _run(params, CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, num_shards=3,
+                             max_generations=2), out)
+    eng = CrawlEngine(params, policy, out_dir=out)
+    m = eng.run(resume=True)
+    assert m["crawled"] == o.metrics["crawled"]
+    for got, want in zip(eng._pool.dump(), o.seen_bitmaps):
+        assert (got == want).all()
+    eng._pool.shutdown()

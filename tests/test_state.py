@@ -162,3 +162,24 @@ def test_offer_token_idempotent_replay():
     pool.clear_tokens()
     assert not pool.offer(fps, token="g1|hostA#0").any()
     pool.shutdown()
+
+
+def test_write_part_idempotent_rewrite(tmp_path):
+    """A retried sink task rewrites the SAME part file (content-keyed name)
+    instead of duplicating rows."""
+    import os
+
+    import pyarrow as pa
+
+    from spiderman_ray.stages.parse_sink import write_part
+
+    schema = pa.schema([("seq", pa.int64()), ("v", pa.string())])
+    rows = [{"seq": 1, "v": "a"}, {"seq": 2, "v": "b"}]
+    d = str(tmp_path / "t")
+    write_part(rows, schema, d, 0)
+    write_part(rows, schema, d, 0)  # simulated task retry
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(d, files[0])).num_rows == 2
