@@ -214,22 +214,38 @@ class CrawlEngine:
     @staticmethod
     def _maybe_rerank(fdir: str) -> None:
         """Dense re-rank of a frontier checkpoint (seq -> 0..n-1 in seq
-        order) when the child_seq encoding is close to overflow — the same
+        order) when the child_seq encoding would overflow — the same
         deterministic rule the oracle applies per wave (parsers.py
         RERANK_THRESHOLD). Order-preserving, so conformance is unaffected.
         Driver-side at test scale; the 10^10 path is a sort + per-block
-        offset cumsum (distributed dense rank)."""
+        offset cumsum (distributed dense rank).
+
+        Crash-safe: reranked parts are written to a sibling tmp dir, the
+        original dir is moved aside (.rr-old), the tmp swapped in, then the
+        old removed — each step atomic, with recovery for every window."""
         from spiderman_ray.parsers import RERANK_THRESHOLD
 
-        max_seq = 0
+        old = fdir + ".rr-old"
+        if os.path.isdir(old):
+            if os.path.isdir(fdir):
+                shutil.rmtree(old)  # crashed after swap-in: finish cleanup
+            else:
+                os.rename(old, fdir)  # crashed between moves: roll back
         files = [f for f in os.listdir(fdir) if f.endswith(".parquet")]
+        max_seq, stats_found = 0, False
         for f in files:
             md = pq.ParquetFile(os.path.join(fdir, f)).metadata
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
                     if col.path_in_schema == "seq" and col.statistics is not None:
+                        stats_found = True
                         max_seq = max(max_seq, col.statistics.max or 0)
+        if not stats_found:  # stats absent: fall back to reading the column
+            for f in files:
+                seqs = pq.read_table(os.path.join(fdir, f), columns=["seq"])["seq"]
+                if len(seqs):
+                    max_seq = max(max_seq, pa.compute.max(seqs).as_py())
         if max_seq < RERANK_THRESHOLD:
             return
         tbl = pa.concat_tables(
@@ -239,11 +255,20 @@ class CrawlEngine:
             tbl.schema.get_field_index("seq"), "seq",
             pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
         )
-        tmp = os.path.join(fdir, "reranked.parquet.tmp")
-        pq.write_table(tbl, tmp)
-        for f in files:
-            os.remove(os.path.join(fdir, f))
-        os.replace(tmp, os.path.join(fdir, "part-reranked.parquet"))
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_parts = max(1, min(tbl.num_rows // 1000 + 1, 4 * ncpu))
+        rows_per = -(-tbl.num_rows // n_parts)
+        tmp = fdir + ".rr-tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for i in range(n_parts):
+            part = tbl.slice(i * rows_per, rows_per)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(tmp, f"part-rr-{i:05d}.parquet"))
+        os.rename(fdir, old)
+        os.rename(tmp, fdir)
+        shutil.rmtree(old)
 
     # -- the run -----------------------------------------------------------
     def run(self, resume: bool = False) -> dict:

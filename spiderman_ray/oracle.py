@@ -120,9 +120,12 @@ def run_oracle(
     # within one BFS wave that equals sorting the wave by (-priority, seq)
     # (children belong to the NEXT wave — list->detail->image is strictly
     # level-ordered). All-zero priorities reduce to the pure FIFO.
-    frontier = deque(
-        sorted(seed_requests(web), key=lambda r: (-r["priority"], r["seq"]))
-    )
+    seeds = seed_requests(web)
+    if seeds and max(r["seq"] for r in seeds) >= RERANK_THRESHOLD:
+        # same rule the engine applies to the gen-0 checkpoint
+        for new_seq, r in enumerate(sorted(seeds, key=lambda r: r["seq"])):
+            r["seq"] = new_seq
+    frontier = deque(sorted(seeds, key=lambda r: (-r["priority"], r["seq"])))
     pending_next: list = []
     fetches = 0
     wave = 0

@@ -15,8 +15,9 @@ Ordering contract: a child's ``seq`` is ``parent_seq * 2**20 + child_idx`` so
 that lexicographic (generation, seq) equals the reference's single-process
 FIFO crawl order (children are appended to the Redis list tail in parse
 order, SP/spiders/zhifang.py:96). 2**20 children per page × depth 3
-(list->detail->image) fits int64; deeper graphs would need a per-generation
-dense re-rank (sorted block-offset cumsum) — documented, not needed here.
+(list->detail->image) fits int64; deeper graphs trigger the per-generation
+dense re-rank (RERANK_THRESHOLD below; engine._maybe_rerank and the
+oracle's wave renumbering apply the same rule).
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ RERANK_THRESHOLD = 1 << 43  # == the child_seq parent bound: re-rank
 
 
 def child_seq(parent_seq: int, idx: int) -> int:
-    if idx >= _MAX_CHILDREN or parent_seq >= (1 << 43):
+    if idx >= _MAX_CHILDREN or parent_seq >= RERANK_THRESHOLD:
         raise OverflowError("seq encoding exceeded: re-rank generation (see docstring)")
     return (parent_seq << SEQ_SHIFT) | idx
 

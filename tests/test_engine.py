@@ -394,11 +394,48 @@ def test_kill_resume_bloom_mode(tmp_path):
     policy = CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, num_shards=3)
     o = run_oracle(params, policy)
     out = str(tmp_path / "br")
-    _run(params, CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, num_shards=3,
-                             max_generations=2), out)
+    eng0, _ = _run(params, CrawlPolicy(dedup_mode="bloom", bloom_mem_mb=1, num_shards=3,
+                                       max_generations=2), out)
+    eng0._pool.shutdown()
     eng = CrawlEngine(params, policy, out_dir=out)
     m = eng.run(resume=True)
     assert m["crawled"] == o.metrics["crawled"]
     for got, want in zip(eng._pool.dump(), o.seen_bitmaps):
         assert (got == want).all()
     eng._pool.shutdown()
+
+
+def test_rerank_crash_recovery(tmp_path):
+    """_maybe_rerank recovers from both crash windows of its atomic swap."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spiderman_ray import schemas
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.parsers import RERANK_THRESHOLD, make_request
+
+    def write_frontier(d, seqs):
+        os.makedirs(d, exist_ok=True)
+        rows = [
+            make_request(f"https://h0.example/list/{i}", "list", generation=3, seq=s, pagenum=i)
+            for i, s in enumerate(seqs)
+        ]
+        pq.write_table(pa.Table.from_pylist(rows, schema=schemas.FRONTIER), os.path.join(d, "p.parquet"))
+
+    # window A: crashed between moving fdir aside and swapping tmp in
+    fdir = str(tmp_path / "gen=3")
+    write_frontier(fdir + ".rr-old", [RERANK_THRESHOLD + 5, RERANK_THRESHOLD + 1])
+    CrawlEngine._maybe_rerank(fdir)  # rolls .rr-old back, then reranks
+    assert os.path.isdir(fdir) and not os.path.isdir(fdir + ".rr-old")
+    seqs = pq.read_table(fdir)["seq"].to_pylist()
+    assert sorted(seqs) == [0, 1]  # densified
+
+    # window B: crashed after swap-in but before removing .rr-old
+    fdir2 = str(tmp_path / "gen=4")
+    write_frontier(fdir2, [0, 1])
+    write_frontier(fdir2 + ".rr-old", [RERANK_THRESHOLD + 9])
+    CrawlEngine._maybe_rerank(fdir2)  # drops the stale .rr-old
+    assert not os.path.isdir(fdir2 + ".rr-old")
+    assert sorted(pq.read_table(fdir2)["seq"].to_pylist()) == [0, 1]  # unchanged
