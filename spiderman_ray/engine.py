@@ -222,7 +222,12 @@ class CrawlEngine:
 
         Crash-safe: reranked parts are written to a sibling tmp dir, the
         original dir is moved aside (.rr-old), the tmp swapped in, then the
-        old removed — each step atomic, with recovery for every window."""
+        old removed — each step atomic, with recovery for every window.
+
+        ``run()`` calls this BEFORE counting frontier rows: a crash between
+        os.rename(fdir, old) and os.rename(tmp, fdir) leaves the frontier
+        absent, and counting first would read 0 rows and end the crawl with
+        a generation still pending (silent truncation)."""
         from spiderman_ray.parsers import RERANK_THRESHOLD
 
         old = fdir + ".rr-old"
@@ -231,6 +236,8 @@ class CrawlEngine:
                 shutil.rmtree(old)  # crashed after swap-in: finish cleanup
             else:
                 os.rename(old, fdir)  # crashed between moves: roll back
+        if not os.path.isdir(fdir):
+            return  # no frontier at all (crawl finished) — nothing to rerank
         files = [f for f in os.listdir(fdir) if f.endswith(".parquet")]
         max_seq, stats_found = 0, False
         for f in files:
@@ -315,10 +322,12 @@ class CrawlEngine:
                 _t[0] = now
 
             fdir = _gen_dir(self.out, "frontier", g)
+            # rerank (and its .rr-old crash recovery) runs BEFORE the row
+            # count — see _maybe_rerank's crash-window note
+            self._maybe_rerank(fdir)
             n_frontier = _count_parquet_rows(fdir)
             if n_frontier == 0:
                 break
-            self._maybe_rerank(fdir)
             # block sizing: ~1k frontier rows per block, capped at 4x CPUs.
             # The post-shuffle map_groups runs ONE TASK PER BLOCK (groups are
             # packed into blocks), so block count IS the fetch parallelism —
@@ -352,8 +361,15 @@ class CrawlEngine:
                 if delay == 0 and c > self.auto_salt_cap:
                     salt_map[h] = int(np.ceil(c / self.auto_salt_cap))
                 elif self.salt_max_group and c > self.salt_max_group:
+                    if delay > 0 and policy.clock == "wall":
+                        # refuse: wall_next is local to each fetch group, so
+                        # S salted sub-groups would fetch S× per delay window
+                        # (HostClock coordinates virtual slots only). The
+                        # host stays one group; its delay bounds throughput
+                        # anyway, so splitting it buys nothing.
+                        continue
                     salt_map[h] = int(np.ceil(c / self.salt_max_group))
-                    need_clock = True
+                    need_clock = need_clock or delay > 0
             if need_clock and host_clock is None:
                 host_clock = HostClock.remote()
                 ray.get(host_clock.init.remote(base_slots))
@@ -361,7 +377,11 @@ class CrawlEngine:
             def add_fetch_key(t: pa.Table, salt_map=salt_map) -> pa.Table:
                 hosts = t["host"].to_pylist()
                 if salt_map:
-                    salts = hash64(t["url"].to_pylist())
+                    # salt by the FINGERPRINT, not the raw url: dedup
+                    # identity is fp = md5(canonicalize(url)+body), so two
+                    # spellings of one fp must land in the same sub-group
+                    # for first-wins to follow seq, not execution order
+                    salts = hash64(t["fp"].to_pylist())
                     keys = [
                         f"{h}#{int(s) % salt_map[h]}" if h in salt_map else h
                         for h, s in zip(hosts, salts)

@@ -164,6 +164,7 @@ def run_oracle(
             continue
         t = ledger.acquire(host)
         ok, attempts, status, size_exhausted = fetch_outcome(web, req["url"], policy)
+        fetches += attempts  # dead letters consumed their attempts too
         if not ok:
             res.dead_letters.append(
                 {
@@ -178,7 +179,6 @@ def run_oracle(
                 }
             )
             continue
-        fetches += attempts
         res.crawl_order.append(
             {
                 "url": req["url"],

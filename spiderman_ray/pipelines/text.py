@@ -186,8 +186,13 @@ class LangId:
         "zh": {"的", "是", "了", "在", "和", "有", "我"},
     }
 
+    #: explicit ASCII+CJK class (not \w): identical semantics in Python re
+    #: and DuckDB's RE2 (RE2 \w is ASCII-only), so the driver's SQL oracle
+    #: tokenizes exactly like the engine
+    WORD_RE = r"[0-9a-z_一-鿿]+"
+
     def __init__(self):
-        self.word_re = re.compile(r"[\w一-鿿]+", re.U)
+        self.word_re = re.compile(self.WORD_RE)
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -216,8 +221,10 @@ _ROWS = _N_HASHES // _BANDS
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles (uint64)."""
-    words = text.split()
+    """Hashed k-word shingles (uint64). Tokenization is split-on-single-space
+    (== DuckDB ``string_split(text, ' ')``) so the SQL oracle's shingle sets
+    match exactly."""
+    words = text.split(" ")
     if len(words) < k:
         joined = [" ".join(words)] if words else [""]
     else:

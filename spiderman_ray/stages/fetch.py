@@ -120,8 +120,9 @@ class FetchGroup:
         # Dedup is FUSED into this stage: a URL's fingerprint determines its
         # host (fp = md5(canonical url)), so the politeness partition already
         # co-locates every duplicate of a fingerprint — one shuffle serves
-        # both dedup and politeness. Salting keeps this (salt = hash64(url),
-        # same url -> same sub-group). ``seen_pool`` is the cross-generation
+        # both dedup and politeness. Salting keeps this (salt = hash64(fp),
+        # same fp -> same sub-group even across url spellings). ``seen_pool``
+        # is the cross-generation
         # sharded seen-set handle (actor handles serialize into tasks).
         self.seen_pool = seen_pool
         self._web = None  # constructed lazily per worker

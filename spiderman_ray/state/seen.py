@@ -11,6 +11,17 @@ Scale notes (10^10 URLs): 128+ shards x 1-2 GiB bloom bitmaps spread across
 the cluster; each dedup batch makes ONE ``offer`` RPC per shard (fingerprints
 grouped driver-less, inside the map task), so chatter is O(shards) per batch,
 not O(rows). Checkpoint = per-shard npz snapshot, restored on resume.
+
+Bloom-mode conformance is PROBABILISTIC, not exact: the engine offers per
+fetch group in nondeterministic order while the oracle offers in global FIFO
+order, so on a bloom FALSE POSITIVE the two sides can reject different URLs
+(and their subtrees then diverge). The final bitmaps still match bit-for-bit
+whenever no false positive fired during the run — P(any fp) <=
+n_offers * (1 - e^(-k*n/m))^k, which at the test sizes (n < 10^5 against
+16 MiB x k=7 filters) is < 10^-9, so the bloom conformance tests are stable;
+at 10^10-URL load the guarantee intentionally degrades to "reference-shaped
+false-positive behavior", exactly like the reference's own sharded bloom
+(SP/bloom_dupefilter.py:13-30). Exact mode has no such caveat.
 """
 
 from __future__ import annotations

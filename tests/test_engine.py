@@ -439,3 +439,36 @@ def test_rerank_crash_recovery(tmp_path):
     CrawlEngine._maybe_rerank(fdir2)  # drops the stale .rr-old
     assert not os.path.isdir(fdir2 + ".rr-old")
     assert sorted(pq.read_table(fdir2)["seq"].to_pylist()) == [0, 1]  # unchanged
+
+
+def test_resume_recovers_rerank_crash_window(tmp_path):
+    """A crash between _maybe_rerank's two renames leaves the frontier dir
+    absent (only .rr-old exists). run(resume=True) must roll it back BEFORE
+    counting frontier rows — counting first would read 0 and silently end
+    the crawl with a generation still pending (ADVICE r01, medium)."""
+    import os
+    import shutil
+
+    params = SimParams.for_scale("t1")
+    out_a, out_b = str(tmp_path / "full"), str(tmp_path / "crash")
+    _, m_full = _run(params, CrawlPolicy(), out_a)
+
+    eng0, _ = _run(params, CrawlPolicy(max_generations=2), out_b)
+    eng0._pool.shutdown()
+    # simulate the window-A crash: frontier/gen=2 was moved aside and the
+    # process died before the reranked tmp dir was swapped in
+    fdir = os.path.join(out_b, "frontier", "gen=2")
+    assert os.path.isdir(fdir)
+    os.rename(fdir, fdir + ".rr-old")
+
+    from spiderman_ray.engine import CrawlEngine
+
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out_b)
+    m_res = eng.run(resume=True)
+    assert m_res["generations"] == m_full["generations"]  # NOT truncated
+    for t in ("pages", "details", "images", "dead_letters", "crawl_order"):
+        pd.testing.assert_frame_equal(
+            _sorted_df(_table(out_a, t)), _sorted_df(_table(out_b, t))
+        )
+    eng._pool.shutdown()
+    shutil.rmtree(out_b, ignore_errors=True)
