@@ -134,15 +134,238 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
-        "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf),
+        # nprobe=n_centroids -> exhaustive probe: exercises the full IVF
+        # bucketing machinery while staying equal to the exact-cosine oracle
+        # (pytest covers the approximate nprobe<n_centroids recall path)
+        "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf, nprobe=16),
         "cosine_dup_pairs": V.cosine_dup_pairs,
         "embedding_norms": V.embedding_norms,
     }
 
 
+def _lang_id_sql() -> str:
+    """Stopword-profile scoring, tokenized exactly like pipelines.text.LangId
+    (explicit ASCII+CJK class; first 200 matches, then distinct). Tie-break =
+    alphabetically-first language among the maxima, 'und' when all zero."""
+    profs = {
+        "de": "'der','die','das','und','ist','nicht','mit'",
+        "en": "'the','and','of','to','a','in','is'",
+        "es": "'el','la','los','y','es','una','de'",
+        "fr": "'le','la','les','et','est','une','des'",
+        "zh": "'的','是','了','在','和','有','我'",
+    }
+    scores = ", ".join(
+        f"len(list_filter(ws, x -> x IN ({words}))) AS s_{lang}"
+        for lang, words in profs.items()
+    )
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "list_distinct((regexp_extract_all(lower(text), '[0-9a-z_一-鿿]+'))[1:200]) AS ws "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, {scores} FROM w) "
+        "SELECT doc_id, CASE "
+        "WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und' "
+        "WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de' "
+        "WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en' "
+        "WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es' "
+        "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s"
+    )
+
+
+#: distinct words -> 64-bit md5 feature -> sign-sum, == pipelines.text.SimHasher
+_SIMHASH_CTE = (
+    "words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hv FROM words), "
+    "acc AS (SELECT doc_id, b.bit AS bit, "
+    "SUM(CASE WHEN (hv >> CAST(b.bit AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+    "FROM h, (SELECT unnest(range(64)) AS bit) b GROUP BY doc_id, b.bit), "
+    "sim AS (SELECT doc_id, CAST(CASE WHEN t >= 9223372036854775808 "
+    "THEN t - 18446744073709551616 ELSE t END AS BIGINT) AS simhash FROM ("
+    "SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(POWER(2, bit) AS HUGEINT) "
+    "ELSE 0 END) AS t FROM acc GROUP BY doc_id))"
+)
+
+#: 3-word shingle sets (split-on-space), == pipelines.text._shingle_hashes
+_SHINGLES_CTE = (
+    "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s FROM d)"
+)
+
+#: all-pairs exact Jaccard >= 0.6 over the shingle sets (brute force — the
+#: engine's LSH is a candidate filter that is exhaustive on this data; the
+#: driver hash-compare proves it found every pair)
+_JACCARD_PAIRS = (
+    "pairs AS (SELECT a, b, j FROM ("
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.6)"
+)
+
+
+def _winnow_sql(k: int = 8, window: int = 6) -> str:
+    """Winnowing fingerprints: rolling polynomial hash (base 1000003, mod
+    2^64) over UTF-8 BYTES (hex(encode(text)) -> byte list), sliding-window
+    minima, xor checksum — mirrors pipelines.text.winnow_fingerprints."""
+    m = 1 << 64
+    ws = [pow(1000003, k - 1 - j, m) for j in range(k)]
+    poly = " + ".join(f"cs[i+{j}] * {w}" for j, w in enumerate(ws))
+    return (
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "codes AS (SELECT doc_id, n, list_transform(range(0, n), "
+        "i -> CAST(CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT) AS HUGEINT)) AS cs "
+        f"FROM b WHERE n >= {k}), "
+        f"hs AS (SELECT doc_id, list_transform(range(1, n - {k} + 2), "
+        f"i -> CAST(({poly}) % {m} AS UBIGINT)) AS h FROM codes), "
+        f"sel AS (SELECT doc_id, CASE WHEN len(h) < {window} THEN [list_min(h)] "
+        f"ELSE list_distinct(list_transform(range(1, len(h) - {window} + 2), "
+        f"i -> list_min(h[i:i+{window - 1}]))) END AS mins FROM hs) "
+        "SELECT doc_id, CAST(len(mins) AS BIGINT) AS n_fps, "
+        "CAST(CASE WHEN list_aggregate(mins, 'bit_xor') >= 9223372036854775808 "
+        "THEN CAST(list_aggregate(mins, 'bit_xor') AS HUGEINT) - 18446744073709551616 "
+        "ELSE CAST(list_aggregate(mins, 'bit_xor') AS HUGEINT) END AS BIGINT) AS fps_checksum "
+        "FROM sel "
+        f"UNION ALL SELECT doc_id, 0, 0 FROM b WHERE n < {k}"
+    )
+
+
+_ORACLE_T1 = None
+
+
+def _oracle_t1():
+    """The single-process reference-loop oracle at t1 (pure Python, no Ray).
+    Cached: oracle_sql() pins several crawl queries against its rows."""
+    global _ORACLE_T1
+    if _ORACLE_T1 is None:
+        from spiderman_ray.oracle import run_oracle
+        from spiderman_ray.simweb import SimParams
+
+        _ORACLE_T1 = run_oracle(SimParams.for_scale("t1"))
+    return _ORACLE_T1
+
+
+def _values_sql(rows: list[dict], types: dict[str, str]) -> str:
+    """Pin a small expected table as a DuckDB VALUES literal.
+
+    The crawl_* queries run the Ray ENGINE over the simulated web, which the
+    DuckDB testdata views cannot see — so their independent oracle is the
+    reference-loop simulator (spiderman_ray/oracle.py), whose rows are
+    emitted here as constants. The driver's hash compare then checks
+    engine ≡ reference-loop, the same invariant the pytest conformance
+    suite asserts, but surfaced through the driver gate."""
+
+    def lit(v, t: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        if t == "DOUBLE":
+            return f"CAST({float(v)!r} AS DOUBLE)"
+        return f"CAST({int(v)} AS {t})"
+
+    cols = list(types)
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in types.items())
+        return f"SELECT {sel} WHERE FALSE"
+    body = ", ".join(
+        "(" + ", ".join(lit(r[c], types[c]) for c in cols) + ")" for r in rows
+    )
+    return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
+
+
+def _crawl_oracle_sqls() -> dict[str, str]:
+    """VALUES-pinned oracles derived from the reference-loop simulator (plus
+    tiny pure-Python recomputations for the derived pipelines). These make
+    the crawl rows driver-checkable; the source of truth stays the
+    single-process oracle, never the engine."""
+    from spiderman_ray.functions.imaging import decode_image, phash64
+    from spiderman_ray.pipelines.multimodal import _box_resize
+
+    o = _oracle_t1()
+    out: dict[str, str] = {}
+    out["crawl_order"] = _values_sql(
+        o.crawl_order,
+        {
+            "url": "VARCHAR", "generation": "BIGINT", "host": "VARCHAR",
+            "seq": "BIGINT", "attempts": "BIGINT", "vts_ms": "DOUBLE",
+            "ua_idx": "BIGINT", "fp": "VARCHAR",
+        },
+    )
+    out["crawl_dead_letters"] = _values_sql(
+        o.dead_letters,
+        {
+            "url": "VARCHAR", "reason": "VARCHAR", "status_code": "BIGINT",
+            "attempts": "BIGINT", "generation": "BIGINT", "seq": "BIGINT",
+            "host": "VARCHAR", "fp": "VARCHAR",
+        },
+    )
+    out["crawl_images"] = _values_sql(
+        o.images,
+        {
+            "image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+            "fmt": "VARCHAR", "caption": "VARCHAR", "phash": "BIGINT",
+            "fkey": "VARCHAR", "pagenum": "BIGINT", "px": "BIGINT",
+        },
+    )
+    # price_monitor predicate recomputed in plain Python over oracle pages
+    monitor_rows = [
+        {"pkey": r["pkey"], "title": r["title"], "price": r["price"], "pagenum": r["pagenum"]}
+        for r in o.pages
+        if int(r["price"]) < 5500
+    ]
+    out["crawl_price_monitor"] = _values_sql(
+        monitor_rows,
+        {"pkey": "VARCHAR", "title": "VARCHAR", "price": "VARCHAR", "pagenum": "BIGINT"},
+    )
+    # thumbnails + validate: sequential recomputation with the shared imaging
+    # primitives over the ORACLE's image rows (checks the Ray actor-pool
+    # plumbing delivers exactly what a single-process loop would)
+    thumb_rows, n_bad = [], [0, 0, 0]
+    for r in o.images:
+        px = decode_image(r["bytes"])
+        h, w = px.shape[:2]
+        n_bad[0] += int(w != r["w"])
+        n_bad[1] += int(h != r["h"])
+        n_bad[2] += int(phash64(px) != r["phash"])
+        thumb = _box_resize(px, 16, 16)
+        thumb_rows.append(
+            {"image_id": r["image_id"], "w": 16, "h": 16, "fmt": r["fmt"],
+             "phash": phash64(thumb)}
+        )
+    out["crawl_thumbnails"] = _values_sql(
+        thumb_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "fmt": "VARCHAR", "phash": "BIGINT"},
+    )
+    out["crawl_validate"] = _values_sql(
+        [{"n_images": len(o.images), "n_w_bad": n_bad[0], "n_h_bad": n_bad[1],
+          "n_phash_bad": n_bad[2]}],
+        {"n_images": "BIGINT", "n_w_bad": "BIGINT", "n_h_bad": "BIGINT",
+         "n_phash_bad": "BIGINT"},
+    )
+    # phash near-dup pairs, brute force over the oracle's image table
+    uniq: dict[str, int] = {}
+    for r in o.images:
+        uniq.setdefault(r["image_id"], r["phash"])
+    ids = sorted(uniq)
+    pair_rows = [
+        {"a": ids[i], "b": ids[j]}
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        # Python ints are two's-complement-infinite: xor+mask == uint64 xor
+        if bin((uniq[ids[i]] ^ uniq[ids[j]]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    ]
+    out["crawl_phash_dups"] = _values_sql(pair_rows, {"a": "VARCHAR", "b": "VARCHAR"})
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "'the','and','of','a','to','in','is','on','for','with'"
-    return {
+    return _crawl_oracle_sqls() | {
         "missing_pages": (
             "SELECT o_orderkey, o_orderstatus FROM orders "
             "WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)"
@@ -270,5 +493,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45"
+        ),
+        # -- round-2 oracles for previously no_oracle queries ---------------
+        "lang_id": _lang_id_sql(),
+        "simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+        "simhash_near_dups": (
+            # banding with 4 x 16-bit bands is EXACT for hamming <= 3 (pytest
+            # proves it), so the engine's banded output equals brute force
+            f"WITH {_SIMHASH_CTE} "
+            "SELECT a.doc_id AS a, b.doc_id AS b FROM sim a JOIN sim b "
+            "ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "minhash_pairs": (
+            f"WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS} "
+            "SELECT a, b, CAST(FLOOR(j * 10000 + 0.5) AS BIGINT) AS jaccard_x10k "
+            "FROM pairs"
+        ),
+        "dedup_minhash": (
+            # survivors = min doc_id per connected component of the verified
+            # pair graph — recursive min-label propagation in SQL
+            f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
+            "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
+            "SELECT DISTINCT lbl AS doc_id FROM m"
+        ),
+        "winnow_fingerprints": _winnow_sql(),
+        # nprobe == n_centroids probes every IVF cell -> exhaustive search ->
+        # identical to the exact top-k oracle
+        "ann_ivf_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 8), scored AS ("
+            "SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) "
+            "WHERE rank <= 5"
         ),
     }

@@ -181,26 +181,38 @@ def windowed_events(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _add_key_shard(col: str, n: int = 64):
+    """Append ``_kshard = hash64(str(key)) % n`` — groupby keys must be
+    O(parallelism), never the raw high-cardinality key (CLAUDE.md
+    invariant; the dedup_exact pattern)."""
+    from spiderman_ray.functions.hashing import hash64
+
+    def add(batch: pa.Table) -> pa.Table:
+        sh = hash64([str(v) for v in batch[col].to_pylist()]).view(np.uint64) % np.uint64(n)
+        return batch.append_column("_kshard", pa.array(sh.astype(np.int64)))
+
+    return add
+
+
 def sessionized_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (30-min inactivity gap) — the
-    streaming-session operator (SURVEY.md §2.8 guidance): partition by
-    user_id, sort by ts within the group, close a session when the gap
-    exceeds the threshold. Output: one row per session with count and span.
-
-    The groupby key is user_id directly (bounded cardinality here); for a
-    high-cardinality key the shard-group pattern of dedup_exact applies.
-    """
+    streaming-session operator (SURVEY.md §2.8 guidance). Grouping is by a
+    HASH SHARD of user_id (64 groups — O(parallelism) dispatch however many
+    users exist); one vectorized pandas pass inside the shard sorts by
+    (user_id, ts, event_id) and closes sessions at user boundaries or gaps
+    over the threshold. Output: one row per session with count and span."""
     import pandas as pd
 
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"])
         ts = g["ts"].astype("datetime64[us]").astype("int64")  # us since epoch
-        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_session = ((ts.diff().fillna(gap_us + 1) > gap_us) | new_user).cumsum()
         out = (
             g.assign(_s=new_session, _ts=ts)
-            .groupby("_s")
+            .groupby("_s", sort=False)
             .agg(
                 user_id=("user_id", "first"),
                 session_start=("_ts", "min"),
@@ -215,26 +227,29 @@ def sessionized_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
 
     return (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
+        .map_batches(_add_key_shard("user_id"), batch_format="pyarrow")
+        .groupby("_kshard")
         .map_groups(sessions, batch_format="pandas")
     )
 
 
 def running_order_totals(sf_dir: str) -> rd.Dataset:
-    """Running per-customer order total — the window-function analog
-    (cumsum over a sorted group via map_groups). Integer cents for stable
-    hashing. Key cardinality is bounded here; the shard-group pattern of
-    dedup_exact applies otherwise."""
+    """Running per-customer order total — the window-function analog.
+    Groups by a hash shard of o_custkey (64 groups, O(parallelism)
+    dispatch); inside, one sort + grouped cumsum covers every customer in
+    the shard. Integer cents for stable hashing."""
     import pandas as pd
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = pd.Series(
+            np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        )
         return pd.DataFrame(
             {
                 "o_orderkey": g["o_orderkey"].to_numpy(),
                 "o_custkey": g["o_custkey"].to_numpy(),
-                "running_cents": np.cumsum(cents),
+                "running_cents": cents.groupby(g["o_custkey"].to_numpy()).cumsum().to_numpy(),
             }
         )
 
@@ -243,7 +258,8 @@ def running_order_totals(sf_dir: str) -> rd.Dataset:
             _pq(sf_dir, "orders"),
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
         )
-        .groupby("o_custkey")
+        .map_batches(_add_key_shard("o_custkey"), batch_format="pyarrow")
+        .groupby("_kshard")
         .map_groups(running, batch_format="pandas")
     )
 
@@ -255,28 +271,28 @@ def asof_last_signup(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        is_signup = (g["event_type"] == "signup").to_numpy()
-        # last signup ts BEFORE each row (strictly prior in sort order)
-        prev = np.full(len(g), -1, dtype="int64")
-        last = -1
-        for i in range(len(g)):
-            prev[i] = last
-            if is_signup[i]:
-                last = ts_us[i]
+        # one vectorized pass over the whole user_id-hash shard: sort by
+        # (user, ts, event_id); prev signup = per-user shift(1)+ffill of
+        # signup timestamps (strictly prior by the shift)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        sig = ts_us.where(g["event_type"] == "signup")
+        users = g["user_id"]
+        prev = sig.groupby(users.to_numpy(), sort=False).shift(1)
+        prev = prev.groupby(users.to_numpy(), sort=False).ffill()
         out = pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "prev_signup_us": prev,
+                "user_id": users.to_numpy(),
+                "prev_signup_us": prev.fillna(-1).astype("int64").to_numpy(),
             }
         )
         return out[(g["event_type"] == "purchase").to_numpy()]
 
     return (
         rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
+        .map_batches(_add_key_shard("user_id"), batch_format="pyarrow")
+        .groupby("_kshard")
         .map_groups(asof, batch_format="pandas")
     )
 

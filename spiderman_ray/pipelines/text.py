@@ -270,6 +270,9 @@ class MinHasher:
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over hashed shingle sets. inter/union is the same IEEE
+    double division DuckDB evaluates (len(list_intersect)/(la+lb-inter)), so
+    floor(j*10000+0.5) hash-matches the SQL oracle."""
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
@@ -324,55 +327,217 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _shard64_of(keys: list) -> np.ndarray:
+    from spiderman_ray.functions.hashing import hash64
+
+    return (hash64([str(k) for k in keys]).view(np.uint64) % np.uint64(64)).astype(np.int64)
+
+
+def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+    """Candidate pairs verified by EXACT shingle Jaccard >= threshold,
+    via a BUCKETED doc_id join — no whole-corpus broadcast (the round-1
+    review's scale fix). Two exchanges:
+
+    1. union(doc rows, pair-side request rows) grouped by hash shard of
+       doc_id: each shard shingles its docs ONCE and attaches the shingle
+       set (uint64 bytes) to every request row for that doc;
+    2. group by hash shard of the pair key: both sides of a pair meet,
+       exact Jaccard is computed, pairs below threshold drop.
+
+    Only docs that appear in candidate pairs ever ship shingles, and every
+    per-group dispatch is O(64) regardless of corpus size."""
+
+    def requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "text": pa.array([""] * len(doc), type=pa.string()),
+            }
+        )
+
+    def docrows(batch: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(batch.num_rows, -1, dtype=np.int64))
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "a": neg, "b": neg,
+             "text": batch["text"]}
+        )
+
+    def shard_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_dshard", pa.array(_shard64_of(batch["doc_id"].to_pylist()))
+        )
+
+    def attach_sigs(g: pd.DataFrame) -> pa.Table:
+        # returns Arrow so ``sig`` stays a typed binary column (object-dtype
+        # pandas binaries confuse block size accounting)
+        reqs = g[g["a"] >= 0]
+        if reqs.empty:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "sig": pa.array([], type=pa.binary())}
+            )
+        need = set(reqs["doc_id"])
+        texts = g[g["a"] < 0]
+        sigs = {
+            did: _shingle_hashes(txt).tobytes()
+            for did, txt in zip(texts["doc_id"], texts["text"])
+            if did in need
+        }
+        return pa.table(
+            {
+                "a": pa.array(reqs["a"].to_numpy(), type=pa.int64()),
+                "b": pa.array(reqs["b"].to_numpy(), type=pa.int64()),
+                "sig": pa.array([sigs[d] for d in reqs["doc_id"]], type=pa.binary()),
+            }
+        )
+
+    def shard_pair(batch: pa.Table) -> pa.Table:
+        keys = [f"{x}|{y}" for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())]
+        return batch.append_column("_pshard", pa.array(_shard64_of(keys)))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (a, b), grp in g.groupby(["a", "b"], sort=False):
+            sigs = grp["sig"].tolist()
+            j = _jaccard(
+                np.frombuffer(sigs[0], dtype=np.uint64),
+                np.frombuffer(sigs[1], dtype=np.uint64),
+            )
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(np.floor(j * 10000.0 + 0.5)))
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "jaccard_x10k": pd.Series(out_j, dtype="int64"),
+            }
+        )
+
+    cand = minhash_candidate_pairs(sf_dir).map_batches(requests, batch_format="pyarrow")
+    docs = _read_docs(sf_dir).map_batches(docrows, batch_format="pyarrow")
+    return (
+        docs.union(cand)
+        .map_batches(shard_doc, batch_format="pyarrow")
+        .groupby("_dshard")
+        .map_groups(attach_sigs, batch_format="pandas")
+        .map_batches(shard_pair, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
 def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """Candidate pairs verified by EXACT shingle Jaccard >= threshold.
-    Verification joins the two docs' shingle sets via a broadcast text map
-    (documents are small per-row; at 100 TB this becomes a bucketed
-    re-shuffle join on doc_id)."""
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(_pq(sf_dir), columns=["doc_id", "text"])
-    textmap = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    textmap_ref = __import__("ray").put(textmap)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        tm = _ray.get(textmap_ref)
-        keep, jac = [], []
-        for a, b in zip(batch["a"], batch["b"]):
-            j = _jaccard(_shingle_hashes(tm[a]), _shingle_hashes(tm[b]))
-            keep.append(j >= threshold)
-            jac.append(round(j, 4))
-        out = batch.assign(jaccard_x10k=(np.array(jac) * 10000).astype("int64"))
-        return out[np.array(keep)]
-
-    res = minhash_candidate_pairs(sf_dir).map_batches(verify, batch_format="pandas")
+    """Driver-friendly view of minhash_verified_pairs_ds (sorted DataFrame —
+    the result is LSH-bounded and small; the Dataset variant is the
+    pipeline surface)."""
+    res = minhash_verified_pairs_ds(sf_dir, threshold)
     return res.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> pa.Table:
-    """Near-dup clusters via union-find over verified pairs (candidate set is
-    LSH-bounded and small relative to the corpus); survivors = min doc_id
-    per cluster. Returns (doc_id,) survivors sorted."""
-    import pyarrow.parquet as pq
+def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+    """Near-dup survivors = min doc_id per connected component of the
+    verified-pair graph, singletons included. Returns a DATASET (survivors
+    are corpus-sized — they must never materialize on the driver).
 
-    pairs = minhash_verified_pairs(sf_dir, threshold)
-    all_ids = pq.read_table(_pq(sf_dir), columns=["doc_id"])["doc_id"].to_pylist()
-    parent = {i: i for i in all_ids}
+    DISTRIBUTED min-label propagation (replaces the round-1 driver-side
+    union-find): labels live as a (node, lbl) Dataset over the pair-graph
+    nodes only; each round ships every node's current label across its
+    edges via two shard-grouped exchanges and takes the min. Labels only
+    decrease, so the iteration converges when sum(lbl) is stable (graph
+    diameter rounds; near-dup clusters are tiny). Survivors = documents
+    anti-joined against the dominated nodes (lbl < node), the same
+    broadcast-key anti-join as relational.missing_pages; at extreme dup
+    rates the loser set becomes a bloom filter (state/bloom.py)."""
+    pairs = minhash_verified_pairs_ds(sf_dir, threshold).drop_columns(["jaccard_x10k"])
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([u, v])),
+                "node": pa.array(np.concatenate([v, u])),
+                "lbl": pa.array(np.full(2 * len(u), -1, dtype=np.int64)),
+            }
+        )
 
-    for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    survivors = sorted({find(i) for i in all_ids})
-    return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.read_parquet(_pq(sf_dir), columns=["doc_id"])
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch["key"].to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(keys), "node": pa.array(keys), "lbl": pa.array(keys)})
+
+    def shard_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_s", pa.array(_shard64_of(batch["key"].to_pylist())))
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        """One shard of keys: local label map -> candidate labels out."""
+        lbls = g[g["lbl"] >= 0]
+        cur = dict(zip(lbls["key"], lbls["lbl"]))
+        es = g[g["lbl"] < 0]
+        out_node = np.concatenate(
+            [lbls["node"].to_numpy(), es["node"].to_numpy()]
+        )
+        out_lbl = np.concatenate(
+            [lbls["lbl"].to_numpy(), np.array([cur[k] for k in es["key"]], dtype=np.int64)]
+        )
+        return pd.DataFrame({"key": out_node, "node": out_node, "lbl": out_lbl})
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", sort=False)["lbl"].min().reset_index()
+        return pd.DataFrame({"key": m["node"], "node": m["node"], "lbl": m["lbl"]})
+
+    # labels over pair-graph nodes only (dedup across shards via the first
+    # take_min pass); the label rows reuse the edge row layout so one
+    # groupby carries both
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(shard_key, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(take_min, batch_format="pandas")
+        .materialize()
+    )
+    from ray.data.aggregate import Sum
+
+    prev_sum = None
+    while True:
+        labels = (
+            labels.union(edges)
+            .map_batches(shard_key, batch_format="pyarrow")
+            .groupby("_s")
+            .map_groups(send, batch_format="pandas")
+            .map_batches(shard_key, batch_format="pyarrow")
+            .groupby("_s")
+            .map_groups(take_min, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break  # labels only decrease: stable sum == converged
+        prev_sum = cur_sum
+
+    losers = set()
+    for batch in labels.iter_batches(batch_format="pandas"):
+        dominated = batch[batch["lbl"] < batch["node"]]
+        losers.update(dominated["node"].tolist())
+    loser_set = pa.array(sorted(losers), type=pa.int64())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=loser_set))
+        return batch.filter(keep)
+
+    return rd.read_parquet(_pq(sf_dir), columns=["doc_id"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
 
 
 def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 6) -> rd.Dataset:
@@ -415,19 +580,40 @@ def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 6) -> rd.Dataset:
 
 
 class SimHasher:
-    """64-bit SimHash per doc (word-feature hashing, sign-sum of bits)."""
+    """64-bit SimHash per doc (word-feature hashing, sign-sum of bits).
+
+    Tokenization: DISTINCT split-on-single-space words (== DuckDB
+    ``list_distinct(string_split(text, ' '))``) so the driver SQL oracle
+    reproduces the hash bit-for-bit: word feature = first 8 bytes of md5,
+    big-endian (== ``('0x' || substr(md5(w),1,16))::UBIGINT``).
+
+    Vectorized per batch: the batch VOCABULARY is hashed once (one md5 per
+    distinct word in the batch, not per (doc, word)), the ±1 bit matrix is
+    built once, and each doc reduces rows of it — the per-word Python loop
+    the round-1 review flagged is gone."""
+
+    _BITPOS = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for w in set(text.split()):
-                h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
-                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                acc += np.where(bits == 1, 1, -1)
-            val = int(np.sum((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)  # int64 two's-complement
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": np.array(out, dtype=np.int64)})
+        doc_words = [sorted(set(t.split(" "))) for t in batch["text"]]
+        vocab: dict[str, int] = {}
+        for ws in doc_words:
+            for w in ws:
+                if w not in vocab:
+                    vocab[w] = len(vocab)
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in vocab),
+            dtype=np.uint64, count=len(vocab),
+        )
+        # (V, 64) ±1 matrix, one row per vocab word
+        pm = (((hv[:, None] >> self._BITPOS[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1)
+        out = np.empty(len(doc_words), dtype=np.int64)
+        for i, ws in enumerate(doc_words):
+            idx = np.fromiter((vocab[w] for w in ws), dtype=np.int64, count=len(ws))
+            acc = pm[idx].sum(axis=0, dtype=np.int64)
+            val = int(np.sum((acc > 0).astype(np.uint64) << self._BITPOS))
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val  # int64 two's-complement
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
 
 
 def simhash_table(sf_dir: str) -> rd.Dataset:

@@ -66,6 +66,10 @@ def test_meta_table():
     assert set(t["tb"]) == {"images", "pages", "details", "dead_letters", "frontier"}
     img_cols = t[t["tb"] == "images"].sort_values("col_px")["col"].tolist()
     assert img_cols[:7] == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    # easy_meta.py:23-34 column parity: comment/author/addtime/insertime
+    assert {"spider_comment", "col_comment", "author", "addtime", "insertime"} <= set(t.columns)
+    assert (t["spider_comment"] != "").all() and (t["author"] != "").all()
+    assert (t[t["col"] == "phash"]["col_comment"] == "64-bit perceptual hash").all()
 
 
 def test_price_monitor(tmp_path):
