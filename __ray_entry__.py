@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pytest covers the approximate nprobe<n_centroids recall path)
         "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf, nprobe=16),
         "cosine_dup_pairs": V.cosine_dup_pairs,
+        # approximate corpus-scale variant (seeded hyperplanes are not
+        # SQL-expressible; pytest measures recall vs the exact operator)
+        "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         "embedding_norms": V.embedding_norms,
     }
 

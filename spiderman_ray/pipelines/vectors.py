@@ -78,37 +78,146 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
-    """Embedding-cosine near-dup pairs (a < b, sim > threshold; 0.45 yields pairs in the synthetic embeddings): blocked
-    matmul of each batch against the full normalized matrix (broadcast once).
-    O(n^2) exact at test scale; the IVF/LSH bucketing above is the 100 TB
-    path. Returns (a, b) int pairs."""
-    tab = pq.read_table(_pq(sf_dir))
-    ids_all = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+def _normalize_chunk(batch: pd.DataFrame) -> pd.DataFrame:
+    m = _batch_matrix(batch)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "embedding": list(m)})
+
+
+def _unpack_chunk(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids_all, mat))
+    return ids, mat
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, m_all = ray.get(ref)
-        m = _batch_matrix(batch)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m_all.T
-        bids = batch["vec_id"].to_numpy()
-        ai, bj = np.nonzero(sims > threshold)
-        a, b = bids[ai], all_ids[bj]
-        keep = a < b
-        return pd.DataFrame({"a": a[keep].astype("int64"), "b": b[keep].astype("int64")})
 
-    res = (
+def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 2048) -> pa.Table:
+    """EXACT embedding-cosine near-dup pairs (a < b, sim > threshold; 0.45
+    yields pairs in the synthetic embeddings) via a distributed CHUNK-PAIR
+    BLOCK JOIN — the round-1 full-matrix ``ray.put`` broadcast is gone:
+
+    - vectors are normalized distributed (map_batches) and left in the
+      object store as C ~n/chunk_rows blocks (``to_arrow_refs`` — nothing
+      returns to the driver);
+    - a tiny (i, j) i<=j task list fans out via map_batches; each task
+      zero-copy reads exactly TWO chunks and emits its thresholded pairs,
+      so per-task memory is 2*chunk_rows vectors however large n grows.
+
+    Still O(n^2) COMPUTE — that is what exact all-pairs costs; memory and
+    task granularity now scale. ``cosine_dup_pairs_lsh`` is the sub-O(n^2)
+    approximate path for corpus-scale runs; this exact operator doubles as
+    its recall oracle."""
+    normed = (
         rd.read_parquet(_pq(sf_dir))
-        .map_batches(pairs, batch_format="pandas", batch_size=2048)
-        .to_pandas()
+        .map_batches(_normalize_chunk, batch_format="pandas", batch_size=chunk_rows)
+        .repartition(target_num_rows_per_block=chunk_rows)
     )
+    refs = normed.to_arrow_refs()
+    idx = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+
+    def pair_block(batch: pd.DataFrame, refs=refs) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for i, j in zip(batch["i"], batch["j"]):
+            ids_i, m_i = _unpack_chunk(ray.get(refs[i]))
+            ids_j, m_j = (ids_i, m_i) if i == j else _unpack_chunk(ray.get(refs[j]))
+            sims = m_i @ m_j.T
+            ai, bj = np.nonzero(sims > threshold)
+            a, b = ids_i[ai], ids_j[bj]
+            if i == j:
+                keep = a < b  # diagonal block sees both orders + self-pairs
+                a, b = a[keep], b[keep]
+            else:
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(a)
+            out_b.append(b)
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+
+    res = rd.from_items(idx).map_batches(
+        pair_block, batch_format="pandas", batch_size=1
+    ).to_pandas()
     if res.empty:  # keep the (a, b) int64 schema even with zero pairs
         res = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     else:
         res = res.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def cosine_dup_pairs_lsh(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 32, n_bands: int = 8
+) -> pa.Table:
+    """APPROXIMATE cosine near-dup pairs — the corpus-scale path: random-
+    hyperplane signatures (seeded, broadcast: n_planes x d floats) split
+    into bands; vectors sharing any band bucket become candidates; exact
+    cosine verifies candidates inside shard-grouped buckets. Work is
+    bounded by bucket sizes instead of n^2; recall is probabilistic
+    (pytest measures it against the exact operator). Pair ordering and
+    schema match ``cosine_dup_pairs``."""
+    from spiderman_ray.functions.hashing import hash64
+
+    dim = len(pq.read_table(_pq(sf_dir)).slice(0, 1)["embedding"][0])
+    rng = np.random.default_rng(23)
+    planes = rng.standard_normal((n_planes, dim))
+    per_band = n_planes // n_bands
+    ref = ray.put(planes)
+
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(ref)
+        m = _batch_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bits = (m @ pl.T) > 0  # (n, n_planes)
+        frames = []
+        for band in range(n_bands):
+            chunk = bits[:, band * per_band : (band + 1) * per_band]
+            val = (chunk * (1 << np.arange(per_band))).sum(axis=1).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"].to_numpy(),
+                        "band": band,
+                        "band_val": val,
+                        "embedding": list(m),
+                    }
+                )
+            )
+        return pd.concat(frames)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{x}|{y}" for x, y in zip(batch["band"].to_pylist(), batch["band_val"].to_pylist())
+        ]
+        sh = (hash64(keys).view(np.uint64) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("_bshard", pa.array(sh))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["band", "band_val"], sort=False):
+            grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+            sims = m @ m.T
+            ai, bj = np.nonzero(sims > threshold)
+            keep = ids[ai] < ids[bj]
+            out_a.append(ids[ai][keep])
+            out_b.append(ids[bj][keep])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+
+    res = (
+        rd.read_parquet(_pq(sf_dir))
+        .map_batches(sig_rows, batch_format="pandas", batch_size=2048)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_bshard")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if res.empty:
+        res = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    else:
+        res = res.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
@@ -128,15 +237,30 @@ def _kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = 11) -> np.ndarr
 
 
 def ann_ivf_topk(
-    sf_dir: str, n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4
+    sf_dir: str, n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+    fit_sample_rows: int = 4096,
 ) -> pa.Table:
     """IVF-style approximate top-k — the 100 TB scale path for similarity
     search: centroids are broadcast, each batch assigns its vectors to a
     cluster and emits partial top-k ONLY for queries probing that cluster.
     Work drops from O(n*q) to ~O(n*q*nprobe/n_centroids). Same output shape
-    as ``ann_cosine_topk``; tests check recall against the exact baseline.
+    as ``ann_cosine_topk``; tests check recall against the exact baseline;
+    the driver gate runs nprobe=n_centroids (exhaustive == exact oracle).
+
+    The k-means fit reads a BOUNDED deterministic sample (the first
+    ``fit_sample_rows`` rows) — never the full table: centroid quality
+    needs a representative sample, not the corpus (IVF literature fits on
+    ~max(30*k, sqrt(n)) points).
     """
-    tab = pq.read_table(_pq(sf_dir))
+    pf = pq.ParquetFile(_pq(sf_dir))
+    batches, seen = [], 0
+    want = max(fit_sample_rows, n_queries)
+    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        seen += rb.num_rows
+        if seen >= want:
+            break
+    tab = pa.Table.from_batches(batches).slice(0, want)
     qids = tab["vec_id"].to_pylist()[:n_queries]
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)

