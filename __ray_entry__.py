@@ -24,14 +24,28 @@ def _crawl_out(scale: str = "t1") -> str:
     /tmp and resumable, so repeat calls are no-ops."""
     if scale in _CRAWL_CACHE:
         return _CRAWL_CACHE[scale]
+    import shutil
+
     from spiderman_ray.engine import CrawlEngine
     from spiderman_ray.policy import CrawlPolicy
     from spiderman_ray.simweb import SimParams
+    from spiderman_ray.stages.parse_sink import CRAWL_ORDER
 
     out = f"/tmp/spiderman_entry_{scale}"
-    eng = CrawlEngine(SimParams.for_scale(scale), CrawlPolicy(), out_dir=out)
+    # a checkpoint written by an older code version may carry a stale table
+    # schema — resume only when the schema fingerprint matches
+    sig = ",".join(f.name for f in CRAWL_ORDER)
+    sig_path = os.path.join(out, "schema.sig")
     resume = os.path.isdir(os.path.join(out, "manifests"))
+    if resume:
+        old = open(sig_path).read() if os.path.exists(sig_path) else ""
+        if old != sig:
+            shutil.rmtree(out)
+            resume = False
+    eng = CrawlEngine(SimParams.for_scale(scale), CrawlPolicy(), out_dir=out)
     eng.run(resume=resume)
+    with open(sig_path, "w") as f:
+        f.write(sig)
     eng._pool.shutdown()
     _CRAWL_CACHE[scale] = out
     return out
@@ -295,7 +309,7 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         {
             "url": "VARCHAR", "generation": "BIGINT", "host": "VARCHAR",
             "seq": "BIGINT", "attempts": "BIGINT", "vts_ms": "DOUBLE",
-            "ua_idx": "BIGINT", "fp": "VARCHAR",
+            "ua_idx": "BIGINT", "cookie_idx": "BIGINT", "fp": "VARCHAR",
         },
     )
     out["crawl_dead_letters"] = _values_sql(

@@ -41,7 +41,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
 
     policy = CrawlPolicy(
         dedup=not args.no_dedup,
-        dedup_mode="bloom" if args.bloom else "exact",
+        dedup_mode="bloom" if args.bloom else args.dedup_mode,
         max_generations=args.max_generations,
     )
     eng = CrawlEngine(
@@ -105,6 +105,22 @@ def cmd_oracle(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tasks(args: argparse.Namespace) -> int:
+    from spiderman_ray.control import TaskRegistry
+
+    tasks = TaskRegistry().get_tasks(args.spider, args.sort)
+    print(json.dumps({"total": len(tasks), "tasks": tasks}))
+    return 0
+
+
+def cmd_kill(args: argparse.Namespace) -> int:
+    from spiderman_ray.control import kill_task
+
+    res = kill_task(args.id)
+    print(json.dumps(res))
+    return 0 if res["returncode"] == 0 else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spiderman_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +130,10 @@ def main(argv=None) -> int:
     c.add_argument("--out", default="/tmp/spiderman_run")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--bloom", action="store_true", help="bloom seen-set mode")
+    c.add_argument(
+        "--dedup-mode", default="exact", choices=["exact", "bloom", "cuckoo"],
+        help="seen-set mode (cuckoo supports deletion for patch re-offers)",
+    )
     c.add_argument("--no-dedup", action="store_true", help="dont_filter mode")
     c.add_argument("--salt-max-group", type=int, default=None)
     c.add_argument("--max-generations", type=int, default=16)
@@ -140,6 +160,20 @@ def main(argv=None) -> int:
     o = sub.add_parser("oracle", help="run the reference-oracle simulator")
     o.add_argument("--scale", default="t1")
     o.set_defaults(fn=cmd_oracle)
+
+    s = sub.add_parser("serve", help="REST control plane (api.py analog)")
+    s.add_argument("--port", type=int, default=2021)
+    s.set_defaults(fn=lambda a: __import__(
+        "spiderman_ray.control", fromlist=["serve"]).serve(a.port) or 0)
+
+    t = sub.add_parser("tasks", help="list registered control-plane tasks")
+    t.add_argument("--spider", default=None)
+    t.add_argument("--sort", default="spider", choices=["spider", "host"])
+    t.set_defaults(fn=cmd_tasks)
+
+    k = sub.add_parser("kill", help="terminate a control-plane task")
+    k.add_argument("--id", required=True)
+    k.set_defaults(fn=cmd_kill)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -255,27 +255,83 @@ class CrawlEngine:
                     max_seq = max(max_seq, pa.compute.max(seqs).as_py())
         if max_seq < RERANK_THRESHOLD:
             return
-        tbl = pa.concat_tables(
-            [pq.read_table(os.path.join(fdir, f)) for f in files]
-        ).sort_by("seq")
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("seq"), "seq",
-            pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(fdir, f)).metadata.num_rows for f in files
         )
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_parts = max(1, min(tbl.num_rows // 1000 + 1, 4 * ncpu))
-        rows_per = -(-tbl.num_rows // n_parts)
         tmp = fdir + ".rr-tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        for i in range(n_parts):
-            part = tbl.slice(i * rows_per, rows_per)
-            if part.num_rows:
-                pq.write_table(part, os.path.join(tmp, f"part-rr-{i:05d}.parquet"))
+        driver_cap = int(os.environ.get("SPIDERMAN_RERANK_DRIVER_CAP", "200000"))
+        if n_rows <= driver_cap or not ray.is_initialized():
+            # small frontier: concat-sort on the driver (cheaper than a
+            # distributed sort below ~10^5 rows)
+            tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(fdir, f)) for f in files]
+            ).sort_by("seq")
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("seq"), "seq",
+                pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+            )
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            n_parts = max(1, min(tbl.num_rows // 1000 + 1, 4 * ncpu))
+            rows_per = -(-tbl.num_rows // n_parts)
+            os.makedirs(tmp)
+            for i in range(n_parts):
+                part = tbl.slice(i * rows_per, rows_per)
+                if part.num_rows:
+                    pq.write_table(part, os.path.join(tmp, f"part-rr-{i:05d}.parquet"))
+        else:
+            CrawlEngine._rerank_distributed(fdir, tmp)
         os.rename(fdir, old)
         os.rename(tmp, fdir)
         shutil.rmtree(old)
+
+    @staticmethod
+    def _rerank_distributed(fdir: str, tmp: str) -> None:
+        """Distributed dense re-rank (the 10^10 path): sort by seq (range
+        partitioning gives blocks with disjoint, ordered seq ranges), take
+        ONE tiny (min_seq, count) summary row per block, cumsum the counts
+        on the driver (O(blocks), not O(rows)), then assign each block
+        seq = its offset + arange — the whole frontier never touches
+        driver memory. Output equals the driver path bit-for-bit (seqs are
+        unique, so dense rank is deterministic)."""
+        import ray.data as rd
+
+        sorted_ds = rd.read_parquet(fdir).sort("seq").materialize()
+
+        def summarize(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"min_seq": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {
+                    "min_seq": pa.array([t["seq"][0].as_py()], type=pa.int64()),
+                    "n": pa.array([t.num_rows], type=pa.int64()),
+                }
+            )
+
+        summary = (
+            sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .sort_values("min_seq")
+        )
+        offsets = dict(
+            zip(summary["min_seq"], np.cumsum(summary["n"]) - summary["n"])
+        )
+
+        def assign(t: pa.Table, offsets=offsets) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            off = int(offsets[t["seq"][0].as_py()])
+            return t.set_column(
+                t.schema.get_field_index("seq"), "seq",
+                pa.array(off + np.arange(t.num_rows, dtype=np.int64)),
+            )
+
+        write_dataset(
+            sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None), tmp
+        )
 
     # -- the run -----------------------------------------------------------
     def run(self, resume: bool = False) -> dict:

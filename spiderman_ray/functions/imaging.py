@@ -61,7 +61,7 @@ def png_encode(pixels: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 1))  # see sjpg note
         + _png_chunk(b"IEND", b"")
     )
 
@@ -183,12 +183,15 @@ def sjpg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     """Lossy encode (h, w, 3) uint8 -> bytes. Deterministic."""
     h, w, _ = pixels.shape
     q = _quality_qtable(quality)
-    planes = []
-    for c in range(3):
-        blocks, hb, wb = _blockify(pixels[:, :, c].astype(np.float64) - 128.0)
-        coeff = _D8 @ blocks @ _D8.T
-        planes.append(np.round(coeff / q).astype(np.int16))
-    payload = zlib.compress(np.concatenate(planes).tobytes(), 6)
+    all_blocks = [
+        _blockify(pixels[:, :, c].astype(np.float64) - 128.0)[0] for c in range(3)
+    ]
+    coeff = _D8 @ np.concatenate(all_blocks) @ _D8.T  # one batched matmul
+    planes = [np.round(coeff / q).astype(np.int16)]
+    # level 1: the quantized int16 planes are low-entropy (mostly zeros), so
+    # level 6 buys ~8% size for ~4x the CPU — the wrong trade on the fetch
+    # hot path (measured in round 2). Lossless container either way.
+    payload = zlib.compress(np.concatenate(planes).tobytes(), 1)
     return b"SJPG" + struct.pack(">BIIH", quality, w, h, 0) + payload
 
 
@@ -200,12 +203,13 @@ def sjpg_decode(data: bytes) -> np.ndarray:
     hb, wb = (h + 7) // 8, (w + 7) // 8
     nblocks = hb * wb
     coeffs = np.frombuffer(zlib.decompress(data[15:]), dtype=np.int16).reshape(3 * nblocks, 8, 8)
+    # ONE batched matmul across all 3 planes' blocks (BLAS saturates better
+    # on 3x the batch), then per-plane unblockify
+    blocks = _D8.T @ (coeffs.astype(np.float64) * q) @ _D8
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
-        blocks = _D8.T @ (coeffs[c * nblocks : (c + 1) * nblocks].astype(np.float64) * q) @ _D8
-        out[:, :, c] = np.clip(
-            np.round(_unblockify(blocks, hb, wb, h, w) + 128.0), 0, 255
-        ).astype(np.uint8)
+        plane = _unblockify(blocks[c * nblocks : (c + 1) * nblocks], hb, wb, h, w)
+        out[:, :, c] = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
     return out
 
 
@@ -311,12 +315,17 @@ def phash_hamming(a: int, b: int) -> int:
 def generate_pixels(key: str, w: int, h: int) -> np.ndarray:
     """Deterministic smooth RGB test image for ``key`` — sum of low-frequency
     cosine gratings with key-derived phases over a key-derived base color.
-    Smooth content keeps the lossy round-trip comfortably above PSNR 40dB."""
+    Smooth content keeps the lossy round-trip comfortably above PSNR 40dB.
+
+    Each grating cos(ax + by + φ) is expanded via the angle identity into
+    cos(by+φ)·cos(ax) − sin(by+φ)·sin(ax): O(h+w) transcendentals + two
+    rank-1 outer products instead of an (h, w) cos grid — ~4x faster with
+    the identical RNG draw sequence (only last-ulp float differences, and
+    the engine and oracle share this function, so parity is structural)."""
     seed = int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big")
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    yy /= max(h, 1)
-    xx /= max(w, 1)
+    y = np.arange(h, dtype=np.float64) / max(h, 1)
+    x = np.arange(w, dtype=np.float64) / max(w, 1)
     img = np.empty((h, w, 3), dtype=np.float64)
     for c in range(3):
         base = rng.uniform(64, 192)
@@ -325,6 +334,9 @@ def generate_pixels(key: str, w: int, h: int) -> np.ndarray:
             fx, fy = rng.uniform(0.5, 3.0, size=2)
             phase = rng.uniform(0, 2 * np.pi)
             amp = rng.uniform(10, 40)
-            acc += amp * np.cos(2 * np.pi * (fx * xx + fy * yy) + phase)
+            ax = (2 * np.pi * fx) * x
+            by = (2 * np.pi * fy) * y + phase
+            acc += amp * np.cos(by)[:, None] * np.cos(ax)[None, :]
+            acc -= amp * np.sin(by)[:, None] * np.sin(ax)[None, :]
         img[:, :, c] = acc
     return np.clip(np.round(img), 0, 255).astype(np.uint8)

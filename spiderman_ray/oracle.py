@@ -39,11 +39,13 @@ class ShardedSeenLocal:
     filters, so bloom false-positive behavior matches the engine exactly."""
 
     def __init__(self, policy: CrawlPolicy):
+        from spiderman_ray.state.seen import make_filter
+
         n = policy.num_shards
-        if policy.dedup_mode == "bloom":
-            self.filters = [NumpyBloom(policy.bloom_mem_mb, policy.bloom_k) for _ in range(n)]
-        else:
-            self.filters = [ExactSet() for _ in range(n)]
+        self.filters = [
+            make_filter(policy.dedup_mode, policy.bloom_mem_mb, policy.bloom_k)
+            for _ in range(n)
+        ]
         self.n = n
 
     def offer_one(self, fp: str) -> bool:
@@ -188,6 +190,7 @@ def run_oracle(
                 "attempts": attempts,
                 "vts_ms": t,
                 "ua_idx": web.ua_index(req["url"], attempts),
+                "cookie_idx": web.cookie_index(req["url"], attempts),
                 "fp": req["fp"],
             }
         )
@@ -223,6 +226,11 @@ def run_oracle(
     res.seen_fps = seen.fingerprints()
     res.seen_bitmaps = seen.bitmaps()
     res.metrics = {
+        "seen_count": sum(
+            len(f.fps) if isinstance(f, ExactSet)
+            else f.n_added - getattr(f, "n_deleted", 0)
+            for f in seen.filters
+        ),
         "crawled": len(res.crawl_order),
         "pages": len(res.pages),
         "details": len(res.details),

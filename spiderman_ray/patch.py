@@ -75,11 +75,32 @@ def run_patch(engine: CrawlEngine) -> dict:
         CrawlEngine._maybe_rerank(_gen_dir(out, "frontier", g))  # same rule as run()
         residual = find_residual(out, g, done_prior)
         if residual.num_rows:
-            # fresh pool per patched generation = the reference's cleared
-            # dupefilter; intra-residual first-wins still applies (fused)
-            pool = ShardedSeenSet(
-                num_shards=engine.policy.num_shards, mode="exact"
-            )
+            if engine.policy.dedup_mode == "cuckoo":
+                # cuckoo supports DELETION: restore the latest seen snapshot
+                # and surgically un-see the residual fps, then re-offer
+                # through the SAME pool — no fresh-pool workaround (the
+                # reference instead drops the whole Redis dupefilter,
+                # SP_JOBS/job.py:76-77). Residuals never offered before
+                # delete as a no-op and are accepted on offer either way.
+                pool = ShardedSeenSet(
+                    num_shards=engine.policy.num_shards, mode="cuckoo",
+                    bloom_mem_mb=engine.policy.bloom_mem_mb,
+                )
+                snap = None
+                for gg in range(g, -1, -1):
+                    cand = os.path.join(out, "seen", f"gen-{gg}")
+                    if os.path.isdir(cand):
+                        snap = cand
+                        break
+                if snap:
+                    pool.restore(snap)
+                    pool.delete(residual["fp"].to_pylist())
+            else:
+                # fresh pool per patched generation = the reference's cleared
+                # dupefilter; intra-residual first-wins still applies (fused)
+                pool = ShardedSeenSet(
+                    num_shards=engine.policy.num_shards, mode="exact"
+                )
             fetcher = FetchGroup(
                 engine.params, engine.policy, engine.pol_cfg, seen_pool=pool
             )

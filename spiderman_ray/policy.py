@@ -22,7 +22,7 @@ class CrawlPolicy:
     min_size: int | None = None  # MINSIZE; None = middleware off (reference default)
     dedup: bool = True  # global default (README's recommended config)
     dedup_overrides: dict[str, bool] = field(default_factory=dict)  # per callback
-    dedup_mode: str = "exact"  # 'exact' | 'bloom'
+    dedup_mode: str = "exact"  # 'exact' | 'bloom' | 'cuckoo' (north rule)
     bloom_mem_mb: int = 16
     bloom_k: int = 7
     num_shards: int = 4  # seen-set shards (engine actors == oracle sub-filters)

@@ -39,6 +39,22 @@ RETRY_HTTP_CODES = (500, 502, 503, 504, 522, 524, 408, 400, 403, 404)
 #: (SP/middlewares/SPMiddleWare.py:18-46): pick = f(url, attempt).
 UA_POOL_SIZE = 18
 
+#: Deterministic stand-in for the CookiesPool middleware's random pick from
+#: the account cookie pool (SP/middlewares/SPMiddleWare.py:88-103): one
+#: cookie jar per request, pick = f(url, attempt). Recorded in crawl_order
+#: like ua_idx so engine ≡ oracle is testable per fetch.
+COOKIE_POOL_SIZE = 10
+
+#: The reference loads ONE static header set per spider at middleware init
+#: (SPMiddleWare.py:49-63, headers read once from file). Deterministic
+#: analog: a fixed header dict; per-request behavior is covered by the
+#: ua_idx/cookie_idx picks.
+DEFAULT_HEADERS = {
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    "Accept-Language": "en-US,en;q=0.5",
+    "Connection": "keep-alive",
+}
+
 SCALES: dict[str, dict] = {
     "t1": dict(pages=5, details=4, images=2, hosts=3, img_hosts=2),
     "t2": dict(pages=50, details=10, images=4, hosts=8, img_hosts=3),
@@ -237,6 +253,11 @@ class SimWeb:
 
     def ua_index(self, url: str, attempt: int) -> int:
         return self._pick("ua", UA_POOL_SIZE, url, attempt)
+
+    def cookie_index(self, url: str, attempt: int) -> int:
+        """CookiesPool pick for the FINAL attempt of a fetch — deterministic
+        f(url, attempt), same contract as ua_index."""
+        return self._pick("cookie", COOKIE_POOL_SIZE, url, attempt)
 
     # -- the network -------------------------------------------------------
     def search_url(self, host_idx: int = 0) -> str:

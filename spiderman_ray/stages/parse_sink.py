@@ -54,6 +54,7 @@ CRAWL_ORDER = pa.schema(
         ("attempts", pa.int32()),
         ("vts_ms", pa.float64()),
         ("ua_idx", pa.int32()),
+        ("cookie_idx", pa.int32()),  # CookiesPool pick (SPMiddleWare.py:88-103)
         ("fp", pa.string()),  # enables exact patch anti-joins (POST bodies
         # are not reconstructible from the URL alone)
     ]
@@ -159,6 +160,7 @@ class ParseSink:
                     "attempts": row["attempts"],
                     "vts_ms": row["vts_ms"],
                     "ua_idx": row["ua_idx"],
+                    "cookie_idx": row["cookie_idx"],
                     "fp": row["fp"],
                 }
             )

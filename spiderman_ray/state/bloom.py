@@ -102,6 +102,14 @@ class ExactSet:
                 out[i] = True
         return out
 
+    def delete_batch(self, values) -> np.ndarray:
+        out = np.zeros(len(values), dtype=bool)
+        for i, v in enumerate(values):
+            if v in self.fps:
+                self.fps.discard(v)
+                out[i] = True
+        return out
+
     def state(self) -> dict:
         return {"mode": "exact", "fps": np.array(sorted(self.fps), dtype=object)}
 

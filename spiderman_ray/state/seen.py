@@ -33,6 +33,27 @@ import ray
 
 from spiderman_ray.functions.hashing import bloom_shards
 from spiderman_ray.state.bloom import ExactSet, NumpyBloom
+from spiderman_ray.state.cuckoo import CuckooFilter
+
+
+def make_filter(mode: str, mem_mb: int = 16, bloom_k: int = 7):
+    """Shared shard-filter factory: 'exact' | 'bloom' | 'cuckoo' (the north
+    rule's seen-set modes). Used by both the engine actors and the oracle's
+    in-process twin so the two always construct identical filters."""
+    if mode == "bloom":
+        return NumpyBloom(mem_mb, bloom_k)
+    if mode == "cuckoo":
+        return CuckooFilter(mem_mb)
+    return ExactSet()
+
+
+def restore_filter(st):
+    mode = str(st["mode"])
+    if mode == "bloom":
+        return NumpyBloom.from_state(st)
+    if mode == "cuckoo":
+        return CuckooFilter.from_state(st)
+    return ExactSet.from_state(st)
 
 
 @ray.remote(num_cpus=0.25)
@@ -43,7 +64,7 @@ class SeenShard:
     def __init__(self, shard_id: int, mode: str = "exact", bloom_mem_mb: int = 16, bloom_k: int = 7):
         self.shard_id = shard_id
         self.mode = mode
-        self.impl = NumpyBloom(bloom_mem_mb, bloom_k) if mode == "bloom" else ExactSet()
+        self.impl = make_filter(mode, bloom_mem_mb, bloom_k)
         # fp -> idempotency token of the offer that won it. Makes dedup safe
         # under Ray task retry: a replayed fetch group re-offers with its
         # deterministic token and gets its prior accepts back instead of
@@ -75,14 +96,22 @@ class SeenShard:
         self.impl.add_batch(fps)
         return len(fps)
 
+    def delete(self, fps: np.ndarray) -> np.ndarray:
+        """Surgical un-see (exact + cuckoo modes; bloom cannot delete) —
+        the patch-job re-offer path."""
+        return self.impl.delete_batch(fps)
+
     def count(self) -> int:
-        return self.impl.n_added if self.mode == "bloom" else len(self.impl.fps)
+        if self.mode == "bloom":
+            return self.impl.n_added
+        if self.mode == "cuckoo":
+            return self.impl.n_added - self.impl.n_deleted
+        return len(self.impl.fps)
 
     def dump(self):
-        """Exact mode: sorted fps array; bloom mode: the bitmap (tests)."""
-        return self.impl.bits if self.mode == "bloom" else np.array(
-            sorted(self.impl.fps), dtype=object
-        )
+        """Exact mode: sorted fps array; bloom/cuckoo: the bitmap/table."""
+        return np.array(sorted(self.impl.fps), dtype=object) if self.mode == "exact" \
+            else self.impl.bits
 
     def snapshot(self, path: str) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -91,11 +120,8 @@ class SeenShard:
 
     def restore(self, path: str) -> int:
         st = np.load(path, allow_pickle=True)
-        mode = str(st["mode"])
-        self.impl = (
-            NumpyBloom.from_state(st) if mode == "bloom" else ExactSet.from_state(st)
-        )
-        self.mode = mode
+        self.impl = restore_filter(st)
+        self.mode = str(st["mode"])
         return self.count()
 
 
@@ -140,6 +166,24 @@ class ShardedSeenSet:
     def clear_tokens(self) -> int:
         """Drop idempotency tokens (end of a generation barrier)."""
         return sum(ray.get([s.clear_tokens.remote() for s in self.shards]))
+
+    def delete(self, fps) -> np.ndarray:
+        """Un-see fingerprints (exact/cuckoo modes) — lets patch jobs
+        re-offer residual URLs through the SAME pool."""
+        fps = np.asarray(fps, dtype=object)
+        if len(fps) == 0:
+            return np.zeros(0, dtype=bool)
+        sid = self.route(fps)
+        out = np.zeros(len(fps), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            mask = sid == s
+            if mask.any():
+                refs.append(self.shards[s].delete.remote(fps[mask]))
+                idxs.append(np.nonzero(mask)[0])
+        for ref, idx in zip(ray.get(refs), idxs):
+            out[idx] = ref
+        return out
 
     def contains(self, fps) -> np.ndarray:
         fps = np.asarray(fps, dtype=object)

@@ -69,6 +69,9 @@ class TestT1Conformance:
         # UA middleware parity: deterministic pick f(url, attempt)
         # (replaces random.choice, SP/middlewares/SPMiddleWare.py:18-46)
         assert co["ua_idx"].tolist() == [c["ua_idx"] for c in t1_oracle.crawl_order]
+        # CookiesPool middleware parity: same contract, separate pool
+        # (SP/middlewares/SPMiddleWare.py:88-103)
+        assert co["cookie_idx"].tolist() == [c["cookie_idx"] for c in t1_oracle.crawl_order]
 
     def test_politeness_vclock_match(self, t1_engine, t1_oracle):
         _, _, out = t1_engine
@@ -472,3 +475,74 @@ def test_resume_recovers_rerank_crash_window(tmp_path):
         )
     eng._pool.shutdown()
     shutil.rmtree(out_b, ignore_errors=True)
+
+
+def test_rerank_distributed_matches_driver(tmp_path, monkeypatch):
+    """The distributed dense re-rank (sort + per-block offset cumsum) must
+    produce exactly the driver concat-sort's assignment."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spiderman_ray import schemas
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.parsers import RERANK_THRESHOLD, make_request
+
+    def write_frontier(d, seqs, parts=4):
+        os.makedirs(d, exist_ok=True)
+        rows = [
+            make_request(f"https://h0.example/list/{i}", "list", generation=3,
+                         seq=s, pagenum=i)
+            for i, s in enumerate(seqs)
+        ]
+        per = -(-len(rows) // parts)
+        for p in range(parts):
+            chunk = rows[p * per : (p + 1) * per]
+            if chunk:
+                pq.write_table(
+                    pa.Table.from_pylist(chunk, schema=schemas.FRONTIER),
+                    os.path.join(d, f"p{p}.parquet"),
+                )
+
+    # interleaved seqs across parts, all above threshold
+    seqs = [RERANK_THRESHOLD + k * 7 % 997 + k for k in range(200)]
+    fdir_a = str(tmp_path / "driver" / "gen=3")
+    fdir_b = str(tmp_path / "dist" / "gen=3")
+    write_frontier(fdir_a, seqs)
+    write_frontier(fdir_b, seqs)
+
+    CrawlEngine._maybe_rerank(fdir_a)  # driver path (under the cap)
+    monkeypatch.setenv("SPIDERMAN_RERANK_DRIVER_CAP", "0")  # force distributed
+    CrawlEngine._maybe_rerank(fdir_b)
+
+    def load(d):
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+        )
+        return t.to_pandas().sort_values("url").reset_index(drop=True)
+
+    a, b = load(fdir_a), load(fdir_b)
+    assert a["seq"].tolist() == b["seq"].tolist()
+    assert sorted(a["seq"]) == list(range(200))  # dense 0..n-1
+
+
+def test_cuckoo_mode_conformance(tmp_path):
+    """dedup_mode='cuckoo' (the north rule's second probabilistic mode):
+    crawl order and tables equal the oracle running the same cuckoo
+    filters; membership covers every crawled fp."""
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(dedup_mode="cuckoo", bloom_mem_mb=1, num_shards=3)
+    o = run_oracle(params, policy)
+    eng, metrics = _run(params, policy, str(tmp_path / "ck"))
+    assert metrics["crawled"] == o.metrics["crawled"]
+    assert metrics["images"] == o.metrics["images"]
+    co = _sorted_df(_table(str(tmp_path / "ck"), "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    # membership: every crawled fp answers True on the engine pool, and the
+    # engine inserted exactly as many fps as the oracle's filters did
+    assert eng._pool.contains(co["fp"].tolist()).all()
+    assert eng._pool.count() == o.metrics["seen_count"]
+    eng._pool.shutdown()

@@ -80,3 +80,35 @@ def test_patch_repairs_mid_depth_loss_and_descendants(tmp_path):
             df.drop(columns=["vts_ms"], errors="ignore"),
             after[t].drop(columns=["vts_ms"], errors="ignore"),
         )
+
+
+def test_patch_cuckoo_deletion_mode(tmp_path):
+    """In cuckoo mode the patch job restores the seen snapshot, DELETES the
+    residual fps and re-offers through the same pool (no fresh-pool
+    workaround) — repaired tables equal the undamaged run."""
+    import shutil as _sh
+
+    from spiderman_ray.engine import CrawlEngine, _gen_dir
+    from spiderman_ray.patch import find_residual, run_patch
+
+    params = SimParams.for_scale("t1")
+    policy = CrawlPolicy(dedup_mode="cuckoo", bloom_mem_mb=1, num_shards=3)
+    out = str(tmp_path / "ckpatch")
+    eng = CrawlEngine(params, policy, out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+    before = _tables(out)
+
+    import os
+
+    for t in ("images", "crawl_order", "dead_letters"):
+        d = os.path.join(out, "tables", t, "gen=2")
+        if os.path.isdir(d):
+            _sh.rmtree(d)
+    assert find_residual(out, 2).num_rows > 0
+
+    stats = run_patch(eng)
+    assert stats and 2 in stats
+    after = _tables(out)
+    for t, df in before.items():
+        pd.testing.assert_frame_equal(df, after[t])

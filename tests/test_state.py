@@ -183,3 +183,65 @@ def test_write_part_idempotent_rewrite(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(os.path.join(d, files[0])).num_rows == 2
+
+
+def test_cuckoo_filter_offer_contains_delete():
+    from spiderman_ray.state.cuckoo import CuckooFilter
+
+    f = CuckooFilter(mem_mb=1)
+    fps = [f"FP{i:04d}ABCDEF" for i in range(500)]
+    acc = f.offer_batch(fps)
+    assert acc.all()
+    assert not f.offer_batch(fps).any()  # second offer rejected
+    assert f.contains_batch(fps).all()
+    assert f.n_added == 500
+
+    # deletion: un-see half, re-offer accepts exactly those
+    half = fps[:250]
+    assert f.delete_batch(half).all()
+    assert not f.contains_batch(half).any()
+    assert f.contains_batch(fps[250:]).all()
+    acc2 = f.offer_batch(fps)
+    assert acc2[:250].all() and not acc2[250:].any()
+
+
+def test_cuckoo_snapshot_roundtrip(tmp_path):
+    import numpy as np
+
+    from spiderman_ray.state.cuckoo import CuckooFilter
+
+    f = CuckooFilter(mem_mb=1)
+    fps = [f"K{i}" for i in range(300)]
+    f.offer_batch(fps)
+    np.savez_compressed(str(tmp_path / "s"), **f.state())
+    st = np.load(str(tmp_path / "s.npz"), allow_pickle=True)
+    g = CuckooFilter.from_state(st)
+    assert (g.table == f.table).all()
+    assert g.contains_batch(fps).all()
+    assert g.n_added == f.n_added
+
+
+def test_cuckoo_capacity_error():
+    import pytest
+
+    from spiderman_ray.state.cuckoo import CuckooFilter
+
+    f = CuckooFilter(mem_mb=0)  # floor: 64 buckets x 4 slots = 256 slots
+    with pytest.raises(RuntimeError, match="capacity"):
+        f.offer_batch([f"X{i}" for i in range(400)])
+
+
+def test_sharded_seen_cuckoo_mode_and_delete():
+    import numpy as np
+
+    from spiderman_ray.state.seen import ShardedSeenSet
+
+    pool = ShardedSeenSet(num_shards=3, mode="cuckoo", bloom_mem_mb=1)
+    fps = np.array([f"F{i}" for i in range(200)], dtype=object)
+    assert pool.offer(fps).all()
+    assert not pool.offer(fps).any()
+    assert pool.count() == 200
+    assert pool.delete(fps[:50]).all()
+    assert pool.count() == 150
+    assert pool.offer(fps[:50]).all()  # re-offer after delete accepted
+    pool.shutdown()
