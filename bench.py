@@ -72,7 +72,7 @@ def run_bench() -> dict:
             SimParams.for_scale("bench"),
             CrawlPolicy(),
             out_dir=out,
-            salt_max_group=800,
+            salt_max_group=400,
         )
         m = eng.run()
         eng._pool.shutdown()

@@ -78,10 +78,27 @@ def _count_parquet_rows(dir_path: str) -> int:
     return total
 
 
-def _host_counts(frontier_dir: str) -> dict:
+def _host_counts(frontier_dir: str, n_rows: int | None = None) -> dict:
+    """Host histogram of a frontier checkpoint. Hosts are bounded (the
+    politeness config enumerates them), rows are not: below the cap the
+    driver scans just the host column; above it, per-block value_counts
+    run as Ray tasks and only the tiny per-block histograms return."""
     import collections
 
     ctr: collections.Counter = collections.Counter()
+    cap = int(os.environ.get("SPIDERMAN_HISTOGRAM_DRIVER_CAP", "2000000"))
+    if n_rows is not None and n_rows > cap and ray.is_initialized():
+        def vc_batch(t: pa.Table) -> pa.Table:
+            vc = t["host"].combine_chunks().value_counts()
+            return pa.table({"host": vc.field("values"), "n": vc.field("counts")})
+
+        parts = rd.read_parquet(frontier_dir, columns=["host"]).map_batches(
+            vc_batch, batch_format="pyarrow"
+        )
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            for v, c in zip(b["host"].to_pylist(), b["n"].to_pylist()):
+                ctr[v] += c
+        return {"host": list(ctr.keys()), "count()": list(ctr.values())}
     for f in os.listdir(frontier_dir):
         if f.endswith(".parquet"):
             col = pq.read_table(os.path.join(frontier_dir, f), columns=["host"])["host"]
@@ -126,7 +143,7 @@ class CrawlEngine:
         delays_ms: dict[str, int] | None = None,
         parse_batch_size: int = 256,
         salt_max_group: int | None = None,
-        auto_salt_cap: int = 128,
+        auto_salt_cap: int = 64,
         parsers: dict | None = None,
         seed_fn=None,
     ):
@@ -389,8 +406,13 @@ class CrawlEngine:
             # packed into blocks), so block count IS the fetch parallelism —
             # too few blocks leaves CPUs idle behind stragglers; tiny
             # generations must still not pay a wide sort.
+            # ~500 rows/block, capped at 8 tasks/CPU: finer blocks shrink the
+            # sort-boundary-sampling straggler (round-2 measured: max task 2x
+            # mean at 1000-row blocks; 500/8x cut gen-2 wall ~15%)
             ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-            nblocks = max(1, min(n_frontier // 1000 + 1, 4 * ncpu))
+            div = int(os.environ.get("SPIDERMAN_NBLOCKS_DIV", "500"))
+            capx = int(os.environ.get("SPIDERMAN_NBLOCKS_CAP_X", "8"))
+            nblocks = max(1, min(n_frontier // div + 1, capx * ncpu))
             frontier = read_dataset(fdir, override_num_blocks=nblocks)
             # dedup is fused into the fetch stage (one shuffle serves dedup
             # AND politeness: fp determines host) — see stages/fetch.py
@@ -404,12 +426,11 @@ class CrawlEngine:
             # (throughput mode) and then draw slot ranges from HostClock.
             salt_map: dict[str, int] = {}
             need_clock = False
-            # host histogram straight off the frontier checkpoint (one
-            # column, no Ray job — the checkpoint was just written). At
-            # 10^10 the same histogram comes from the previous generation's
-            # hostmeta aggregate instead of a raw scan.
+            # host histogram off the frontier checkpoint — driver scan of
+            # the one column below a cap, distributed per-block
+            # value_counts above it (see _host_counts)
             mark("count")
-            counts = _host_counts(fdir)
+            counts = _host_counts(fdir, n_rows=n_frontier)
             mark("salt_histogram")
             for h, c in zip(counts["host"], counts["count()"]):
                 cfg = self.pol_cfg.get(h)

@@ -64,15 +64,49 @@ def find_residual(out: str, g: int, done_prior: set | None = None) -> pa.Table:
     return frontier.filter(pa.array(mask))
 
 
+def find_lost_attachments(out: str, g: int) -> pa.Table:
+    """Image-callback frontier rows of generation g that WERE crawled
+    (crawl_order has their fp) but whose sink row is gone from the images
+    table — the reference's attachment-repair case (DownLoad.make_job
+    re-offers files whose status != success, download.py + SP_JOBS). A
+    plain ``find_residual`` misses these because the fp looks done."""
+    frontier = _frontier_table(out, g)
+    if frontier.num_rows == 0:
+        return frontier
+    import pyarrow.compute as pc
+
+    imgs = frontier.filter(pc.equal(frontier["callback"], "image"))
+    if imgs.num_rows == 0:
+        return imgs
+    done = set(_read_gen_table(out, "crawl_order", g)["fp"].to_pylist())
+    have = set(_read_gen_table(out, "images", g)["image_id"].to_pylist())
+    mask = [fp in done and fp not in have for fp in imgs["fp"].to_pylist()]
+    return imgs.filter(pa.array(mask))
+
+
 def run_patch(engine: CrawlEngine) -> dict:
     """Repair an (interrupted or damaged) run in place. Returns per-gen
     stats: {gen: residual_rows_processed}."""
+    import shutil
+
     out = engine.out
     stats: dict[int, int] = {}
     done_prior: set = set()
     g = 0
     while g < engine.policy.max_generations and os.path.isdir(_gen_dir(out, "frontier", g)):
         CrawlEngine._maybe_rerank(_gen_dir(out, "frontier", g))  # same rule as run()
+        if find_lost_attachments(out, g).num_rows:
+            # sink rows lost though the fetch log says done: re-crawling
+            # only the lost rows would duplicate crawl_order parts (part
+            # keys depend on batch grouping), so drop this generation's
+            # sinks and let the normal residual path re-crawl it whole —
+            # deterministic fetches + content-keyed parts make the redo
+            # idempotent.
+            for t in ("pages", "details", "images", "dead_letters",
+                      "crawl_order", "hostmeta"):
+                d = os.path.join(out, "tables", t, f"gen={g}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
         residual = find_residual(out, g, done_prior)
         if residual.num_rows:
             if engine.policy.dedup_mode == "cuckoo":

@@ -137,13 +137,26 @@ def phash_near_dups(images_uri: str, max_hamming: int = 3) -> pa.Table:
 
 
 def validate_summary(images_uri: str) -> pa.Table:
-    """Aggregate of decode_validate: totals + failures (0 expected)."""
-    df = decode_validate(images_uri).to_pandas()
-    return pa.table(
-        {
-            "n_images": pa.array([len(df)], type=pa.int64()),
-            "n_w_bad": pa.array([int((~df["w_ok"]).sum())], type=pa.int64()),
-            "n_h_bad": pa.array([int((~df["h_ok"]).sum())], type=pa.int64()),
-            "n_phash_bad": pa.array([int((~df["phash_ok"]).sum())], type=pa.int64()),
-        }
+    """Aggregate of decode_validate: totals + failures (0 expected).
+    Distributed: per-batch partial counts reduce through Ray's Sum — the
+    validation rows never materialize on the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_images": [len(batch)],
+                "n_w_bad": [int((~batch["w_ok"]).sum())],
+                "n_h_bad": [int((~batch["h_ok"]).sum())],
+                "n_phash_bad": [int((~batch["phash_ok"]).sum())],
+            }
+        )
+
+    agg = decode_validate(images_uri).map_batches(partial, batch_format="pandas").aggregate(
+        Sum("n_images", alias_name="n_images"),
+        Sum("n_w_bad", alias_name="n_w_bad"),
+        Sum("n_h_bad", alias_name="n_h_bad"),
+        Sum("n_phash_bad", alias_name="n_phash_bad"),
     )
+    return pa.table({k: pa.array([int(agg[k])], type=pa.int64()) for k in
+                     ("n_images", "n_w_bad", "n_h_bad", "n_phash_bad")})

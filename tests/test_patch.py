@@ -112,3 +112,31 @@ def test_patch_cuckoo_deletion_mode(tmp_path):
     after = _tables(out)
     for t, df in before.items():
         pd.testing.assert_frame_equal(df, after[t])
+
+
+def test_patch_repairs_lost_attachment_table(tmp_path):
+    """Losing ONLY the images table (crawl_order intact) must still repair —
+    the DownLoad.make_job attachment-redo case: the fetch log says done,
+    the sink disagrees."""
+    import os
+    import shutil as _sh
+
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.patch import find_lost_attachments, find_residual, run_patch
+
+    params = SimParams.for_scale("t1")
+    out = str(tmp_path / "attach")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+    before = _tables(out)
+
+    _sh.rmtree(os.path.join(out, "tables", "images", "gen=2"))
+    assert find_residual(out, 2).num_rows == 0  # the plain anti-join is blind
+    assert find_lost_attachments(out, 2).num_rows > 0  # the integrity check is not
+
+    stats = run_patch(eng)
+    assert stats.get(2, 0) > 0
+    after = _tables(out)
+    for t, df in before.items():
+        pd.testing.assert_frame_equal(df, after[t])
