@@ -107,6 +107,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["image_id", "w", "h", "fmt", "phash"]
         )
 
+    def _docs_as_media(sf_dir: str, id_col: str) -> Any:
+        """Deterministic media table synthesized from documents: payload =
+        UTF-8 text bytes (the brief's opaque-binary multimodal column)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        def conv(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = pc.cast(batch["doc_id"], pa.string())
+            payload = pc.cast(batch["text"], pa.binary())
+            return pa.table({id_col: ids, "payload": payload})
+
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(conv, batch_format="pyarrow")
+
+    def video_frames(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.multimodal import video_frame_sample
+
+        return video_frame_sample(
+            _docs_as_media(sf_dir, "video_id"), every_nth=8
+        ).drop_columns(["frame_bytes"])  # bytes are RNG-fake; structure is the oracle
+
+    def audio_features(sf_dir: str) -> Any:
+        import ray.data as rd  # noqa: F401  (symmetry with video_frames)
+
+        from spiderman_ray.pipelines import pool_size
+        from spiderman_ray.pipelines.multimodal import AudioFeatures
+
+        return _docs_as_media(sf_dir, "clip_id").map_batches(
+            AudioFeatures, batch_format="pyarrow", batch_size=64,
+            concurrency=pool_size(4), num_cpus=1,
+        )
+
     return {
         # -- crawl engine (pytest-verified vs oracle; rows-only here) ------
         "crawl_images": crawl_images,
@@ -157,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible; pytest measures recall vs the exact operator)
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         "embedding_norms": V.embedding_norms,
+        # -- multimodal plumbing over synthesized binary payloads ----------
+        "video_frames": video_frames,
+        "audio_features": audio_features,
     }
 
 
@@ -539,6 +577,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT lbl AS doc_id FROM m"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        # video sampling structure (frame indices, dims, per-doc frame
+        # counts) is payload-length arithmetic — fully SQL-checkable even
+        # though the fake frame bytes are not
+        "video_frames": (
+            "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS video_id, "
+            "GREATEST(octet_length(encode(text)) // 256, 1) AS nf FROM documents) "
+            "SELECT video_id, CAST(unnest(range(0, nf, 8)) AS BIGINT) AS frame_idx, "
+            "16 AS w, 16 AS h FROM v"
+        ),
         # nprobe == n_centroids probes every IVF cell -> exhaustive search ->
         # identical to the exact top-k oracle
         "ann_ivf_topk": (

@@ -102,7 +102,7 @@ def run_bench() -> dict:
         ("token_stats", lambda: T.token_stats(SF_DIR).count()),
         ("lang_id", lambda: T.lang_id(SF_DIR).count()),
         ("simhash", lambda: T.simhash_table(SF_DIR).count()),
-        ("dedup_minhash", lambda: T.dedup_minhash_survivors(SF_DIR).num_rows),
+        ("dedup_minhash", lambda: T.dedup_minhash_survivors(SF_DIR).count()),
         ("ann_cosine_topk", lambda: V.ann_cosine_topk(SF_DIR).num_rows),
         ("cosine_dup_pairs", lambda: V.cosine_dup_pairs(SF_DIR).num_rows),
     ]:

@@ -131,10 +131,64 @@ class AudioFeatures:
         return pa.Table.from_pydict(out, schema=AUDIO_FEATURES)
 
 
-def video_frame_sample(*_a, **_k):
-    """Video frame sampling stage — NOT IMPLEMENTED in this container (no
-    video codec). The contract is VIDEO_FRAMES; the stage shape is identical
-    to Thumbnailer (actor pool, small batches, binary in/out)."""
-    raise NotImplementedError(
-        "video decode requires a codec library not present in this container"
+class VideoFrameSampler:
+    """Actor-pool stage contract for video frame sampling.
+
+    STUB decoder: this container has no video codec library, so
+    ``deterministic_fake`` mode synthesizes frames from the payload bytes
+    (seeded, reproducible) — the Ray plumbing (actor pool, small batches,
+    binary in / binary frames out, every-Nth sampling, VIDEO_FRAMES
+    schema) is real and tested; a real decoder (pyav/ffmpeg) replaces
+    ``_decode_frames`` only."""
+
+    def __init__(self, every_nth: int = 8, frame_px: int = 16,
+                 mode: str = "deterministic_fake"):
+        if mode not in ("deterministic_fake",):
+            raise NotImplementedError(
+                "real video decode requires a codec library not present in "
+                "this container; use mode='deterministic_fake'"
+            )
+        self.every_nth = every_nth
+        self.frame_px = frame_px
+
+    def _decode_frames(self, video_id: str, payload: bytes) -> np.ndarray:
+        """(n_frames, px, px, 3) uint8 — fake but deterministic: frame count
+        scales with payload size, pixels seeded by (payload head, frame)."""
+        n_frames = max(1, len(payload) // 256)
+        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "big") ^ len(payload)
+        rng = np.random.default_rng(seed)
+        return rng.integers(
+            0, 256, size=(n_frames, self.frame_px, self.frame_px, 3), dtype=np.uint8
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spiderman_ray.functions.imaging import encode_image
+
+        out = {k: [] for k in ("video_id", "frame_idx", "frame_bytes", "w", "h")}
+        for row in batch.to_pylist():
+            frames = self._decode_frames(row["video_id"], row["payload"])
+            for idx in range(0, len(frames), self.every_nth):
+                out["video_id"].append(row["video_id"])
+                out["frame_idx"].append(idx)
+                out["frame_bytes"].append(encode_image(frames[idx], "png"))
+                out["w"].append(self.frame_px)
+                out["h"].append(self.frame_px)
+        return pa.Table.from_pydict(out, schema=VIDEO_FRAMES)
+
+
+def video_frame_sample(videos: rd.Dataset, every_nth: int = 8,
+                       concurrency: int = 4) -> rd.Dataset:
+    """Video frame-sampling pipeline over a (video_id, payload) table —
+    same stage shape as Thumbnailer (actor pool, small batches, binary
+    in/out). Decode is a declared deterministic fake (no codec in this
+    container); everything Ray-side is real."""
+    from spiderman_ray.pipelines import pool_size
+
+    return videos.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_nth": every_nth},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
     )

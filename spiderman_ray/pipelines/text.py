@@ -220,20 +220,53 @@ _BANDS = 16  # 16 bands x 4 rows
 _ROWS = _N_HASHES // _BANDS
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles (uint64). Tokenization is split-on-single-space
-    (== DuckDB ``string_split(text, ' ')``) so the SQL oracle's shingle sets
-    match exactly."""
-    words = text.split(" ")
-    if len(words) < k:
-        joined = [" ".join(words)] if words else [""]
-    else:
-        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(
-        np.frombuffer(
-            b"".join(hashlib.md5(s.encode()).digest()[:8] for s in joined), dtype=np.uint64
-        )
+#: odd 64-bit mix constants for order-sensitive shingle combination
+_SH_A = np.uint64(0x9E3779B97F4A7C15)
+_SH_B = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_C = np.uint64(0x165667B19E3779F9)
+
+
+def _shingle_hashes_batch(texts, k: int = 3) -> list[np.ndarray]:
+    """Hashed k-word shingle SETS for a batch of docs (uint64 arrays).
+
+    Tokenization is split-on-single-space (== DuckDB ``string_split``).
+    The BATCH VOCABULARY is md5-hashed once (one digest per distinct word,
+    not per shingle occurrence — the round-1 review's md5-per-word fix);
+    a shingle's hash is the order-sensitive mix w1*A + w2*B + w3*C mod
+    2^64 of its word hashes. Set SEMANTICS equal distinct shingle strings
+    (what the SQL oracle computes) up to ~2^-64 collisions, so exact
+    Jaccard matches the string-set oracle."""
+    docs_words = [t.split(" ") for t in texts]
+    vocab: dict[str, int] = {}
+    for ws in docs_words:
+        for w in ws:
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in vocab),
+        dtype=np.uint64, count=len(vocab),
     )
+    out = []
+    for ws in docs_words:
+        if len(ws) < k:
+            joined = " ".join(ws)
+            out.append(
+                np.array(
+                    [int.from_bytes(hashlib.md5(joined.encode()).digest()[:8], "big")],
+                    dtype=np.uint64,
+                )
+            )
+            continue
+        idx = np.fromiter((vocab[w] for w in ws), dtype=np.int64, count=len(ws))
+        h = hv[idx]
+        with np.errstate(over="ignore"):
+            sh = h[:-2] * _SH_A + h[1:-1] * _SH_B + h[2:] * _SH_C
+        out.append(np.unique(sh))
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    return _shingle_hashes_batch([text], k)[0]
 
 
 class MinHasher:
@@ -248,18 +281,21 @@ class MinHasher:
         self.a = rng.integers(1, np.iinfo(np.uint64).max, size=_N_HASHES, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, np.iinfo(np.uint64).max, size=_N_HASHES, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text)
+    def _sig_of(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.zeros(_N_HASHES, dtype=np.uint64)
         with np.errstate(over="ignore"):
             vals = sh[:, None] * self.a[None, :] + self.b[None, :]
         return np.min(vals, axis=0)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._sig_of(_shingle_hashes(text))
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        shs = _shingle_hashes_batch(list(batch["text"]))  # vocab hashed once
         out = {"doc_id": [], "band": [], "band_hash": []}
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
+        for doc_id, sh in zip(batch["doc_id"], shs):
+            sig = self._sig_of(sh)
             for band in range(_BANDS):
                 chunk = sig[band * _ROWS : (band + 1) * _ROWS]
                 bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
@@ -383,11 +419,9 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
             )
         need = set(reqs["doc_id"])
         texts = g[g["a"] < 0]
-        sigs = {
-            did: _shingle_hashes(txt).tobytes()
-            for did, txt in zip(texts["doc_id"], texts["text"])
-            if did in need
-        }
+        hit = texts[texts["doc_id"].isin(need)]
+        shs = _shingle_hashes_batch(list(hit["text"]))
+        sigs = {did: sh.tobytes() for did, sh in zip(hit["doc_id"], shs)}
         return pa.table(
             {
                 "a": pa.array(reqs["a"].to_numpy(), type=pa.int64()),
@@ -441,64 +475,67 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return res.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
-    """Near-dup survivors = min doc_id per connected component of the
-    verified-pair graph, singletons included. Returns a DATASET (survivors
-    are corpus-sized — they must never materialize on the driver).
+class _MinUnionFind:
+    """Union-find whose root is always the MIN id of its component."""
 
-    DISTRIBUTED min-label propagation (replaces the round-1 driver-side
-    union-find): labels live as a (node, lbl) Dataset over the pair-graph
-    nodes only; each round ships every node's current label across its
-    edges via two shard-grouped exchanges and takes the min. Labels only
-    decrease, so the iteration converges when sum(lbl) is stable (graph
-    diameter rounds; near-dup clusters are tiny). Survivors = documents
-    anti-joined against the dominated nodes (lbl < node), the same
-    broadcast-key anti-join as relational.missing_pages; at extreme dup
-    rates the loser set becomes a bloom filter (state/bloom.py)."""
-    pairs = minhash_verified_pairs_ds(sf_dir, threshold).drop_columns(["jaccard_x10k"])
+    def __init__(self):
+        self.parent: dict[int, int] = {}
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        u = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate([u, v])),
-                "node": pa.array(np.concatenate([v, u])),
-                "lbl": pa.array(np.full(2 * len(u), -1, dtype=np.int64)),
-            }
-        )
+    def find(self, x: int) -> int:
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        return rd.read_parquet(_pq(sf_dir), columns=["doc_id"])
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _cc_losers_distributed(edges: rd.Dataset) -> set:
+    """Connected components over a (key=u, node=v, lbl=-1 | key=node, lbl)
+    edge+label Dataset via shard-grouped LOCAL union-find rounds: each round
+    every shard unions its local edges + incoming labels and emits min
+    labels, a second grouping takes the per-node min. Labels only decrease,
+    so a stable sum means converged — typically 2 rounds for near-dup
+    clusters, O(log diameter) in general (local UF collapses everything a
+    shard can see, unlike plain min-over-neighbors)."""
+    from ray.data.aggregate import Sum
 
     def init_labels(batch: pa.Table) -> pa.Table:
-        keys = np.unique(batch["key"].to_numpy(zero_copy_only=False))
+        keys = np.unique(
+            np.concatenate(
+                [
+                    batch["key"].to_numpy(zero_copy_only=False),
+                    batch["node"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
         return pa.table({"key": pa.array(keys), "node": pa.array(keys), "lbl": pa.array(keys)})
 
     def shard_key(batch: pa.Table) -> pa.Table:
         return batch.append_column("_s", pa.array(_shard64_of(batch["key"].to_pylist())))
 
-    def send(g: pd.DataFrame) -> pd.DataFrame:
-        """One shard of keys: local label map -> candidate labels out."""
+    def local_uf(g: pd.DataFrame) -> pd.DataFrame:
+        uf = _MinUnionFind()
         lbls = g[g["lbl"] >= 0]
-        cur = dict(zip(lbls["key"], lbls["lbl"]))
+        for node, lbl in zip(lbls["key"], lbls["lbl"]):
+            uf.union(int(node), int(lbl))
         es = g[g["lbl"] < 0]
-        out_node = np.concatenate(
-            [lbls["node"].to_numpy(), es["node"].to_numpy()]
-        )
-        out_lbl = np.concatenate(
-            [lbls["lbl"].to_numpy(), np.array([cur[k] for k in es["key"]], dtype=np.int64)]
-        )
-        return pd.DataFrame({"key": out_node, "node": out_node, "lbl": out_lbl})
+        for u, v in zip(es["key"], es["node"]):
+            uf.union(int(u), int(v))
+        nodes = sorted(uf.parent)
+        roots = np.array([uf.find(n) for n in nodes], dtype=np.int64)
+        nodes = np.array(nodes, dtype=np.int64)
+        return pd.DataFrame({"key": nodes, "node": nodes, "lbl": roots})
 
     def take_min(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("node", sort=False)["lbl"].min().reset_index()
         return pd.DataFrame({"key": m["node"], "node": m["node"], "lbl": m["lbl"]})
 
-    # labels over pair-graph nodes only (dedup across shards via the first
-    # take_min pass); the label rows reuse the edge row layout so one
-    # groupby carries both
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow")
         .map_batches(shard_key, batch_format="pyarrow")
@@ -506,15 +543,13 @@ def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
         .map_groups(take_min, batch_format="pandas")
         .materialize()
     )
-    from ray.data.aggregate import Sum
-
     prev_sum = None
     while True:
         labels = (
             labels.union(edges)
             .map_batches(shard_key, batch_format="pyarrow")
             .groupby("_s")
-            .map_groups(send, batch_format="pandas")
+            .map_groups(local_uf, batch_format="pandas")
             .map_batches(shard_key, batch_format="pyarrow")
             .groupby("_s")
             .map_groups(take_min, batch_format="pandas")
@@ -529,6 +564,52 @@ def dedup_minhash_survivors(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     for batch in labels.iter_batches(batch_format="pandas"):
         dominated = batch[batch["lbl"] < batch["node"]]
         losers.update(dominated["node"].tolist())
+    return losers
+
+
+def dedup_minhash_survivors(
+    sf_dir: str, threshold: float = 0.6, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
+    """Near-dup survivors = min doc_id per connected component of the
+    verified-pair graph, singletons included. Returns a DATASET (survivors
+    are corpus-sized — they must never materialize on the driver).
+
+    The PAIR graph is LSH-bounded, not corpus-bounded: below
+    ``driver_pair_cap`` pairs a driver union-find is strictly faster than
+    paying distributed-round fixed costs (same size-gated pattern as the
+    frontier re-rank); above it, shard-grouped local-union-find label
+    propagation runs fully distributed (``_cc_losers_distributed`` — the
+    round-1 review's scale fix, tested equal to the driver path).
+    Survivors = documents anti-joined against the dominated nodes
+    (lbl < node), the same broadcast-key anti-join as
+    relational.missing_pages; at extreme dup rates the loser set becomes a
+    bloom filter (state/bloom.py)."""
+    pairs = minhash_verified_pairs_ds(sf_dir, threshold).drop_columns(["jaccard_x10k"])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([u, v])),
+                "node": pa.array(np.concatenate([v, u])),
+                "lbl": pa.array(np.full(2 * len(u), -1, dtype=np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.read_parquet(_pq(sf_dir), columns=["doc_id"])
+    if n_edges <= driver_pair_cap:
+        uf = _MinUnionFind()
+        for batch in edges.iter_batches(batch_format="pandas"):
+            es = batch[batch["lbl"] < 0]
+            for u, v in zip(es["key"], es["node"]):
+                uf.union(int(u), int(v))
+        losers = {n for n in uf.parent if uf.find(n) != n}
+    else:
+        losers = _cc_losers_distributed(edges)
     loser_set = pa.array(sorted(losers), type=pa.int64())
 
     def anti(batch: pa.Table) -> pa.Table:

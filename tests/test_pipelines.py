@@ -110,9 +110,34 @@ def test_audio_features_fake_and_video_stub():
     pd.testing.assert_frame_equal(out, out2)
 
     with pytest.raises(NotImplementedError):
-        video_frame_sample()
-    with pytest.raises(NotImplementedError):
         AudioFeatures(mode="real")
+
+    # video: deterministic-fake decoder, REAL actor-pool plumbing — every
+    # 8th frame sampled, frames encoded as PNG binary, schema enforced
+    from spiderman_ray.functions.imaging import decode_image
+    from spiderman_ray.pipelines.multimodal import VideoFrameSampler
+
+    vids = pa.table(
+        {
+            "video_id": ["v1", "v2"],
+            "payload": [b"\x05\x06videobytes" * 300, b"tiny"],
+        }
+    )
+    frames = (
+        rd.from_arrow(vids)
+        .map_batches(VideoFrameSampler, fn_constructor_kwargs={"every_nth": 8},
+                     batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+    )
+    assert list(frames.columns) == ["video_id", "frame_idx", "frame_bytes", "w", "h"]
+    v1 = frames[frames["video_id"] == "v1"]
+    assert len(v1) == (len(b"\x05\x06videobytes" * 300) // 256 + 7) // 8
+    assert (v1["frame_idx"] % 8 == 0).all()
+    px = decode_image(v1.iloc[0]["frame_bytes"])
+    assert px.shape == (16, 16, 3)
+    assert len(frames[frames["video_id"] == "v2"]) == 1  # tiny payload: 1 frame
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(mode="real")
 
 
 def test_ann_ivf_recall_vs_exact():
@@ -237,3 +262,34 @@ def test_cosine_lsh_recall_vs_exact():
     lsh = set(map(tuple, cosine_dup_pairs_lsh(sf).to_pandas().values))
     assert lsh <= exact  # verify step: no false positives, ever
     assert len(exact & lsh) >= 0.8 * len(exact)
+
+
+def test_dedup_minhash_distributed_cc_equals_driver(tmp_path):
+    """The distributed local-union-find label propagation must produce the
+    same survivors as the driver union-find (forced via driver_pair_cap=0
+    on a corpus with planted duplicate chains)."""
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    rows = [base[["doc_id", "text"]]]
+    # chain: 90001 ~ doc0 ~ 90002 (transitive component of 3)
+    t0 = base.iloc[0]["text"]
+    words = t0.split()
+    rows.append(pd.DataFrame({
+        "doc_id": [90001, 90002, 90003],
+        "text": [
+            " ".join(words[: int(len(words) * 0.95)]) + " zzz",
+            " ".join(words[: int(len(words) * 0.9)]) + " yyy www",
+            base.iloc[1]["text"] + " qqq",
+        ],
+    }))
+    d = tmp_path / "cc"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(rows), preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    from spiderman_ray.pipelines.text import dedup_minhash_survivors
+
+    drv = sorted(dedup_minhash_survivors(str(d)).to_pandas()["doc_id"])
+    dist = sorted(dedup_minhash_survivors(str(d), driver_pair_cap=0).to_pandas()["doc_id"])
+    assert drv == dist
+    assert 90001 not in drv and 90002 not in drv  # chained dups lose to doc 0
