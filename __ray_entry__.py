@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": T.dedup_minhash_survivors,
         "simhash": T.simhash_table,
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
+        # exact inverted-index member of the dedup family (no LSH)
+        "ngram_jaccard_pairs": lambda sf: T.ngram_jaccard_pairs(sf),
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
         # nprobe=n_centroids -> exhaustive probe: exercises the full IVF
@@ -418,9 +420,21 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     return out
 
 
+def _meta_oracle_sql() -> dict[str, str]:
+    """meta_table is deterministic pure Python, so its independent oracle is
+    a FROZEN snapshot pin (tools/meta_oracle_pin.sql, regenerated only by a
+    human via tools/freeze_meta_oracle.py): accidental schema/comment drift
+    fails the driver hash gate."""
+    pin = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tools", "meta_oracle_pin.sql")
+    if not os.path.isfile(pin):
+        return {}
+    return {"meta_table": open(pin).read()}
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "'the','and','of','a','to','in','is','on','for','with'"
-    return _crawl_oracle_sqls() | {
+    return _crawl_oracle_sqls() | _meta_oracle_sql() | {
         "missing_pages": (
             "SELECT o_orderkey, o_orderstatus FROM orders "
             "WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)"
@@ -575,6 +589,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
             "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
             "SELECT DISTINCT lbl AS doc_id FROM m"
+        ),
+        "ngram_jaccard_pairs": (
+            # brute-force reference for the engine's inverted-index join;
+            # integer (inter, union) columns — no float rounding contract
+            f"WITH {_SHINGLES_CTE}, "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            "len(list_intersect(a.s, b.s)) AS inter, "
+            "len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_sz "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+            "CAST(union_sz AS BIGINT) AS union_sz "
+            "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
         # video sampling structure (frame indices, dims, per-doc frame

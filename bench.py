@@ -1,7 +1,7 @@
 """Benchmark harness: headline crawl + data pipelines, one JSON line out.
 
     GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
-    python bench.py --scaling     # 8 vs 32 CPUs in fresh processes
+    python bench.py --scaling     # 4v16 + 8v32 CPU pairs in fresh processes
 
 Headline: the bench-scale crawl (≈90k-URL frontier, ≈57k unique images
 through fetch->decode->phash->parquet) — the north-rule workload. The
@@ -103,6 +103,7 @@ def run_bench() -> dict:
         ("lang_id", lambda: T.lang_id(SF_DIR).count()),
         ("simhash", lambda: T.simhash_table(SF_DIR).count()),
         ("dedup_minhash", lambda: T.dedup_minhash_survivors(SF_DIR).count()),
+        ("ngram_jaccard", lambda: T.ngram_jaccard_pairs(SF_DIR).count()),
         ("ann_cosine_topk", lambda: V.ann_cosine_topk(SF_DIR).num_rows),
         ("cosine_dup_pairs", lambda: V.cosine_dup_pairs(SF_DIR).num_rows),
     ]:
@@ -137,31 +138,54 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Default pair 4 vs 16: N -> 4N with headroom on this 32-core VM. At
+    # Primary pair 4 vs 16: N -> 4N with headroom on this 32-core VM. At
     # num_cpus=32 the measurement hits single-box artifacts a real 4x-node
     # cluster does not have (one shared memory bus; Ray system threads
-    # oversubscribing the last cores) — see BASELINE.md for both pairs.
-    pair = os.environ.get("BENCH_SCALING_PAIR", "4,16").split(",")
-    lo_n, hi_n = int(pair[0]), int(pair[1])
+    # oversubscribing the last cores). Both pairs are reported each round
+    # so the efficiency claim stays falsifiable — see BASELINE.md.
+    pairs_spec = os.environ.get("BENCH_SCALING_PAIRS", "4,16;8,32")
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    los = [one(lo_n) for _ in range(repeats)]
-    his = [one(hi_n) for _ in range(repeats)]
-    lo = min(los, key=lambda d: d["queries"]["crawl"])
-    hi = min(his, key=lambda d: d["queries"]["crawl"])
-    t_lo, t_hi = lo["queries"]["crawl"], hi["queries"]["crawl"]
-    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    runs: dict[int, list[dict]] = {}
+
+    def best(ncpu: int, n: int) -> dict:
+        have = runs.setdefault(ncpu, [])
+        while len(have) < n:
+            have.append(one(ncpu))
+        return min(have, key=lambda d: d["queries"]["crawl"])
+
+    pair_results = []
+    for i, spec in enumerate(pairs_spec.split(";")):
+        lo_n, hi_n = (int(x) for x in spec.split(","))
+        # best-of-`repeats` for the primary pair, best-of-1 for the rest
+        # (runs at a shared CPU count are reused across pairs)
+        n = repeats if i == 0 else 1
+        lo, hi = best(lo_n, n), best(hi_n, n)
+        t_lo, t_hi = lo["queries"]["crawl"], hi["queries"]["crawl"]
+        pair_results.append(
+            {
+                "cpus_lo": lo_n,
+                "cpus_hi": hi_n,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "urls_per_sec_lo": lo["crawl"]["urls_per_sec"],
+                "urls_per_sec_hi": hi["crawl"]["urls_per_sec"],
+                "efficiency": round((t_lo / t_hi) / (hi_n / lo_n), 3),
+            }
+        )
+    p0 = pair_results[0]
     print(
         json.dumps(
             {
                 "metric": "crawl scaling efficiency",
-                "value": round(eff, 3),
+                "value": p0["efficiency"],
                 "unit": "efficiency",
-                "sec_lo": t_lo,
-                "sec_hi": t_hi,
-                "cpus_lo": lo_n,
-                "cpus_hi": hi_n,
-                "urls_per_sec_lo": lo["crawl"]["urls_per_sec"],
-                "urls_per_sec_hi": hi["crawl"]["urls_per_sec"],
+                "sec_lo": p0["sec_lo"],
+                "sec_hi": p0["sec_hi"],
+                "cpus_lo": p0["cpus_lo"],
+                "cpus_hi": p0["cpus_hi"],
+                "urls_per_sec_lo": p0["urls_per_sec_lo"],
+                "urls_per_sec_hi": p0["urls_per_sec_hi"],
+                "pairs": pair_results,
                 "sf": SF_DIR,
             }
         )

@@ -753,3 +753,84 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     cand = cand.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(cand, preserve_index=False)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
+    """EXACT n-gram Jaccard similarity join via an INVERTED SHINGLE INDEX —
+    the exact member of the dedup family the LSH operators approximate
+    (exact / minhash-LSH / simhash / ngram-jaccard / embedding-cosine).
+
+    Plan (two bounded exchanges, never all-pairs):
+
+    1. explode docs to (shingle_hash, doc_id, set_size) rows; group by a
+       64-way hash shard of shingle_hash; inside a shard one pandas pass
+       enumerates co-occurring doc pairs (a < b) per shingle — emitted
+       volume is bounded by real shingle co-occurrence, not n^2;
+    2. group emissions by a 64-way pair shard; shared-shingle count per
+       pair = ``inter``; ``union_sz = sa + sb - inter``; keep pairs with
+       ``100*inter >= threshold_pct*union_sz`` — a pure INTEGER predicate,
+       so the DuckDB oracle hash-matches with no float rounding contract.
+
+    Jaccard over hashed shingle sets equals Jaccard over distinct shingle
+    strings up to ~2^-64 collisions (same contract as minhash_pairs). Hot
+    shingles (stop-phrase skew) are the inherent cost of EXACT semantics:
+    at corpus scale, cap or sample hot postings only if you can accept
+    approximate recall — otherwise use dedup_minhash, the sub-quadratic
+    path three functions up."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        shs = _shingle_hashes_batch(list(batch["text"]))
+        lens = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+        doc = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), lens)
+        sz = np.repeat(lens, lens)
+        h = np.concatenate(shs) if len(shs) else np.array([], dtype=np.uint64)
+        shard = (h % np.uint64(64)).astype(np.int64)
+        return pd.DataFrame(
+            {"h": h.view(np.int64), "doc_id": doc, "sz": sz, "_hshard": shard}
+        )
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("h", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            szs = grp["sz"].to_numpy()
+            i, j = np.triu_indices(len(ids), k=1)
+            out.append(
+                pd.DataFrame(
+                    {"a": ids[i], "b": ids[j], "sa": szs[i], "sb": szs[j]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("a", "b", "sa", "sb")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def shard_pair(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{x}|{y}" for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
+        ]
+        return batch.append_column("_pshard", pa.array(_shard64_of(keys)))
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False).agg(
+            inter=("sa", "size"), sa=("sa", "first"), sb=("sb", "first")
+        ).reset_index()
+        union_sz = agg["sa"] + agg["sb"] - agg["inter"]
+        keep = 100 * agg["inter"] >= threshold_pct * union_sz
+        out = agg.loc[keep, ["a", "b", "inter"]].copy()
+        out["union_sz"] = union_sz[keep]
+        return out.astype("int64")
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pandas", batch_size=512)
+        .groupby("_hshard")
+        .map_groups(co_pairs, batch_format="pandas")
+        .map_batches(shard_pair, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )

@@ -293,3 +293,26 @@ def test_dedup_minhash_distributed_cc_equals_driver(tmp_path):
     dist = sorted(dedup_minhash_survivors(str(d), driver_pair_cap=0).to_pandas()["doc_id"])
     assert drv == dist
     assert 90001 not in drv and 90002 not in drv  # chained dups lose to doc 0
+
+
+def test_ngram_jaccard_pairs_equals_bruteforce():
+    """The inverted-index join finds EXACTLY the brute-force >= 0.6 pairs
+    (integer predicate 100*inter >= 60*union on hashed shingle sets)."""
+    import numpy as np
+
+    from spiderman_ray.pipelines.text import _shingle_hashes_batch, ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet").to_pandas()
+    shs = _shingle_hashes_batch(list(docs["text"]))
+    ids = docs["doc_id"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = np.intersect1d(shs[i], shs[j], assume_unique=True).size
+            union = shs[i].size + shs[j].size - inter
+            if 100 * inter >= 60 * union:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b, inter, union))
+    got = ngram_jaccard_pairs(sf).to_pandas()
+    assert set(map(tuple, got[["a", "b", "inter", "union_sz"]].values)) == want
