@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
         # exact inverted-index member of the dedup family (no LSH)
         "ngram_jaccard_pairs": lambda sf: T.ngram_jaccard_pairs(sf),
+        # deterministic hash sampling (reproducible at any cluster size)
+        "hash_sample": lambda sf: T.hash_sample(sf),
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
         # nprobe=n_centroids -> exhaustive probe: exercises the full IVF
@@ -589,6 +591,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
             "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
             "SELECT DISTINCT lbl AS doc_id FROM m"
+        ),
+        "hash_sample": (
+            # same md5-prefix arithmetic as pipelines.text.hash_sample
+            "SELECT doc_id, text FROM documents "
+            f"WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) < {(10 << 32) // 100}"
         ),
         "ngram_jaccard_pairs": (
             # brute-force reference for the engine's inverted-index join;

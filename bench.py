@@ -51,6 +51,20 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     crawl_stats: dict = {}
 
+    # single-thread host-speed canary: the same VM has measured >2x
+    # wall-clock drift across hours (shared tenancy); recording the
+    # reference-loop oracle at t2 scale in every BENCH lets rounds be
+    # compared as engine-vs-oracle speedups, not raw seconds
+    from spiderman_ray.oracle import run_oracle
+
+    t0 = time.time()
+    canary = run_oracle(SimParams.for_scale("t2"))
+    canary_s = time.time() - t0
+    host_canary = {
+        "t2_oracle_s": round(canary_s, 3),
+        "urls_per_sec_1thread": round(len(canary.crawl_order) / canary_s, 1),
+    }
+
     def timed(name, fn):
         if ONLY and name not in ONLY.split(","):
             return
@@ -120,6 +134,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": timings,
         "crawl": crawl_stats,
+        "host_canary": host_canary,
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }
@@ -170,6 +185,9 @@ def run_scaling() -> None:
                 "urls_per_sec_lo": lo["crawl"]["urls_per_sec"],
                 "urls_per_sec_hi": hi["crawl"]["urls_per_sec"],
                 "efficiency": round((t_lo / t_hi) / (hi_n / lo_n), 3),
+                # host-drift evidence: single-thread canary of each run
+                "canary_lo_s": lo["host_canary"]["t2_oracle_s"],
+                "canary_hi_s": hi["host_canary"]["t2_oracle_s"],
             }
         )
     p0 = pair_results[0]

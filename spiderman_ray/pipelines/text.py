@@ -834,3 +834,26 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
         .groupby("_pshard")
         .map_groups(reduce_pairs, batch_format="pandas")
     )
+
+
+def hash_sample(sf_dir: str, pct: int = 10) -> rd.Dataset:
+    """Deterministic HASH sampling — the scale-correct sampling primitive
+    for a 100-TB corpus: keep doc_id iff the first 8 hex chars of
+    md5(doc_id) read as a uint32 fall under pct% of 2^32. Reproducible
+    across runs, block layouts and cluster sizes (``random_sample``'s
+    output is none of those), needs no coordination, and pushes down to a
+    pure per-batch filter. The same md5-prefix arithmetic is the DuckDB
+    oracle, so the sample is driver-hash-verified."""
+    thresh = (pct << 32) // 100
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = np.fromiter(
+            (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thresh
+                for d in batch["doc_id"].to_pylist()
+            ),
+            dtype=bool, count=batch.num_rows,
+        )
+        return batch.filter(pa.array(keep))
+
+    return _read_docs(sf_dir).map_batches(flt, batch_format="pyarrow")

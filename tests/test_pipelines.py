@@ -316,3 +316,18 @@ def test_ngram_jaccard_pairs_equals_bruteforce():
                 want.add((a, b, inter, union))
     got = ngram_jaccard_pairs(sf).to_pandas()
     assert set(map(tuple, got[["a", "b", "inter", "union_sz"]].values)) == want
+
+
+def test_hash_sample_layout_invariant():
+    """Deterministic hash sampling picks the SAME rows regardless of block
+    layout (the reproducibility property random_sample lacks)."""
+    from spiderman_ray.pipelines.text import hash_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(hash_sample(sf).to_pandas()["doc_id"])
+    b = sorted(
+        hash_sample(sf)
+        .repartition(num_blocks=7)
+        .to_pandas()["doc_id"]
+    )
+    assert a == b and 0 < len(a) < 100
