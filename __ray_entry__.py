@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": R.revenue_by_segment,
         "priority_union": R.priority_union,
         "distinct_brands": R.distinct_brands,
+        # range (interval) join via bucket-overlap co-partitioning
+        "range_join_shipments": R.range_join_shipments,
+        # exact quantiles, two-pass histogram (no full sort)
+        "price_quantiles": R.price_quantiles,
         # -- text analysis / dedup families --------------------------------
         "doc_fingerprints": T.doc_fingerprints,
         "winnow_fingerprints": T.winnow_fingerprints,
@@ -185,6 +189,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: T.ngram_jaccard_pairs(sf),
         # deterministic hash sampling (reproducible at any cluster size)
         "hash_sample": lambda sf: T.hash_sample(sf),
+        # exact heavy hitters (sharded wordcount + provable per-shard top-k)
+        "top_tokens": lambda sf: T.top_tokens(sf),
+        # HyperLogLog distinct sketch (deterministic registers; estimate is
+        # approximate by design, so no SQL hash oracle — pytest bounds it)
+        "approx_distinct_users": lambda sf: __import__(
+            "spiderman_ray.pipelines.sketches", fromlist=["x"]
+        ).approx_distinct(sf),
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
         # nprobe=n_centroids -> exhaustive probe: exercises the full IVF
@@ -512,6 +523,27 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"
         ),
         "distinct_brands": "SELECT DISTINCT p_brand FROM part",
+        "range_join_shipments": (
+            # pure date-range join: per order, lineitems (any order) shipped
+            # within the 7-day window after the order date
+            "SELECT o.o_orderkey, COUNT(l.l_shipdate) AS n_ship "
+            "FROM orders o LEFT JOIN lineitem l "
+            "ON l.l_shipdate >= o.o_orderdate "
+            "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+            "GROUP BY o.o_orderkey"
+        ),
+        "price_quantiles": (
+            # rank contract shared with pipelines.relational.price_quantiles:
+            # value of 1-indexed rank (pct*n + 99) // 100 == ceil(q*n), i.e.
+            # quantile_disc semantics in exact integer arithmetic
+            "WITH c AS (SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "s AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c), "
+            "n AS (SELECT COUNT(*) AS cnt FROM c), "
+            "p AS (SELECT CAST(unnest([25,50,75,90,99]) AS BIGINT) AS pct) "
+            "SELECT p.pct AS pct, s.cents AS value_cents "
+            "FROM p CROSS JOIN n JOIN s ON s.rn = (p.pct * n.cnt + 99) // 100"
+        ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "dedup_exact": (
             "SELECT doc_id, fp FROM ("
@@ -611,6 +643,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "top_tokens": (
+            # whitespace tokens, empties dropped; tie-break (n desc, token
+            # asc) matches pipelines.text.top_tokens
+            "SELECT tok AS token, COUNT(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+        ),
         # video sampling structure (frame indices, dims, per-doc frame
         # counts) is payload-length arithmetic — fully SQL-checkable even
         # though the fake frame bytes are not

@@ -348,6 +348,157 @@ def revenue_by_segment(sf_dir: str) -> rd.Dataset:
     )
 
 
+def range_join_shipments(sf_dir: str, window_days: int = 7) -> rd.Dataset:
+    """Range (interval) join: for every order, the number of lineitems (any
+    order) with ``l_shipdate`` in ``[o_orderdate, o_orderdate + window)`` —
+    the date-window join the Dataset API lacks (build brief: "range join"),
+    expressed as bucket-overlap co-partitioning:
+
+    - point side pre-aggregates to (day, count) per batch (combiner before
+      the exchange — at 100 TB the day cardinality, not the row count, is
+      what crosses the shuffle) and REPLICATES each day to buckets d//w and
+      d//w - 1: bucket width == window length means every interval starting
+      in bucket b reads only days in [b*w, (b+2)*w), all present in b,
+    - each interval goes to exactly ONE bucket (its start's), so the join
+      answers completely in a single groupby — no second exchange to
+      re-aggregate split intervals,
+    - inside a bucket, a sorted day array + prefix-sum + ``np.searchsorted``
+      answers every interval in O((P+I) log P) vectorized.
+    """
+    day_us = 86_400_000_000
+    w = window_days
+
+    def points(batch: pa.Table) -> pa.Table:
+        days = batch["l_shipdate"].cast(pa.int64()).to_numpy() // day_us
+        uniq, cnt = np.unique(days, return_counts=True)
+        b0 = uniq // w
+        bucket = np.concatenate([b0, b0 - 1])  # replicate: readers span 2 buckets
+        day2 = np.concatenate([uniq, uniq])
+        cnt2 = np.concatenate([cnt, cnt])
+        return pa.table(
+            {
+                "_bshard": (bucket % 64).astype(np.int64),
+                "bucket": bucket.astype(np.int64),
+                "kind": np.zeros(len(bucket), dtype=np.int64),
+                "k1": day2.astype(np.int64),
+                "k2": cnt2.astype(np.int64),
+            }
+        )
+
+    def intervals(batch: pa.Table) -> pa.Table:
+        start = batch["o_orderdate"].cast(pa.int64()).to_numpy() // day_us
+        bucket = start // w
+        return pa.table(
+            {
+                "_bshard": (bucket % 64).astype(np.int64),
+                "bucket": bucket.astype(np.int64),
+                "kind": np.ones(len(bucket), dtype=np.int64),
+                "k1": batch["o_orderkey"].to_numpy().astype(np.int64),
+                "k2": start.astype(np.int64),
+            }
+        )
+
+    import pandas as pd
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, bg in g.groupby("bucket", sort=False):
+            iv = bg[bg["kind"] == 1]
+            if not len(iv):
+                continue
+            pt = bg[bg["kind"] == 0]
+            start = iv["k2"].to_numpy()
+            if len(pt):
+                day_counts = pt.groupby("k1", sort=True)["k2"].sum()
+                days = day_counts.index.to_numpy()
+                cum = np.concatenate([[0], np.cumsum(day_counts.to_numpy())])
+                n = cum[np.searchsorted(days, start + w)] - cum[np.searchsorted(days, start)]
+            else:
+                n = np.zeros(len(iv), dtype=np.int64)
+            outs.append(pd.DataFrame({"o_orderkey": iv["k1"].to_numpy(), "n_ship": n}))
+        if not outs:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "n_ship": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["n_ship"] = out["n_ship"].astype("int64")
+        return out
+
+    pts = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_shipdate"]).map_batches(
+        points, batch_format="pyarrow"
+    )
+    ivs = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(intervals, batch_format="pyarrow")
+    return (
+        pts.union(ivs)
+        .groupby("_bshard")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def price_quantiles(sf_dir: str, pcts: tuple[int, ...] = (25, 50, 75, 90, 99)) -> pa.Table:
+    """Exact distributed quantiles of l_extendedprice (integer cents) with
+    NO full sort: pass 1 builds a coarse value-bucket histogram (bucket =
+    cents >> 14, a few hundred buckets — only (bucket, count) rows cross the
+    exchange); the driver locates the target rank's bucket from the tiny
+    cumulative histogram; pass 2 re-reads ONLY rows in the <= len(pcts)
+    target buckets and picks the exact rank offset. Rank contract (shared
+    with the SQL oracle, integer arithmetic so no float-ceil ambiguity):
+    value of rank ``(pct*n + 99) // 100`` (1-indexed) in the sorted column —
+    DuckDB's quantile_disc == ceil(q*n) semantics.
+
+    Scale note: pass-2 volume = occupancy of the chosen buckets. Under heavy
+    value skew (one bucket >> memory) the same two-pass step recurses into
+    the offending bucket with a finer shift; not needed at testdata scale.
+    """
+    from ray.data.aggregate import Sum
+
+    shift = np.uint64(14)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        uniq, cnt = np.unique(cents >> shift, return_counts=True)
+        return pa.table({"bucket": uniq.astype(np.int64), "n": cnt.astype(np.int64)})
+
+    read = lambda: rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_extendedprice"])  # noqa: E731
+    h = (
+        read()
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    h.sort(key=lambda r: r["bucket"])
+    buckets = np.array([r["bucket"] for r in h], dtype=np.int64)
+    counts = np.array([r["n"] for r in h], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    ranks = {p: (p * n + 99) // 100 for p in pcts}
+    # bucket index holding each target rank + rank offset within the bucket
+    locs = {p: int(np.searchsorted(cum, r)) for p, r in ranks.items()}
+    need = sorted({buckets[i] for i in locs.values()})
+    need_arr = pa.array([int(b) for b in need], type=pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        mask = pc.is_in(pa.array(cents >> shift), value_set=need_arr)
+        return pa.table({"cents": pa.array(cents)}).filter(mask)
+
+    got = read().map_batches(pick, batch_format="pyarrow").take_all()
+    vals = np.sort(np.array([r["cents"] for r in got], dtype=np.int64))
+    vbuckets = vals >> shift
+    out_pct, out_val = [], []
+    for p in pcts:
+        i = locs[p]
+        before = int(cum[i - 1]) if i > 0 else 0  # rows in buckets below target
+        inbucket = vals[vbuckets == buckets[i]]
+        out_pct.append(p)
+        out_val.append(int(inbucket[ranks[p] - before - 1]))
+    return pa.table(
+        {"pct": pa.array(out_pct, type=pa.int64()), "value_cents": pa.array(out_val, type=pa.int64())}
+    )
+
+
 def priority_union(sf_dir: str) -> rd.Dataset:
     """ds.union of two filtered branches + grouped count (the reference's
     union-typed item stream split, SP/pipelines/pipelines_rdbm.py:40-57)."""

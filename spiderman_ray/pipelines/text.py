@@ -857,3 +857,44 @@ def hash_sample(sf_dir: str, pct: int = 10) -> rd.Dataset:
         return batch.filter(pa.array(keep))
 
     return _read_docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Exact heavy hitters: global top-k tokens by frequency across the
+    corpus (distributed wordcount + top-k). Each batch pre-aggregates its
+    own token counts (the combiner — only (token, partial_count) rows cross
+    the exchange, not one row per token OCCURRENCE); tokens are then
+    sharded by hash64(token) % 64 so the groupby dispatch stays
+    O(parallelism) while each token lives in exactly ONE shard — hence the
+    union of per-shard top-k provably contains the global top-k, and the
+    final tiny sort+limit over <= 64*k rows is exact. Tie-break contract
+    (count desc, token asc) is shared with the SQL oracle."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = (
+            pd.Series(batch["text"].to_pylist()).str.split(" ").explode()
+        )
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        tokens = vc.index.to_numpy(dtype=object)
+        return pa.table(
+            {
+                "token": pa.array(tokens, type=pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64)),
+                "_tshard": pa.array(_shard64_of(list(tokens))),
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("token", sort=False)["n"].sum().reset_index()
+        t = t.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return pd.DataFrame({"token": t["token"], "n": t["n"].astype("int64")})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

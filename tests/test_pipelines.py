@@ -331,3 +331,82 @@ def test_hash_sample_layout_invariant():
         .to_pandas()["doc_id"]
     )
     assert a == b and 0 < len(a) < 100
+
+
+def test_range_join_shipments_equals_bruteforce():
+    """Bucket-overlap range join == brute-force per-order window count."""
+    from spiderman_ray.pipelines.relational import range_join_shipments
+
+    sf = "/root/testdata/sf0.001"
+    day_us = 86_400_000_000
+    ship = pq.read_table(sf + "/lineitem.parquet", columns=["l_shipdate"])
+    days = np.sort(ship["l_shipdate"].cast(pa.int64()).to_numpy() // day_us)
+    orders = pq.read_table(sf + "/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    start = orders["o_orderdate"].cast(pa.int64()).to_numpy() // day_us
+    want = dict(
+        zip(
+            orders["o_orderkey"].to_numpy(),
+            np.searchsorted(days, start + 7) - np.searchsorted(days, start),
+        )
+    )
+    got = range_join_shipments(sf).to_pandas()
+    assert dict(zip(got["o_orderkey"], got["n_ship"])) == want
+    assert len(got) == len(want)  # every order exactly once, incl. zero-count
+
+
+def test_price_quantiles_exact_ranks():
+    """Two-pass histogram quantiles == full-sort rank picks."""
+    from spiderman_ray.pipelines.relational import price_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    li = pq.read_table(sf + "/lineitem.parquet", columns=["l_extendedprice"])
+    cents = np.sort(np.floor(li["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64))
+    n = len(cents)
+    got = price_quantiles(sf).to_pandas()
+    for pct, val in zip(got["pct"], got["value_cents"]):
+        assert val == cents[(pct * n + 99) // 100 - 1]
+
+
+def test_top_tokens_equals_bruteforce():
+    """Sharded heavy hitters == driver-side Counter top-k with the
+    (count desc, token asc) tie-break."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.text import top_tokens
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    c = Counter()
+    for t in docs["text"].to_pylist():
+        c.update(w for w in t.split(" ") if w)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = top_tokens(sf).to_pandas()
+    assert list(zip(got["token"], got["n"])) == want
+
+
+def test_hll_approx_distinct_bound_and_determinism():
+    """HLL estimate lands within 3 sigma (sigma ~ 1.04/sqrt(4096)) of the
+    exact distinct count; repeated runs are bit-identical."""
+    from spiderman_ray.pipelines.sketches import approx_distinct
+
+    sf = "/root/testdata/sf0.01"
+    exact = len(
+        set(pq.read_table(sf + "/events.parquet", columns=["user_id"])["user_id"].to_pylist())
+    )
+    est1 = approx_distinct(sf)["n_distinct_est"][0].as_py()
+    est2 = approx_distinct(sf)["n_distinct_est"][0].as_py()
+    assert est1 == est2
+    assert abs(est1 - exact) / exact < 3 * 1.04 / 64
+
+
+def test_hll_merge_associativity():
+    """Register merge is order-independent: fold over shuffled block rows
+    gives the same registers/estimate (any reduction topology is valid)."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.sketches import hll_estimate, hll_register_blocks
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(sf + "/events.parquet", columns=["user_id"])
+    rows = hll_register_blocks(ds, "user_id").take_all()
+    assert hll_estimate(rows) == hll_estimate(list(reversed(rows)))
