@@ -650,6 +650,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
             "WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
         ),
+        # the fake PCM decode (payload bytes cycled to 1024 samples
+        # d = 2*byte - 255) is exact-integer energy arithmetic, so DuckDB
+        # re-derives rms from hex(encode(text)) and the driver hash-checks
+        # the whole actor-pool output — see AudioFeatures._decode
+        "audio_features": (
+            "WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS clip_id, "
+            "hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), "
+            "c AS (SELECT clip_id, n, list_transform(range(0, n), "
+            "i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS codes "
+            "FROM b), "
+            "d AS (SELECT clip_id, CASE WHEN n = 0 THEN 66585600 "  # 1024 * 255^2
+            "ELSE list_sum(list_transform(range(0, 1024), "
+            "j -> CAST((2*codes[CAST(j % n AS INT) + 1] - 255) "
+            "* (2*codes[CAST(j % n AS INT) + 1] - 255) AS BIGINT))) END AS energy "
+            "FROM c) "
+            "SELECT clip_id, CAST(64 AS BIGINT) AS duration_ms, "
+            "CAST(FLOOR(sqrt(CAST(energy AS DOUBLE)) / 8192.0 * 1000000.0) AS BIGINT) "
+            "AS rms_x1e6, 4 AS n_frames FROM d"
+        ),
         # video sampling structure (frame indices, dims, per-doc frame
         # counts) is payload-length arithmetic — fully SQL-checkable even
         # though the fake frame bytes are not

@@ -116,18 +116,26 @@ class AudioFeatures:
         self.mode = mode
 
     def _decode(self, clip_id: str, payload: bytes) -> np.ndarray:
-        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "big") ^ len(payload)
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(1024)
+        """Fake PCM decode: payload bytes cycled/padded to 1024 integer
+        samples d = 2*byte - 255 in [-255, 255]. Deterministic AND
+        independently recomputable — the driver's SQL oracle re-derives the
+        identical samples from hex(encode(text)), making the actor-pool
+        output hash-checkable (real rms over exact-integer energy:
+        rms = sqrt(sum(d^2))/8192 since mean(d^2/256^2) over 1024)."""
+        b = np.frombuffer(payload, dtype=np.uint8)
+        if len(b) == 0:
+            b = np.zeros(1, dtype=np.uint8)
+        return 2 * b[np.arange(1024) % len(b)].astype(np.int64) - 255
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in ("clip_id", "duration_ms", "rms_x1e6", "n_frames")}
         for row in batch.to_pylist():
-            samples = self._decode(row["clip_id"], row["payload"])
+            d = self._decode(row["clip_id"], row["payload"])
+            energy = int(np.sum(d * d))  # exact: <= 1024 * 255^2 << 2^53
             out["clip_id"].append(row["clip_id"])
-            out["duration_ms"].append(len(samples) * 1000 // 16000)
-            out["rms_x1e6"].append(int(np.sqrt(np.mean(samples**2)) * 1e6))
-            out["n_frames"].append(len(samples) // 256)
+            out["duration_ms"].append(len(d) * 1000 // 16000)
+            out["rms_x1e6"].append(int(np.sqrt(float(energy)) / 8192.0 * 1000000.0))
+            out["n_frames"].append(len(d) // 256)
         return pa.Table.from_pydict(out, schema=AUDIO_FEATURES)
 
 
