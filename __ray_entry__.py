@@ -362,7 +362,8 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         {
             "url": "VARCHAR", "generation": "BIGINT", "host": "VARCHAR",
             "seq": "BIGINT", "attempts": "BIGINT", "vts_ms": "DOUBLE",
-            "ua_idx": "BIGINT", "cookie_idx": "BIGINT", "fp": "VARCHAR",
+            "ua_idx": "BIGINT", "cookie_idx": "BIGINT", "proxy_idx": "BIGINT",
+            "fp": "VARCHAR",
         },
     )
     out["crawl_dead_letters"] = _values_sql(

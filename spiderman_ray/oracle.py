@@ -191,6 +191,7 @@ def run_oracle(
                 "vts_ms": t,
                 "ua_idx": web.ua_index(req["url"], attempts),
                 "cookie_idx": web.cookie_index(req["url"], attempts),
+                "proxy_idx": web.proxy_index(req["url"], attempts),
                 "fp": req["fp"],
             }
         )

@@ -45,6 +45,12 @@ UA_POOL_SIZE = 18
 #: like ua_idx so engine ≡ oracle is testable per fetch.
 COOKIE_POOL_SIZE = 10
 
+#: Deterministic stand-in for ProxyMiddleWare's rotating dynamic proxy
+#: (SPMiddleWare.py:66-85: one endpoint, a new upstream identity per
+#: request): proxy slot pick = f(url, attempt), recorded in crawl_order
+#: like ua_idx/cookie_idx so engine ≡ oracle is testable per fetch.
+PROXY_POOL_SIZE = 8
+
 #: The reference loads ONE static header set per spider at middleware init
 #: (SPMiddleWare.py:49-63, headers read once from file). Deterministic
 #: analog: a fixed header dict; per-request behavior is covered by the
@@ -258,6 +264,12 @@ class SimWeb:
         """CookiesPool pick for the FINAL attempt of a fetch — deterministic
         f(url, attempt), same contract as ua_index."""
         return self._pick("cookie", COOKIE_POOL_SIZE, url, attempt)
+
+    def proxy_index(self, url: str, attempt: int) -> int:
+        """Rotating-proxy identity for the FINAL attempt of a fetch
+        (ProxyMiddleWare, SPMiddleWare.py:66-85) — deterministic
+        f(url, attempt), same contract as ua_index/cookie_index."""
+        return self._pick("proxy", PROXY_POOL_SIZE, url, attempt)
 
     # -- the network -------------------------------------------------------
     def search_url(self, host_idx: int = 0) -> str:

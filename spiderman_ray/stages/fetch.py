@@ -67,6 +67,7 @@ WIRE_FIELDS = [
     ("n_meta", pa.int64()),  # hostmeta: fetches in this group
     ("ua_idx", pa.int32()),  # deterministic UA pick f(url, final attempt)
     ("cookie_idx", pa.int32()),  # deterministic CookiesPool pick (same contract)
+    ("proxy_idx", pa.int32()),  # deterministic rotating-proxy pick (same contract)
 ]
 WIRE_SCHEMA = pa.schema(WIRE_FIELDS)
 
@@ -88,6 +89,7 @@ def _wire_row(req: dict | None = None, **over) -> dict:
             "n_meta": 0,
             "ua_idx": 0,
             "cookie_idx": 0,
+            "proxy_idx": 0,
         }
     )
     if req is not None:
@@ -224,6 +226,7 @@ class FetchGroup:
                     req, kind="fetched", status_code=200, attempts=attempts,
                     vts_ms=vts, ua_idx=web.ua_index(url, attempts),
                     cookie_idx=web.cookie_index(url, attempts),
+                    proxy_idx=web.proxy_index(url, attempts),
                     links=resp.links,
                     rows_json=json.dumps(resp.rows) if resp.rows else "",
                     fields_json=json.dumps(resp.fields) if resp.fields else "",

@@ -55,6 +55,7 @@ CRAWL_ORDER = pa.schema(
         ("vts_ms", pa.float64()),
         ("ua_idx", pa.int32()),
         ("cookie_idx", pa.int32()),  # CookiesPool pick (SPMiddleWare.py:88-103)
+        ("proxy_idx", pa.int32()),  # rotating-proxy pick (SPMiddleWare.py:66-85)
         ("fp", pa.string()),  # enables exact patch anti-joins (POST bodies
         # are not reconstructible from the URL alone)
     ]
@@ -161,6 +162,7 @@ class ParseSink:
                     "vts_ms": row["vts_ms"],
                     "ua_idx": row["ua_idx"],
                     "cookie_idx": row["cookie_idx"],
+                    "proxy_idx": row["proxy_idx"],
                     "fp": row["fp"],
                 }
             )

@@ -72,6 +72,9 @@ class TestT1Conformance:
         # CookiesPool middleware parity: same contract, separate pool
         # (SP/middlewares/SPMiddleWare.py:88-103)
         assert co["cookie_idx"].tolist() == [c["cookie_idx"] for c in t1_oracle.crawl_order]
+        # rotating-proxy middleware parity: same contract, separate pool
+        # (SP/middlewares/SPMiddleWare.py:66-85)
+        assert co["proxy_idx"].tolist() == [c["proxy_idx"] for c in t1_oracle.crawl_order]
 
     def test_politeness_vclock_match(self, t1_engine, t1_oracle):
         _, _, out = t1_engine
