@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": lambda sf: T.hash_sample(sf),
         # exact heavy hitters (sharded wordcount + provable per-shard top-k)
         "top_tokens": lambda sf: T.top_tokens(sf),
+        # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
+        "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -644,6 +646,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars, rank FROM ("
+            "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank "
+            "FROM documents) WHERE rank <= 5"
+        ),
         "top_tokens": (
             # whitespace tokens, empties dropped; tie-break (n desc, token
             # asc) matches pipelines.text.top_tokens

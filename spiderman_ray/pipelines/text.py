@@ -898,3 +898,31 @@ def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Group-wise top-k: the k longest documents (by n_chars) per language —
+    the PARTITION BY ... ROW_NUMBER() <= k window operator. Grouping is by a
+    hash shard of lang (O(parallelism) dispatch); inside a shard one
+    vectorized pandas sort + groupby-cumcount ranks every language at once.
+    Tie-break contract (n_chars desc, doc_id asc) shared with the SQL
+    oracle. Scale note: per-group state is O(k), and the shuffle moves only
+    the 3 projected columns."""
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_lshard", pa.array(_shard64_of(batch["lang"].to_pylist()))
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        rank = g.groupby("lang", sort=False).cumcount() + 1
+        out = g[rank <= k].assign(rank=rank[rank <= k].astype("int64"))
+        return out[["lang", "doc_id", "n_chars", "rank"]]
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "lang", "n_chars"])
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_lshard")
+        .map_groups(topk, batch_format="pandas")
+    )

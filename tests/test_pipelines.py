@@ -410,3 +410,21 @@ def test_hll_merge_associativity():
     ds = rd.read_parquet(sf + "/events.parquet", columns=["user_id"])
     rows = hll_register_blocks(ds, "user_id").take_all()
     assert hll_estimate(rows) == hll_estimate(list(reversed(rows)))
+
+
+def test_top_docs_per_lang_equals_window_rank():
+    """Sharded group-wise top-k == pandas window rank with the
+    (n_chars desc, doc_id asc) tie-break."""
+    from spiderman_ray.pipelines.text import top_docs_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    docs = docs.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+    docs["rank"] = docs.groupby("lang", sort=False).cumcount() + 1
+    want = docs[docs["rank"] <= 5]
+    got = top_docs_per_lang(sf).to_pandas()
+    key = ["lang", "doc_id", "n_chars", "rank"]
+    assert (
+        sorted(map(tuple, got[key].values.tolist()))
+        == sorted(map(tuple, want[key].values.tolist()))
+    )
