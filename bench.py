@@ -24,6 +24,37 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ONLY = os.environ.get("BENCH_ONLY", "")
 
 
+def _burn(n: int) -> float:
+    t = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.time() - t
+
+
+def _parallel_canary(procs: int = 16, n: int = 4_000_000) -> dict:
+    """Multi-core host-speed canary: N identical pure-Python burns in a
+    multiprocessing pool (no Ray). On an uncontended box wall == 1-proc
+    time (each proc gets a core); under vCPU steal / shared tenancy wall
+    inflates, quantifying how many EFFECTIVE cores this epoch delivers —
+    the single-thread canary cannot see multi-core contention (observed:
+    1-thread drift 1.4x while 32-CPU throughput dropped 4x on the same
+    box). effective_cores = procs * t1 / wall."""
+    import multiprocessing as mp
+
+    t1 = _burn(n)
+    with mp.Pool(procs) as pool:
+        t0 = time.time()
+        pool.map(_burn, [n] * procs)
+        wall = time.time() - t0
+    return {
+        "par_canary_1proc_s": round(t1, 3),
+        "par_canary_nproc_s": round(wall, 3),
+        "par_canary_procs": procs,
+        "effective_cores": round(procs * t1 / wall, 1),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -64,6 +95,7 @@ def run_bench() -> dict:
         "t2_oracle_s": round(canary_s, 3),
         "urls_per_sec_1thread": round(len(canary.crawl_order) / canary_s, 1),
     }
+    host_canary.update(_parallel_canary())
 
     def timed(name, fn):
         if ONLY and name not in ONLY.split(","):
@@ -188,6 +220,10 @@ def run_scaling() -> None:
                 # host-drift evidence: single-thread canary of each run
                 "canary_lo_s": lo["host_canary"]["t2_oracle_s"],
                 "canary_hi_s": hi["host_canary"]["t2_oracle_s"],
+                # multi-core contention evidence (vCPU steal): effective
+                # cores the host delivered during each side's run
+                "eff_cores_lo": lo["host_canary"].get("effective_cores"),
+                "eff_cores_hi": hi["host_canary"].get("effective_cores"),
             }
         )
     p0 = pair_results[0]
