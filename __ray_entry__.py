@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": lambda sf: T.top_tokens(sf),
         # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
         "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
+        # per-stratum deterministic sampling (corpus rebalancing)
+        "stratified_sample": lambda sf: T.stratified_sample(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -646,6 +648,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "stratified_sample": (
+            # same md5-prefix arithmetic as pipelines.text.stratified_sample
+            "SELECT doc_id, lang FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < "
+            "CASE lang "
+            f"WHEN 'en' THEN {(25 << 32) // 100} "
+            f"WHEN 'de' THEN {(60 << 32) // 100} "
+            f"WHEN 'es' THEN {(60 << 32) // 100} "
+            f"WHEN 'fr' THEN {(60 << 32) // 100} "
+            f"WHEN 'zh' THEN {(60 << 32) // 100} "
+            f"ELSE {(50 << 32) // 100} END"
+        ),
         "top_docs_per_lang": (
             "SELECT lang, doc_id, n_chars, rank FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

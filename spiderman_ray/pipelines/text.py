@@ -926,3 +926,39 @@ def top_docs_per_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
         .groupby("_lshard")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+#: per-language keep rates (percent) for the stratified sampler: downsample
+#: the dominant language, keep more of the tail — the standard corpus
+#: rebalancing move in training-data pipelines
+STRATA_RATES = {"en": 25, "de": 60, "es": 60, "fr": 60, "zh": 60}
+STRATA_DEFAULT_PCT = 50
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None,
+                      default_pct: int = STRATA_DEFAULT_PCT) -> rd.Dataset:
+    """Deterministic STRATIFIED sampling: per-stratum (language) keep
+    rates with the same md5-prefix arithmetic as ``hash_sample`` — keep a
+    doc iff hash(doc_id) falls under its stratum's pct of 2^32. Pure
+    per-batch filter: reproducible across runs/layouts/cluster sizes,
+    no coordination, no shuffle, and the per-stratum proportions are
+    exact-in-expectation without a groupby. The same CASE arithmetic is
+    the DuckDB oracle."""
+    rates = STRATA_RATES if rates is None else rates
+    thresh = {k: (v << 32) // 100 for k, v in rates.items()}
+    dflt = (default_pct << 32) // 100
+
+    def flt(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        cuts = np.fromiter((thresh.get(lg, dflt) for lg in langs),
+                           dtype=np.int64, count=batch.num_rows)
+        hv = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+             for d in batch["doc_id"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        return batch.filter(pa.array(hv < cuts)).select(["doc_id", "lang"])
+
+    return _read_docs(sf_dir, columns=("doc_id", "lang")).map_batches(
+        flt, batch_format="pyarrow"
+    )

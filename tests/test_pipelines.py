@@ -428,3 +428,23 @@ def test_top_docs_per_lang_equals_window_rank():
         sorted(map(tuple, got[key].values.tolist()))
         == sorted(map(tuple, want[key].values.tolist()))
     )
+
+
+def test_stratified_sample_rates_and_layout_invariance():
+    """Per-stratum keep decisions are the doc's own hash vs its language's
+    cut — independent of block layout; realized rates track the targets."""
+    from spiderman_ray.pipelines.text import STRATA_RATES, stratified_sample
+
+    sf = "/root/testdata/sf0.01"
+    got = stratified_sample(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    kept = got.groupby("lang")["doc_id"].count()
+    total = docs.groupby("lang")["doc_id"].count()
+    for lang, pct in STRATA_RATES.items():
+        rate = kept.get(lang, 0) / total[lang]
+        assert abs(rate - pct / 100) < 0.2, (lang, rate, pct)
+    # layout invariance: same rows from a different block layout
+    import ray.data as rd  # noqa: F401
+
+    b = stratified_sample(sf).repartition(num_blocks=7).to_pandas()
+    assert sorted(b["doc_id"]) == sorted(got["doc_id"])
