@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
         # per-stratum deterministic sampling (corpus rebalancing)
         "stratified_sample": lambda sf: T.stratified_sample(sf),
+        # overlapping token-window chunking (LLM indexing/training prep)
+        "doc_chunks": lambda sf: T.doc_chunks(sf),
+        # regex feature counts (cleaning / PII-scan shape)
+        "pattern_counts": lambda sf: T.pattern_counts(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -648,6 +652,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "doc_chunks": (
+            # chunk-count contract: max(1, ceil((n-64)/48)+1); slice is
+            # 1-based inclusive in DuckDB -> [s*48+1 : s*48+64]
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+            "len(string_split(text, ' ')) AS n FROM documents), "
+            "c AS (SELECT doc_id, ws, n, unnest(range(0, CAST(GREATEST(1, "
+            "CASE WHEN n > 64 THEN ceil((n - 64) / 48.0) + 1 ELSE 1 END) AS BIGINT))) AS i "
+            "FROM d) "
+            "SELECT doc_id, i AS chunk_idx, "
+            "CAST(len(ws[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)]) AS BIGINT) AS n_tokens, "
+            "md5(array_to_string(ws[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)], ' ')) AS chunk_md5 "
+            "FROM c"
+        ),
+        "pattern_counts": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers, "
+            "CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_caps, "
+            "CAST(len(regexp_extract_all(text, 'http[^ ]+')) AS BIGINT) AS n_urls "
+            "FROM documents"
+        ),
         "stratified_sample": (
             # same md5-prefix arithmetic as pipelines.text.stratified_sample
             "SELECT doc_id, lang FROM documents "

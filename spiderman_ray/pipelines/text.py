@@ -962,3 +962,60 @@ def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None,
     return _read_docs(sf_dir, columns=("doc_id", "lang")).map_batches(
         flt, batch_format="pyarrow"
     )
+
+
+def doc_chunks(sf_dir: str, chunk: int = 64, stride: int = 48) -> rd.Dataset:
+    """Document chunking for LLM training/indexing: overlapping windows of
+    ``chunk`` whitespace tokens every ``stride`` tokens. Chunk-count
+    contract (shared with the SQL oracle): max(1, ceil((n-chunk)/stride)+1)
+    — the last chunk may be short, every token is covered. Emits
+    (doc_id, chunk_idx, n_tokens, chunk_md5): the md5 keeps the verified
+    surface exact without shipping the chunk text through the compare. A
+    pure flat-map — no shuffle, trivially parallel at any scale."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, cidx, ntok, md5s = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = text.split(" ")
+            n = len(ws)
+            n_chunks = max(1, -((n - chunk) // -stride) + 1) if n > chunk else 1
+            for i in range(n_chunks):
+                piece = ws[i * stride : i * stride + chunk]
+                ids.append(did)
+                cidx.append(i)
+                ntok.append(len(piece))
+                md5s.append(hashlib.md5(" ".join(piece).encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(cidx, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "chunk_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+#: compiled once at module import; workers inherit via the task closure
+_PATTERNS = {
+    "n_numbers": re.compile(r"[0-9]+"),
+    "n_caps": re.compile(r"[A-Z][a-z]+"),
+    "n_urls": re.compile(r"http[^ ]+"),
+}
+
+
+def pattern_counts(sf_dir: str) -> rd.Dataset:
+    """Per-document regex feature counts (the cleaning/PII-scan shape:
+    numbers, Capitalized words, URLs) — vectorized pandas str.count with
+    pre-compiled patterns, one pass, no shuffle."""
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64")})
+        for name, rx in _PATTERNS.items():
+            out[name] = batch["text"].str.count(rx).astype("int64")
+        return out
+
+    return rd.read_parquet(_pq(sf_dir), columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )

@@ -448,3 +448,23 @@ def test_stratified_sample_rates_and_layout_invariance():
 
     b = stratified_sample(sf).repartition(num_blocks=7).to_pandas()
     assert sorted(b["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_doc_chunks_cover_every_token():
+    """Chunking contract: stride-48 windows of 64 tokens cover all tokens,
+    first chunk starts at 0, short docs get exactly one chunk."""
+    from spiderman_ray.pipelines.text import doc_chunks
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    n_toks = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+    got = doc_chunks(sf).to_pandas()
+    per_doc = got.groupby("doc_id")
+    for did, g in per_doc:
+        n = n_toks[did]
+        want_chunks = max(1, -((n - 64) // -48) + 1) if n > 64 else 1
+        assert len(g) == want_chunks
+        assert sorted(g["chunk_idx"]) == list(range(want_chunks))
+        # full coverage: last chunk reaches the final token
+        last = g["chunk_idx"].max()
+        assert last * 48 + g[g["chunk_idx"] == last]["n_tokens"].iloc[0] >= n
