@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": lambda sf: T.doc_chunks(sf),
         # regex feature counts (cleaning / PII-scan shape)
         "pattern_counts": lambda sf: T.pattern_counts(sf),
+        # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
+        "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -652,6 +654,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "tfidf_top_terms": (
+            # ranking ratio tf/df is one IEEE division -> bit-identical in
+            # numpy and DuckDB; output columns stay integer
+            "WITH t AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> '' GROUP BY doc_id, tok), "
+            "d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok), "
+            "s AS (SELECT t.doc_id, t.tok, t.tf, d.df, "
+            "CAST(t.tf AS DOUBLE) / d.df AS r FROM t JOIN d USING (tok)) "
+            "SELECT doc_id, tok AS token, CAST(tf AS BIGINT) AS tf, "
+            "CAST(df AS BIGINT) AS df FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY r DESC, tok) AS rn FROM s) WHERE rn = 1"
+        ),
         "doc_chunks": (
             # chunk-count contract: max(1, ceil((n-64)/48)+1); slice is
             # 1-based inclusive in DuckDB -> [s*48+1 : s*48+64]

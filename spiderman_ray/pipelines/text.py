@@ -1019,3 +1019,67 @@ def pattern_counts(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(_pq(sf_dir), columns=["doc_id", "text"]).map_batches(
         counts, batch_format="pandas"
     )
+
+
+def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Per-document most-DISTINCTIVE term: argmax of tf/df (df-normalized
+    term frequency, the tf-idf ranking shape) with tie-break (ratio desc,
+    token asc). Built WITHOUT a vocabulary broadcast — the scale killer in
+    naive tf-idf — by staying in token space:
+
+    - stage A (map): per-doc term counts (a doc lives in one row, so tf is
+      complete per batch), sharded by hash64(token),
+    - stage B (token shards): df = docs per token, attached to every
+      (doc, token, tf) row in the shard — no join against a driver-side
+      vocabulary; rows re-shard by hash64(doc_id),
+    - stage C (doc shards): vectorized per-doc argmax.
+
+    Output columns (doc_id, token, tf, df) are integers; the ranking ratio
+    tf/df is a single IEEE division (bit-identical in numpy and DuckDB), so
+    the whole operator hash-matches the SQL window oracle."""
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), index=batch["doc_id"].to_pylist())
+        toks = s.str.split(" ").explode()
+        toks = toks[toks != ""]
+        tc = toks.groupby([toks.index, toks]).size()
+        dids = tc.index.get_level_values(0).to_numpy(dtype=np.int64)
+        tokens = tc.index.get_level_values(1).to_numpy(dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "token": pa.array(tokens, type=pa.string()),
+                "tf": pa.array(tc.to_numpy().astype(np.int64)),
+                "_tshard": pa.array(_shard64_of(list(tokens))),
+            }
+        )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token", sort=False)["doc_id"].transform("size")
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "token": g["token"].to_numpy(),
+                "tf": g["tf"].astype("int64").to_numpy(),
+                "df": df.astype("int64").to_numpy(),
+            }
+        )
+        out["_dshard"] = _shard64_of(list(out["doc_id"]))
+        return out
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["tf"].to_numpy(dtype=np.float64) / g["df"].to_numpy(dtype=np.float64)
+        g = g.assign(_r=r).sort_values(
+            ["doc_id", "_r", "token"], ascending=[True, False, True]
+        )
+        first = g.drop_duplicates("doc_id", keep="first")
+        return first[["doc_id", "token", "tf", "df"]]
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_counts, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(top_per_doc, batch_format="pandas")
+    )

@@ -468,3 +468,29 @@ def test_doc_chunks_cover_every_token():
         # full coverage: last chunk reaches the final token
         last = g["chunk_idx"].max()
         assert last * 48 + g[g["chunk_idx"] == last]["n_tokens"].iloc[0] >= n
+
+
+def test_tfidf_top_terms_equals_bruteforce():
+    """Token-space df + per-doc argmax == driver-side brute force with the
+    (tf/df desc, token asc) tie-break."""
+    from collections import Counter, defaultdict
+
+    from spiderman_ray.pipelines.text import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    tf = {}
+    df = defaultdict(int)
+    for r in docs.itertuples():
+        c = Counter(w for w in r.text.split(" ") if w)
+        tf[r.doc_id] = c
+        for tok in c:
+            df[tok] += 1
+    want = {}
+    for did, c in tf.items():
+        best = min(c.items(), key=lambda kv: (-(kv[1] / df[kv[0]]), kv[0]))
+        want[did] = (best[0], best[1], df[best[0]])
+    got = tfidf_top_terms(sf).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.token, r.tf, r.df), r.doc_id
