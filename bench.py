@@ -152,6 +152,10 @@ def run_bench() -> dict:
         ("ngram_jaccard", lambda: T.ngram_jaccard_pairs(SF_DIR).count()),
         ("ann_cosine_topk", lambda: V.ann_cosine_topk(SF_DIR).num_rows),
         ("cosine_dup_pairs", lambda: V.cosine_dup_pairs(SF_DIR).num_rows),
+        ("range_join", lambda: R.range_join_shipments(SF_DIR).count()),
+        ("price_quantiles", lambda: R.price_quantiles(SF_DIR).num_rows),
+        ("top_tokens", lambda: T.top_tokens(SF_DIR).count()),
+        ("tfidf_top_terms", lambda: T.tfidf_top_terms(SF_DIR).count()),
     ]:
         timed(name, fn)
 
