@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_counts": lambda sf: T.pattern_counts(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
+        # benchmark decontamination: 8-gram overlap vs the hash-sample split
+        "decontaminate": lambda sf: T.decontaminate(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -654,6 +656,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "decontaminate": (
+            # 8-word shingle string sets vs the engine's 64-bit shingle
+            # hashes: equal up to ~2^-64 collisions (same contract as
+            # minhash_pairs); benchmark split = the hash_sample md5 rule
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < "
+            f"{(10 << 32) // 100} AS is_bench FROM documents), "
+            "sh AS (SELECT doc_id, is_bench, CASE WHEN len(ws) < 8 "
+            "THEN [array_to_string(ws, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(ws) - 6), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || "
+            "ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) END AS s "
+            "FROM d), "
+            "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_bench), "
+            "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_bench) "
+            "SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr "
+            "JOIN bench ON tr.g = bench.g GROUP BY tr.doc_id"
+        ),
         "tfidf_top_terms": (
             # ranking ratio tf/df is one IEEE division -> bit-identical in
             # numpy and DuckDB; output columns stay integer

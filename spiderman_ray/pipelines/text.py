@@ -1083,3 +1083,111 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         .groupby("_dshard")
         .map_groups(top_per_doc, batch_format="pandas")
     )
+
+
+def _kgram_hashes_batch(texts, k: int = 8) -> list[np.ndarray]:
+    """Hashed k-word shingle SETS (uint64), split-on-space tokens, batch
+    vocabulary md5-hashed once; a shingle's hash is the order-sensitive
+    polynomial sum(h[j] * M^(k-1-j)) mod 2^64. Docs shorter than k words
+    collapse to one whole-text shingle (same rule as _shingle_hashes_batch,
+    and as the SQL oracle's CASE)."""
+    M = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+    weights = np.empty(k, dtype=np.uint64)
+    w = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        weights[j] = w
+        with np.errstate(over="ignore"):
+            w = w * M
+    docs_words = [t.split(" ") for t in texts]
+    vocab: dict[str, int] = {}
+    for ws in docs_words:
+        for word in ws:
+            if word not in vocab:
+                vocab[word] = len(vocab)
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big") for word in vocab),
+        dtype=np.uint64, count=len(vocab),
+    )
+    out = []
+    for ws in docs_words:
+        if len(ws) < k:
+            joined = " ".join(ws)
+            out.append(np.array(
+                [int.from_bytes(hashlib.md5(joined.encode()).digest()[:8], "big")],
+                dtype=np.uint64,
+            ))
+            continue
+        h = hv[np.fromiter((vocab[word] for word in ws), dtype=np.int64, count=len(ws))]
+        n = len(h) - k + 1
+        sh = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                sh += h[j : j + n] * weights[j]
+        out.append(np.unique(sh))
+    return out
+
+
+def decontaminate(sf_dir: str, bench_pct: int = 10, k: int = 8) -> rd.Dataset:
+    """Benchmark decontamination scan: which TRAINING documents share at
+    least one k-word shingle with the held-out BENCHMARK split? The
+    benchmark split is the deterministic ``hash_sample`` rule (md5-prefix
+    < pct), so both sides derive it independently. Ray-first shape:
+
+    - every doc emits (shingle_hash, is_bench, doc_id) rows, sharded by
+      shingle hash — contamination is decided WHERE the shingle lives, so
+      no benchmark shingle set is ever broadcast (at 100 TB the benchmark
+      union can itself be huge),
+    - in-shard: membership of train shingles in the bench set (numpy
+      isin), partial hit counts per train doc,
+    - hit counts re-shard by doc_id and sum; output rows only for
+      contaminated docs (n_shared >= 1).
+
+    Output: (doc_id, n_shared) — n_shared = DISTINCT shared shingles,
+    matching the SQL string-set oracle up to ~2^-64 hash collisions."""
+    thresh = (bench_pct << 32) // 100
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        shs = _kgram_hashes_batch(batch["text"].to_pylist(), k=k)
+        bench = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thresh for d in ids),
+            dtype=bool, count=len(ids),
+        )
+        did = np.concatenate([np.full(len(s), d, dtype=np.int64)
+                              for d, s in zip(ids, shs)]) if shs else np.array([], dtype=np.int64)
+        isb = np.concatenate([np.full(len(s), b) for b, s in zip(bench, shs)]) if shs else np.array([], dtype=bool)
+        sh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
+        return pa.table(
+            {
+                "_sshard": pa.array((sh % np.uint64(64)).astype(np.int64)),
+                "sh": pa.array(sh.view(np.int64)),
+                "doc_id": pa.array(did),
+                "is_bench": pa.array(isb),
+            }
+        )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        bench_set = g.loc[g["is_bench"], "sh"].to_numpy()
+        tr = g[~g["is_bench"]]
+        if not len(tr) or not len(bench_set):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "partial": pd.Series(dtype="int64"),
+                                 "_dshard": pd.Series(dtype="int64")})
+        hit = np.isin(tr["sh"].to_numpy(), bench_set)
+        t = tr[hit].groupby("doc_id", sort=False).size().reset_index(name="partial")
+        t["_dshard"] = _shard64_of(list(t["doc_id"]))
+        return t
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("doc_id", sort=False)["partial"].sum().reset_index()
+        return pd.DataFrame({"doc_id": t["doc_id"].astype("int64"),
+                             "n_shared": t["partial"].astype("int64")})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("_sshard")
+        .map_groups(hits, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(total, batch_format="pandas")
+    )

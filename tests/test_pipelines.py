@@ -494,3 +494,44 @@ def test_tfidf_top_terms_equals_bruteforce():
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[r.doc_id] == (r.token, r.tf, r.df), r.doc_id
+
+
+def test_decontaminate_planted_overlap(tmp_path):
+    """A train doc that copies 8+ consecutive tokens from a benchmark doc
+    is flagged; disjoint docs are not. Benchmark split = hash_sample rule."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from spiderman_ray.pipelines.text import decontaminate
+
+    thresh = (10 << 32) // 100
+
+    def is_bench(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thresh
+
+    # find one bench id and two train ids under the deterministic split
+    ids = list(range(1, 200))
+    bench_id = next(d for d in ids if is_bench(d))
+    t1, t2 = [d for d in ids if not is_bench(d)][:2]
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([bench_id, t1, t2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    bench_text,
+                    "prefix words here " + bench_text,  # contains the 8-grams
+                    "totally different content with no overlap at all whatsoever",
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "deco"
+    d.mkdir()
+    _pq.write_table(tbl, str(d / "documents.parquet"))
+    got = decontaminate(str(d)).to_pandas()
+    assert t1 in set(got["doc_id"]) and t2 not in set(got["doc_id"])
+    assert bench_id not in set(got["doc_id"])  # bench rows never flagged
+    # n_shared counts DISTINCT shared 8-grams: bench doc has 3, all inside t1
+    assert int(got.set_index("doc_id").loc[t1, "n_shared"]) == 3
