@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["image_id", "w", "h", "fmt", "phash"]
         )
 
+    def crawl_image_stats(sf_dir: str) -> Any:
+        out = _crawl_out("t1")
+        return I.image_stats(os.path.join(out, "tables", "images"))
+
     def _docs_as_media(sf_dir: str, id_col: str) -> Any:
         """Deterministic media table synthesized from documents: payload =
         UTF-8 text bytes (the brief's opaque-binary multimodal column)."""
@@ -150,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_validate": crawl_validate,
         "crawl_phash_dups": crawl_phash_dups,
         "crawl_thumbnails": crawl_thumbnails,
+        "crawl_image_stats": crawl_image_stats,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -429,6 +434,27 @@ def _crawl_oracle_sqls() -> dict[str, str]:
           "n_phash_bad": n_bad[2]}],
         {"n_images": "BIGINT", "n_w_bad": "BIGINT", "n_h_bad": "BIGINT",
          "n_phash_bad": "BIGINT"},
+    )
+    # image channel stats: sequential integer recompute over the ORACLE's
+    # image rows (same independence argument as crawl_thumbnails — checks
+    # the distributed actor pool against a single-process loop)
+    stat_rows = []
+    for r in o.images:  # 1:1 with engine rows, like crawl_thumbnails
+        px = decode_image(r["bytes"])
+        h, w = px.shape[:2]
+        n = h * w
+        sums = px.reshape(-1, px.shape[2]).astype("int64").sum(axis=0)
+        stat_rows.append(
+            {"image_id": r["image_id"], "w": w, "h": h,
+             "mean_r_x1000": int(sums[0]) * 1000 // n,
+             "mean_g_x1000": int(sums[1]) * 1000 // n,
+             "mean_b_x1000": int(sums[2]) * 1000 // n}
+        )
+    out["crawl_image_stats"] = _values_sql(
+        stat_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "mean_r_x1000": "BIGINT", "mean_g_x1000": "BIGINT",
+         "mean_b_x1000": "BIGINT"},
     )
     # phash near-dup pairs, brute force over the oracle's image table
     uniq: dict[str, int] = {}

@@ -160,3 +160,52 @@ def validate_summary(images_uri: str) -> pa.Table:
     )
     return pa.table({k: pa.array([int(agg[k])], type=pa.int64()) for k in
                      ("n_images", "n_w_bad", "n_h_bad", "n_phash_bad")})
+
+
+class ImageStats:
+    """Actor-pool stage: per-image channel statistics in EXACT integer
+    arithmetic (mean_{r,g,b}_x1000 = floor(channel_sum * 1000 / n_px)) so
+    the distributed output hash-matches a sequential recomputation over the
+    reference-loop oracle's rows — the same independence argument as
+    crawl_thumbnails. Real decoded pixels (own codecs), real actor-pool
+    plumbing; integer stats avoid any float-summation order contract."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "w": [], "h": [], "mean_r_x1000": [],
+               "mean_g_x1000": [], "mean_b_x1000": []}
+        for row in batch.to_pylist():
+            px = decode_image(row["bytes"])
+            h, w = px.shape[:2]
+            n = h * w
+            sums = px.reshape(-1, px.shape[2]).astype(np.int64).sum(axis=0)
+            out["image_id"].append(row["image_id"])
+            out["w"].append(w)
+            out["h"].append(h)
+            out["mean_r_x1000"].append(int(sums[0]) * 1000 // n)
+            out["mean_g_x1000"].append(int(sums[1]) * 1000 // n)
+            out["mean_b_x1000"].append(int(sums[2]) * 1000 // n)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], type=pa.string()),
+                "w": pa.array(out["w"], type=pa.int64()),
+                "h": pa.array(out["h"], type=pa.int64()),
+                "mean_r_x1000": pa.array(out["mean_r_x1000"], type=pa.int64()),
+                "mean_g_x1000": pa.array(out["mean_g_x1000"], type=pa.int64()),
+                "mean_b_x1000": pa.array(out["mean_b_x1000"], type=pa.int64()),
+            }
+        )
+
+
+def image_stats(images_uri: str, concurrency: int | None = None,
+                batch_size: int = 64) -> rd.Dataset:
+    """Per-image channel means over the crawled image table (the feature-
+    extraction shape of the multimodal brief, on REAL decoded pixels)."""
+    from spiderman_ray.pipelines import pool_size
+
+    return read_dataset(images_uri, columns=["image_id", "bytes"]).map_batches(
+        ImageStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency or 10**6),
+        num_cpus=1,
+    )

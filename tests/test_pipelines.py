@@ -535,3 +535,25 @@ def test_decontaminate_planted_overlap(tmp_path):
     assert bench_id not in set(got["doc_id"])  # bench rows never flagged
     # n_shared counts DISTINCT shared 8-grams: bench doc has 3, all inside t1
     assert int(got.set_index("doc_id").loc[t1, "n_shared"]) == 3
+
+
+def test_image_stats_integer_means(images_table):
+    """Channel means are exact integer floor((sum*1000)//n) of the decoded
+    pixels — verified against a direct per-image recompute."""
+    from spiderman_ray.functions.imaging import decode_image
+    from spiderman_ray.pipelines.images import image_stats
+
+    import glob
+
+    tbl = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(images_table + "/*.parquet"))
+    )
+    got = image_stats(images_table).to_pandas().set_index("image_id")
+    for row in tbl.to_pylist():
+        px = decode_image(row["bytes"])
+        h, w = px.shape[:2]
+        sums = px.reshape(-1, px.shape[2]).astype("int64").sum(axis=0)
+        g = got.loc[row["image_id"]]
+        assert (g["w"], g["h"]) == (w, h)
+        assert g["mean_r_x1000"] == int(sums[0]) * 1000 // (h * w)
+        assert g["mean_b_x1000"] == int(sums[2]) * 1000 // (h * w)
