@@ -89,6 +89,29 @@ def cmd_export(args: argparse.Namespace) -> int:
     ds = rd.from_arrow(tbl)
     if args.fmt == "csv":
         ds.write_csv(args.dest)
+    elif args.fmt == "jsonl":
+        ds.write_json(args.dest)
+    elif args.fmt == "txt":
+        # delimiter-text parity with the reference's datafile sink: str()
+        # every value, strip the delimiter and newlines from values, one
+        # header line, append rows (pipelines_datafile.py:62-100)
+        import os as _os
+
+        d = args.delimiter
+        _os.makedirs(args.dest, exist_ok=True)
+        path = _os.path.join(args.dest, f"{args.table}.txt")
+        cols = tbl.column_names
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(d.join(cols) + "\n")
+            for batch in tbl.to_batches():
+                for row in batch.to_pylist():
+                    f.write(
+                        d.join(
+                            str(row[c]).replace(d, "").replace("\n", "")
+                            for c in cols
+                        )
+                        + "\n"
+                    )
     else:
         ds.write_parquet(args.dest)
     print(json.dumps({"rows": tbl.num_rows, "dest": args.dest}))
@@ -153,7 +176,9 @@ def main(argv=None) -> int:
     e = sub.add_parser("export", help="export a crawled table to csv/parquet")
     e.add_argument("--out", required=True, help="crawl output dir")
     e.add_argument("--table", default="pages")
-    e.add_argument("--fmt", default="csv", choices=["csv", "parquet"])
+    e.add_argument("--fmt", default="csv", choices=["csv", "parquet", "jsonl", "txt"])
+    e.add_argument("--delimiter", default=",", help="txt format delimiter "
+                   "(DATAFILE_DELIMITER parity)")
     e.add_argument("--dest", required=True)
     e.set_defaults(fn=cmd_export)
 
