@@ -92,26 +92,9 @@ def cmd_export(args: argparse.Namespace) -> int:
     elif args.fmt == "jsonl":
         ds.write_json(args.dest)
     elif args.fmt == "txt":
-        # delimiter-text parity with the reference's datafile sink: str()
-        # every value, strip the delimiter and newlines from values, one
-        # header line, append rows (pipelines_datafile.py:62-100)
-        import os as _os
+        from spiderman_ray.sources.table_io import write_delimited
 
-        d = args.delimiter
-        _os.makedirs(args.dest, exist_ok=True)
-        path = _os.path.join(args.dest, f"{args.table}.txt")
-        cols = tbl.column_names
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(d.join(cols) + "\n")
-            for batch in tbl.to_batches():
-                for row in batch.to_pylist():
-                    f.write(
-                        d.join(
-                            str(row[c]).replace(d, "").replace("\n", "")
-                            for c in cols
-                        )
-                        + "\n"
-                    )
+        write_delimited(tbl, args.dest, args.table, delimiter=args.delimiter)
     else:
         ds.write_parquet(args.dest)
     print(json.dumps({"rows": tbl.num_rows, "dest": args.dest}))

@@ -91,3 +91,25 @@ def append_part(tbl: pa.Table, uri: str, tag: str = "") -> str:
     path = os.path.join(uri, name)
     pq.write_table(tbl, path)
     return path
+
+
+def write_delimited(tbl: pa.Table, dest_dir: str, table: str, delimiter: str = ",") -> str:
+    """Delimiter-text export with the reference datafile sink's value
+    contract (pipelines_datafile.py:62-100): str() every value, strip the
+    delimiter and newlines FROM values, one header line, one line per row.
+    Returns the written path."""
+    os.makedirs(dest_dir, exist_ok=True)
+    path = os.path.join(dest_dir, f"{table}.txt")
+    cols = tbl.column_names
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(delimiter.join(cols) + "\n")
+        for batch in tbl.to_batches():
+            for row in batch.to_pylist():
+                f.write(
+                    delimiter.join(
+                        str(row[c]).replace(delimiter, "").replace("\n", "")
+                        for c in cols
+                    )
+                    + "\n"
+                )
+    return path

@@ -85,3 +85,21 @@ def test_base64_roundtrip():
 def test_deal_time_stamp():
     assert deal_time_stamp(1600000000, unit="s") == "2020-09-13"
     assert deal_time_stamp(1600000000000, unit="ms") == "2020-09-13"
+
+
+def test_write_delimited_sanitizes_values(tmp_path):
+    """Datafile-sink contract: delimiter and newlines stripped FROM values,
+    header line first, str() coercion (pipelines_datafile.py:62-100)."""
+    import pyarrow as pa
+
+    from spiderman_ray.sources.table_io import write_delimited
+
+    tbl = pa.table(
+        {
+            "a": ["x|y", "line\nbreak"],
+            "b": [1, 2],
+        }
+    )
+    path = write_delimited(tbl, str(tmp_path), "t", delimiter="|")
+    lines = open(path).read().splitlines()
+    assert lines == ["a|b", "xy|1", "linebreak|2"]
