@@ -489,7 +489,8 @@ class CrawlEngine:
             # alternatives: per-generation actor pools pay startup + copy
             # costs that dwarf the straggler overlap they buy.
             next_frontier = fetched.map_batches(
-                make_parse_sink(self.out, self.parsers, policy.dirty_words),
+                make_parse_sink(self.out, self.parsers, policy.dirty_words,
+                                policy.splash),
                 batch_format="pyarrow",
                 batch_size=self.parse_batch_size,
                 num_cpus=1,

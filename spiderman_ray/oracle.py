@@ -198,8 +198,13 @@ def run_oracle(
         if req["callback"] == "image":
             res.images.append(make_image_row(req, web.fetch(req["url"]).body))
         else:
-            resp = web.fetch(req["url"], req.get("body") or "")
+            resp = web.fetch(
+                req["url"], req.get("body") or "",
+                render=policy.render_for(req["callback"]),
+            )
             rows, children = parsers[req["callback"]](resp, req)
+            if policy.splash_suppress_images and policy.render_for(req["callback"]):
+                children = [r for r in children if r["callback"] != "image"]
             if req["callback"] in ("list", "search"):
                 res.pages.extend(rows)
             else:

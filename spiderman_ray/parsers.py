@@ -97,8 +97,12 @@ def parse_list(resp: SimResponse, req: dict) -> tuple[list[dict], list[dict]]:
 
 
 def parse_detail(resp: SimResponse, req: dict) -> tuple[list[dict], list[dict]]:
-    """-> ([detail row], image requests)."""
+    """-> ([detail row], image requests). A SHELL response (JS-rendered
+    page fetched without the render path) has no fields: the parse yields
+    nothing, like scrapy extracting from shell HTML."""
     f = resp.fields
+    if not f:
+        return [], []
     gen, seq = req["generation"], req["seq"]
     row = {
         "type1": f["type1"],

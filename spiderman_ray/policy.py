@@ -34,6 +34,11 @@ class CrawlPolicy:
     #: off (zhifang does not enable it); blocked urls become dead letters
     #: with reason 'dirty_url' instead of silent drops.
     dirty_words: tuple | None = None
+    #: scrapy-splash routing (SP/spiders/SPRedisSpider.py:47-54): requests
+    #: whose callback is in ``callbacks`` go through the render fetch path;
+    #: ``images: 0`` (the reference's default) suppresses image child
+    #: requests of rendered pages. None = splash off.
+    splash: dict | None = None  # {"callbacks": ("detail",), "wait": 2, "images": 0|1}
 
     @property
     def max_attempts(self) -> int:
@@ -41,3 +46,10 @@ class CrawlPolicy:
 
     def dedup_for(self, callback: str) -> bool:
         return self.dedup_overrides.get(callback, self.dedup)
+
+    def render_for(self, callback: str) -> bool:
+        return bool(self.splash) and callback in self.splash.get("callbacks", ())
+
+    @property
+    def splash_suppress_images(self) -> bool:
+        return bool(self.splash) and not self.splash.get("images", 0)

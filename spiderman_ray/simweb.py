@@ -98,6 +98,11 @@ class SimParams:
     #: /search endpoint — same URL, different bodies (FormRequest parity,
     #: SP/spiders/SPRedisSpider.py:55-59)
     search_seeds: int = 0
+    #: fraction of detail pages that are JS-rendered (0 = off): a plain
+    #: fetch returns a SHELL (no fields, no image slots) unless the request
+    #: goes through the render path — the scrapy-splash scenario
+    #: (SP/spiders/SPRedisSpider.py:47-54, zhifang.py:90)
+    render_rate: float = 0.0
 
     @classmethod
     def for_scale(cls, scale: str, **overrides) -> "SimParams":
@@ -300,13 +305,25 @@ class SimWeb:
             return "image", (int(p), int(d), int(k))
         raise ValueError(f"not a simulated-web url: {url}")
 
-    def fetch(self, url: str, body: str = "") -> SimResponse:
+    def needs_render(self, url: str) -> bool:
+        """True for JS-rendered detail pages (render_rate subset): their
+        plain fetch returns a shell; only a render fetch sees content."""
+        if self.p.render_rate <= 0:
+            return False
+        kind, key = self.parse_url(url)
+        return kind == "detail" and self._u("render", *key) < self.p.render_rate
+
+    def fetch(self, url: str, body: str = "", render: bool = False) -> SimResponse:
         """Content of a URL (success case — failures are modeled by the
         caller via ``fail_attempts_for``). POST bodies select content for
-        the /search endpoint (same URL, different payloads)."""
+        the /search endpoint (same URL, different payloads). ``render``
+        is the SplashRequest path (SPRedisSpider.py:47-54): JS-rendered
+        detail pages return an empty SHELL without it."""
         import json as _json
 
         kind, key = self.parse_url(url)
+        if kind == "detail" and not render and self.needs_render(url):
+            return SimResponse(url=url, kind="detail")  # shell: no content
         if kind == "search":
             kw = int(_json.loads(body or "{}").get("kw", 0))
             targets = self.search_results(kw)

@@ -220,7 +220,10 @@ class FetchGroup:
                     )
                 )
                 continue
-            resp = web.fetch(url, req.get("body") or "")
+            resp = web.fetch(
+                url, req.get("body") or "",
+                render=self.policy.render_for(req["callback"]),
+            )
             out.append(
                 _wire_row(
                     req, kind="fetched", status_code=200, attempts=attempts,

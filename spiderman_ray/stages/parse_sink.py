@@ -87,9 +87,10 @@ def write_part(
 
 
 def make_parse_sink(out_dir: str, parsers: dict | None = None,
-                    dirty_words: tuple | None = None):
+                    dirty_words: tuple | None = None,
+                    splash: dict | None = None):
     """Stateless map_batches fn: wire batch in, next-frontier batch out."""
-    sink = ParseSink(out_dir, parsers, dirty_words)
+    sink = ParseSink(out_dir, parsers, dirty_words, splash)
 
     def parse_sink(batch: pa.Table) -> pa.Table:
         return sink(batch)
@@ -101,10 +102,15 @@ class ParseSink:
     """Wire batch in, next-frontier batch out (see make_parse_sink)."""
 
     def __init__(self, out_dir: str, parsers: dict | None = None,
-                 dirty_words: tuple | None = None):
+                 dirty_words: tuple | None = None,
+                 splash: dict | None = None):
         self.out = out_dir
         self.parsers = parsers or PARSERS
         self.dirty_words = dirty_words
+        # splash 'images: 0' (reference default): rendered pages do NOT
+        # schedule image sub-requests (SPRedisSpider.py:49)
+        self._splash_cbs = tuple(splash.get("callbacks", ())) if splash else ()
+        self._suppress_images = bool(splash) and not splash.get("images", 0)
         if dirty_words:
             from spiderman_ray.functions.urls import DIRTY_WORDS
 
@@ -180,6 +186,8 @@ class ParseSink:
                 captions=list(row["captions"] or []),
             )
             rows_out, reqs = self.parsers[cb](resp, row)
+            if self._suppress_images and cb in self._splash_cbs:
+                reqs = [r for r in reqs if r["callback"] != "image"]
             if cb in ("list", "search"):
                 pages.extend(rows_out)
             else:

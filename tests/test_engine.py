@@ -549,3 +549,54 @@ def test_cuckoo_mode_conformance(tmp_path):
     assert eng._pool.contains(co["fp"].tolist()).all()
     assert eng._pool.count() == o.metrics["seen_count"]
     eng._pool.shutdown()
+
+
+def test_splash_render_conformance(tmp_path):
+    """scrapy-splash analog (SPRedisSpider.py:47-54): JS-rendered detail
+    pages (render_rate subset) return a SHELL unless fetched through the
+    render path. Three behaviors, each engine ≡ oracle:
+
+    (a) no splash: shell details yield no detail rows / no image children;
+    (b) splash on detail with images=1: content fully restored — outputs
+        equal the render_rate=0 baseline bit for bit;
+    (c) splash default images=0: detail rows restored, image sub-requests
+        suppressed (zero image rows)."""
+    from spiderman_ray.oracle import run_oracle
+
+    base_params = SimParams.for_scale("t1")
+    rendered = SimParams.for_scale("t1", render_rate=0.5)
+    baseline = run_oracle(base_params, CrawlPolicy())
+
+    # (a) rendered site, splash off: fewer details, fewer images
+    pol_a = CrawlPolicy()
+    o_a = run_oracle(rendered, pol_a)
+    assert 0 < o_a.metrics["details"] < baseline.metrics["details"]
+    assert o_a.metrics["images"] < baseline.metrics["images"]
+    _, m_a = _run(rendered, pol_a, str(tmp_path / "a"))
+    assert m_a["details"] == o_a.metrics["details"]
+    assert m_a["images"] == o_a.metrics["images"]
+    co = _sorted_df(_table(str(tmp_path / "a"), "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o_a.crawl_order]
+
+    # (b) splash with images=1: equal to the un-rendered baseline
+    pol_b = CrawlPolicy(splash={"callbacks": ("detail",), "wait": 2, "images": 1})
+    o_b = run_oracle(rendered, pol_b)
+    assert o_b.metrics["details"] == baseline.metrics["details"]
+    assert o_b.metrics["images"] == baseline.metrics["images"]
+    assert [c["url"] for c in o_b.crawl_order] == [
+        c["url"] for c in baseline.crawl_order
+    ]
+    _, m_b = _run(rendered, pol_b, str(tmp_path / "b"))
+    assert m_b["details"] == baseline.metrics["details"]
+    assert m_b["images"] == baseline.metrics["images"]
+
+    # (c) splash default images=0: details restored, image children gone
+    pol_c = CrawlPolicy(splash={"callbacks": ("detail",), "wait": 2})
+    o_c = run_oracle(rendered, pol_c)
+    assert o_c.metrics["details"] == baseline.metrics["details"]
+    assert o_c.metrics["images"] == 0
+    _, m_c = _run(rendered, pol_c, str(tmp_path / "c"))
+    assert m_c["details"] == o_c.metrics["details"]
+    assert m_c["images"] == 0
+    co_c = _sorted_df(_table(str(tmp_path / "c"), "crawl_order"))
+    assert co_c["url"].tolist() == [c["url"] for c in o_c.crawl_order]
