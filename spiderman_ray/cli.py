@@ -39,10 +39,18 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     from spiderman_ray.policy import CrawlPolicy
     from spiderman_ray.simweb import SimParams
 
+    splash = None
+    if args.splash_callbacks:
+        splash = {
+            "callbacks": tuple(args.splash_callbacks.split(",")),
+            "wait": 2,
+            "images": args.splash_images,
+        }
     policy = CrawlPolicy(
         dedup=not args.no_dedup,
         dedup_mode="bloom" if args.bloom else args.dedup_mode,
         max_generations=args.max_generations,
+        splash=splash,
     )
     eng = CrawlEngine(
         SimParams.for_scale(args.scale),
@@ -143,6 +151,12 @@ def main(argv=None) -> int:
     c.add_argument("--no-dedup", action="store_true", help="dont_filter mode")
     c.add_argument("--salt-max-group", type=int, default=None)
     c.add_argument("--max-generations", type=int, default=16)
+    c.add_argument("--splash-callbacks", default=None,
+                   help="comma list of callbacks to route through the "
+                   "render path (scrapy-splash analog)")
+    c.add_argument("--splash-images", type=int, default=0,
+                   help="0 suppresses image children of rendered pages "
+                   "(reference default)")
     c.set_defaults(fn=cmd_crawl)
 
     pt = sub.add_parser(
