@@ -319,24 +319,28 @@ def generate_pixels(key: str, w: int, h: int) -> np.ndarray:
 
     Each grating cos(ax + by + φ) is expanded via the angle identity into
     cos(by+φ)·cos(ax) − sin(by+φ)·sin(ax): O(h+w) transcendentals + two
-    rank-1 outer products instead of an (h, w) cos grid — ~4x faster with
-    the identical RNG draw sequence (only last-ulp float differences, and
-    the engine and oracle share this function, so parity is structural)."""
+    rank-1 outer products instead of an (h, w) cos grid. The accumulation
+    runs in float32 via BLAS rank-1 matmuls with in-place round/clip —
+    another ~2x over the float64 temporaries (identical RNG draw sequence;
+    pixel values can shift by ±1 ulp-of-uint8 vs a float64 accumulation,
+    and the engine and oracle share this function, so parity is
+    structural)."""
     seed = int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     y = np.arange(h, dtype=np.float64) / max(h, 1)
     x = np.arange(w, dtype=np.float64) / max(w, 1)
-    img = np.empty((h, w, 3), dtype=np.float64)
+    img = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         base = rng.uniform(64, 192)
-        acc = np.full((h, w), base)
+        acc = np.full((h, w), base, dtype=np.float32)
         for _ in range(3):
             fx, fy = rng.uniform(0.5, 3.0, size=2)
             phase = rng.uniform(0, 2 * np.pi)
             amp = rng.uniform(10, 40)
             ax = (2 * np.pi * fx) * x
             by = (2 * np.pi * fy) * y + phase
-            acc += amp * np.cos(by)[:, None] * np.cos(ax)[None, :]
-            acc -= amp * np.sin(by)[:, None] * np.sin(ax)[None, :]
-        img[:, :, c] = acc
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+            acc += (amp * np.cos(by))[:, None].astype(np.float32) @ np.cos(ax)[None, :].astype(np.float32)
+            acc -= (amp * np.sin(by))[:, None].astype(np.float32) @ np.sin(ax)[None, :].astype(np.float32)
+        np.clip(np.round(acc, out=acc), 0, 255, out=acc)
+        img[:, :, c] = acc.astype(np.uint8)
+    return img
