@@ -34,9 +34,9 @@ def _crawl_out(scale: str = "t1") -> str:
     out = f"/tmp/spiderman_entry_{scale}"
     # a checkpoint written by an older code version may carry a stale table
     # schema — resume only when the schema fingerprint matches
-    # v2: generate_pixels moved to float32 accumulation — pixel content
-    # changed, so pre-v2 cached crawls must not resume against new pins
-    sig = "v2:" + ",".join(f.name for f in CRAWL_ORDER)
+    # v3: float32 pixel generation + float32 SJPG DCT — image bytes changed,
+    # so pre-v3 cached crawls must not resume against new pins
+    sig = "v3:" + ",".join(f.name for f in CRAWL_ORDER)
     sig_path = os.path.join(out, "schema.sig")
     resume = os.path.isdir(os.path.join(out, "manifests"))
     if resume:

@@ -155,6 +155,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _D8 = _dct_matrix(8)
+_D8F = _D8.astype(np.float32)  # float32 twin: halves DCT memory traffic
 _D32 = _dct_matrix(32)
 
 
@@ -180,13 +181,17 @@ def _unblockify(blocks: np.ndarray, hb: int, wb: int, h: int, w: int) -> np.ndar
 
 
 def sjpg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Lossy encode (h, w, 3) uint8 -> bytes. Deterministic."""
+    """Lossy encode (h, w, 3) uint8 -> bytes. Deterministic. DCT +
+    quantization run in float32 (coefficients < 2^12, quantizers < 2^8 —
+    well inside float32 precision; engine and oracle share this codec, so
+    parity is structural like generate_pixels)."""
     h, w, _ = pixels.shape
-    q = _quality_qtable(quality)
+    q = _quality_qtable(quality).astype(np.float32)
     all_blocks = [
-        _blockify(pixels[:, :, c].astype(np.float64) - 128.0)[0] for c in range(3)
+        _blockify(pixels[:, :, c].astype(np.float32) - np.float32(128.0))[0]
+        for c in range(3)
     ]
-    coeff = _D8 @ np.concatenate(all_blocks) @ _D8.T  # one batched matmul
+    coeff = _D8F @ np.concatenate(all_blocks) @ _D8F.T  # one batched matmul
     planes = [np.round(coeff / q).astype(np.int16)]
     # level 1: the quantized int16 planes are low-entropy (mostly zeros), so
     # level 6 buys ~8% size for ~4x the CPU — the wrong trade on the fetch
@@ -205,11 +210,13 @@ def sjpg_decode(data: bytes) -> np.ndarray:
     coeffs = np.frombuffer(zlib.decompress(data[15:]), dtype=np.int16).reshape(3 * nblocks, 8, 8)
     # ONE batched matmul across all 3 planes' blocks (BLAS saturates better
     # on 3x the batch), then per-plane unblockify
-    blocks = _D8.T @ (coeffs.astype(np.float64) * q) @ _D8
+    blocks = _D8F.T @ (coeffs.astype(np.float32) * q.astype(np.float32)) @ _D8F
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         plane = _unblockify(blocks[c * nblocks : (c + 1) * nblocks], hb, wb, h, w)
-        out[:, :, c] = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+        plane = plane + np.float32(128.0)
+        np.clip(np.round(plane, out=plane), 0, 255, out=plane)
+        out[:, :, c] = plane.astype(np.uint8)
     return out
 
 
