@@ -34,9 +34,9 @@ def _crawl_out(scale: str = "t1") -> str:
     out = f"/tmp/spiderman_entry_{scale}"
     # a checkpoint written by an older code version may carry a stale table
     # schema — resume only when the schema fingerprint matches
-    # v3: float32 pixel generation + float32 SJPG DCT — image bytes changed,
-    # so pre-v3 cached crawls must not resume against new pins
-    sig = "v3:" + ",".join(f.name for f in CRAWL_ORDER)
+    # v4: float32 pixels/DCT + PNG Up-filter — image bytes changed, so
+    # older cached crawls must not resume against new pins
+    sig = "v4:" + ",".join(f.name for f in CRAWL_ORDER)
     sig_path = os.path.join(out, "schema.sig")
     resume = os.path.isdir(os.path.join(out, "manifests"))
     if resume:
