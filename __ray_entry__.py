@@ -36,7 +36,7 @@ def _crawl_out(scale: str = "t1") -> str:
     # schema — resume only when the schema fingerprint matches
     # v4: float32 pixels/DCT + PNG Up-filter — image bytes changed, so
     # older cached crawls must not resume against new pins
-    sig = "v4:" + ",".join(f.name for f in CRAWL_ORDER)
+    sig = "v5:" + ",".join(f.name for f in CRAWL_ORDER)
     sig_path = os.path.join(out, "schema.sig")
     resume = os.path.isdir(os.path.join(out, "manifests"))
     if resume:
