@@ -150,7 +150,11 @@ def run_patch(engine: CrawlEngine) -> dict:
                 .map_batches(add_fetch_key, batch_format="pyarrow")
                 .groupby("fetch_key")
                 .map_groups(fetch_group, batch_format="pandas")
-                .map_batches(make_parse_sink(out, engine.parsers, engine.policy.dirty_words), batch_format="pyarrow")
+                .map_batches(
+                    make_parse_sink(out, engine.parsers, engine.policy.dirty_words,
+                                    engine.policy.splash),
+                    batch_format="pyarrow",
+                )
                 .to_arrow_refs()
             )
             import ray

@@ -140,3 +140,32 @@ def test_patch_repairs_lost_attachment_table(tmp_path):
     after = _tables(out)
     for t, df in before.items():
         pd.testing.assert_frame_equal(df, after[t])
+
+
+def test_patch_under_splash_routing(tmp_path):
+    """Patch jobs re-fetch through the SAME splash routing: a rendered
+    detail generation lost from the sinks is rebuilt identically (render
+    path restores content; images stay suppressed with images=0)."""
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.patch import find_residual, run_patch
+
+    params = SimParams.for_scale("t1", render_rate=0.5)
+    policy = CrawlPolicy(splash={"callbacks": ("detail",), "wait": 2})
+    out = str(tmp_path / "splashrun")
+    eng = CrawlEngine(params, policy, out_dir=out)
+    m = eng.run()
+    eng._pool.shutdown()
+    assert m["details"] > 0 and m["images"] == 0  # images suppressed
+    before = _tables(out)
+
+    shutil.rmtree(f"{out}/tables/details/gen=1", ignore_errors=True)
+    shutil.rmtree(f"{out}/tables/crawl_order/gen=1", ignore_errors=True)
+    assert find_residual(out, 1).num_rows > 0
+    stats = run_patch(eng)
+    assert stats.get(1, 0) > 0
+    after = _tables(out)
+    for t, df in before.items():
+        pd.testing.assert_frame_equal(
+            df.drop(columns=["vts_ms"], errors="ignore"),
+            after[t].drop(columns=["vts_ms"], errors="ignore"),
+        )
