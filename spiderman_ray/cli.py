@@ -68,9 +68,14 @@ def cmd_patch(args: argparse.Namespace) -> int:
     ray = _ray_session()
     from spiderman_ray.engine import CrawlEngine
     from spiderman_ray.patch import run_patch
+    from spiderman_ray.policy import load_policy
     from spiderman_ray.simweb import SimParams
 
-    eng = CrawlEngine(SimParams.for_scale(args.scale), out_dir=args.out)
+    # recover the behavioral config (splash routing, dirty words, dedup
+    # mode) persisted beside the checkpoint — patching with defaults would
+    # silently change semantics (e.g. re-create suppressed image children)
+    policy = load_policy(args.out)
+    eng = CrawlEngine(SimParams.for_scale(args.scale), policy, out_dir=args.out)
     print(json.dumps({"patched_per_generation": run_patch(eng)}))
     ray.shutdown()
     return 0

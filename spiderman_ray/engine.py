@@ -159,6 +159,17 @@ class CrawlEngine:
         self.auto_salt_cap = auto_salt_cap
 
     # -- checkpoint helpers ------------------------------------------------
+    def _write_policy(self) -> None:
+        """Persist the CrawlPolicy next to the checkpoint so patch/resume
+        runs launched later (e.g. the CLI) recover the SAME behavioral
+        config (splash routing, dirty words, dedup mode) instead of
+        defaults — config lives with the data it produced."""
+        from dataclasses import asdict
+
+        d = asdict(self.policy)
+        with open(os.path.join(self.out, "policy.json"), "w") as f:
+            json.dump(d, f)
+
     def _manifest_path(self, g: int) -> str:
         return os.path.join(self.out, "manifests", f"gen-{g}.json")
 
@@ -363,6 +374,7 @@ class CrawlEngine:
                 shutil.rmtree(self.out)
             start_gen = 0
         os.makedirs(os.path.join(self.out, "manifests"), exist_ok=True)
+        self._write_policy()
 
         pool = ShardedSeenSet(
             num_shards=policy.num_shards,

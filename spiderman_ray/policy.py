@@ -53,3 +53,21 @@ class CrawlPolicy:
     @property
     def splash_suppress_images(self) -> bool:
         return bool(self.splash) and not self.splash.get("images", 0)
+
+
+def load_policy(out_dir: str) -> CrawlPolicy | None:
+    """Load the CrawlPolicy persisted beside a crawl checkpoint
+    (engine._write_policy). Returns None when the run predates the file.
+    JSON round-trip restores the tuple-typed fields."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "policy.json")
+    if not os.path.isfile(path):
+        return None
+    d = json.load(open(path))
+    if d.get("dirty_words") is not None:
+        d["dirty_words"] = tuple(d["dirty_words"])
+    if d.get("splash") and d["splash"].get("callbacks"):
+        d["splash"]["callbacks"] = tuple(d["splash"]["callbacks"])
+    return CrawlPolicy(**d)

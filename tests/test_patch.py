@@ -169,3 +169,34 @@ def test_patch_under_splash_routing(tmp_path):
             df.drop(columns=["vts_ms"], errors="ignore"),
             after[t].drop(columns=["vts_ms"], errors="ignore"),
         )
+
+
+def test_policy_persisted_and_loaded_for_patch(tmp_path):
+    """CrawlPolicy is checkpointed beside the tables and load_policy
+    round-trips it (tuple fields restored), so a LATER process (the CLI
+    patch path) patches under the original semantics."""
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.patch import run_patch
+    from spiderman_ray.policy import load_policy
+
+    params = SimParams.for_scale("t1", render_rate=0.5)
+    policy = CrawlPolicy(splash={"callbacks": ("detail",), "wait": 2},
+                         dirty_words=("blocked",))
+    out = str(tmp_path / "persist")
+    eng = CrawlEngine(params, policy, out_dir=out)
+    m = eng.run()
+    eng._pool.shutdown()
+    assert m["images"] == 0
+
+    loaded = load_policy(out)
+    assert loaded == policy  # dataclass equality incl. restored tuples
+
+    # fresh engine as the CLI would build it: loaded policy, lost gen
+    shutil.rmtree(f"{out}/tables/details/gen=1", ignore_errors=True)
+    shutil.rmtree(f"{out}/tables/crawl_order/gen=1", ignore_errors=True)
+    eng2 = CrawlEngine(params, loaded, out_dir=out)
+    stats = run_patch(eng2)
+    assert stats.get(1, 0) > 0
+    from spiderman_ray.engine import read_table_all_gens
+
+    assert read_table_all_gens(out, "images").num_rows == 0  # still suppressed
