@@ -52,6 +52,17 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         max_generations=args.max_generations,
         splash=splash,
     )
+    if args.resume:
+        # resume must continue under the ORIGINAL behavioral config or the
+        # engine ≡ oracle bit-identity breaks mid-crawl; the stored policy
+        # wins (only max_generations, a budget not a behavior, carries over
+        # from the flags)
+        from spiderman_ray.policy import load_policy
+
+        stored = load_policy(args.out)
+        if stored is not None:
+            stored.max_generations = args.max_generations
+            policy = stored
     eng = CrawlEngine(
         SimParams.for_scale(args.scale),
         policy,
