@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": lambda sf: __import__(
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_distinct(sf),
+        # Count-Min sketch estimates for the exact top-k tokens (mergeable
+        # constant-size tables; pytest bounds the over-estimate)
+        "approx_token_counts": lambda sf: __import__(
+            "spiderman_ray.pipelines.sketches", fromlist=["x"]
+        ).approx_token_counts(sf),
         # -- similarity search ----------------------------------------------
         "ann_cosine_topk": V.ann_cosine_topk,
         # nprobe=n_centroids -> exhaustive probe: exercises the full IVF

@@ -82,3 +82,79 @@ def approx_distinct(sf_dir: str, table: str = "events", column: str = "user_id",
     ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=[column])
     rows = hll_register_blocks(ds, column, p=p).take_all()
     return pa.table({"n_distinct_est": pa.array([hll_estimate(rows, p=p)], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies)
+# ---------------------------------------------------------------------------
+
+_CMS_SALTS = ("cms0|", "cms1|", "cms2|", "cms3|")
+
+
+def _cms_rows(tokens: np.ndarray, counts: np.ndarray, width: int) -> np.ndarray:
+    """(d, width) int64 count table for a (token, count) batch — one
+    deterministic hash64 per (salt, token), vectorized adds."""
+    table = np.zeros((len(_CMS_SALTS), width), dtype=np.int64)
+    toks = [str(t) for t in tokens]
+    for r, salt in enumerate(_CMS_SALTS):
+        idx = hash64([salt + t for t in toks]).view(np.uint64) % np.uint64(width)
+        np.add.at(table[r], idx.astype(np.int64), counts)
+    return table
+
+
+def cms_token_counts(sf_dir: str, width: int = 4096) -> rd.Dataset:
+    """Per-block Count-Min tables over whitespace token OCCURRENCES in
+    ``documents``: each block pre-aggregates its token counts (pandas
+    value_counts) and folds them into a fixed (4 x width) table — constant
+    bytes per block across the wire, merged downstream by elementwise SUM
+    (CMS merge is addition, so any reduction topology is valid)."""
+    import pandas as pd
+
+    def fold(batch: pa.Table) -> pa.Table:
+        toks = pd.Series(batch["text"].to_pylist()).str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        table = _cms_rows(vc.index.to_numpy(dtype=object),
+                          vc.to_numpy().astype(np.int64), width)
+        return pa.table({"cms": pa.array([table.ravel().tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"]).map_batches(fold, batch_format="pyarrow")
+
+
+def cms_merge(rows: list[dict], width: int = 4096) -> np.ndarray:
+    table = np.zeros((len(_CMS_SALTS), width), dtype=np.int64)
+    for r in rows:
+        table += np.asarray(r["cms"], dtype=np.int64).reshape(len(_CMS_SALTS), width)
+    return table
+
+
+def cms_estimate(table: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-query estimates: min over the d rows (classic CMS upper-bias
+    guarantee: est >= true, est <= true + eps*N w.h.p., eps = e/width)."""
+    width = table.shape[1]
+    ests = np.empty((len(_CMS_SALTS), len(tokens)), dtype=np.int64)
+    for r, salt in enumerate(_CMS_SALTS):
+        idx = hash64([salt + t for t in tokens]).view(np.uint64) % np.uint64(width)
+        ests[r] = table[r][idx.astype(np.int64)]
+    return ests.min(axis=0)
+
+
+def approx_token_counts(sf_dir: str, k: int = 20, width: int = 4096) -> pa.Table:
+    """Approximate frequencies of the exact top-k tokens via a merged
+    Count-Min sketch — the estimate-side twin of the exact ``top_tokens``
+    heavy hitter (which supplies the token list). Deterministic hashes ->
+    bit-reproducible estimates; accuracy is pytest-bounded, so this stays
+    a rows-only driver query like the HLL sketch."""
+    from spiderman_ray.pipelines.text import top_tokens
+
+    top = top_tokens(sf_dir, k=k).to_pandas()
+    table = cms_merge(cms_token_counts(sf_dir, width=width).take_all(), width=width)
+    est = cms_estimate(table, list(top["token"]))
+    return pa.table(
+        {
+            "token": pa.array(list(top["token"]), type=pa.string()),
+            "n_est": pa.array(est.astype(np.int64)),
+        }
+    )

@@ -557,3 +557,34 @@ def test_image_stats_integer_means(images_table):
         assert (g["w"], g["h"]) == (w, h)
         assert g["mean_r_x1000"] == int(sums[0]) * 1000 // (h * w)
         assert g["mean_b_x1000"] == int(sums[2]) * 1000 // (h * w)
+
+
+def test_cms_bounds_and_merge_invariance():
+    """Count-Min guarantees: est >= true for every queried token, total
+    over-estimate bounded by d*eps*N with eps = e/width; merging blocks in
+    any order gives identical tables."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    true = Counter()
+    for t in docs["text"].to_pylist():
+        true.update(w for w in t.split(" ") if w)
+    total = sum(true.values())
+
+    rows = cms_token_counts(sf).take_all()
+    table = cms_merge(rows)
+    table2 = cms_merge(list(reversed(rows)))
+    assert (table == table2).all()
+
+    toks = [t for t, _ in true.most_common(50)]
+    est = cms_estimate(table, toks)
+    for tok, e in zip(toks, est):
+        assert e >= true[tok], (tok, e, true[tok])
+        assert e - true[tok] <= (2.718 / 4096) * total * 4, (tok, e, true[tok])
