@@ -113,9 +113,18 @@ def run_bench() -> dict:
     if os.path.isdir(out):
         shutil.rmtree(out)
 
+    # BENCH_PAGES overrides the frontier size (default 500 = the standard
+    # fixture; e.g. 2500 = the 5x frontier). Larger frontiers amortize the
+    # fixed per-generation pipeline costs, which is the honest workload for
+    # scaling claims about a 10^10-URL target (Amdahl: gen0/gen1 cannot use
+    # a big cluster and weigh ~6 s regardless of frontier size).
+    pages = int(os.environ.get("BENCH_PAGES", "500"))
+    params = (SimParams.for_scale("bench") if pages == 500
+              else SimParams.for_scale("bench", pages=pages, img_sizes=(64, 96, 128)))
+
     def crawl():
         eng = CrawlEngine(
-            SimParams.for_scale("bench"),
+            params,
             CrawlPolicy(),
             out_dir=out,
             salt_max_group=400,
