@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible; pytest measures recall vs the exact operator)
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         "embedding_norms": V.embedding_norms,
+        # int8 scalar quantization (vector compression), checksum-verified
+        "sq8_quantize": V.sq8_quantize,
         # -- multimodal plumbing over synthesized binary payloads ----------
         "video_frames": video_frames,
         "audio_features": audio_features,
@@ -621,6 +623,20 @@ def oracle_sql() -> dict[str, str]:
             "GREATEST(len(string_split(text, ' ')), 1) AS BIGINT) AS mean_tok_len_x100, "
             "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha "
             "FROM documents"
+        ),
+        "sq8_quantize": (
+            # single-IEEE-op mirror of pipelines.vectors.sq8_quantize
+            "WITH e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS xs FROM embeddings), "
+            "s AS (SELECT vec_id, xs, "
+            "list_max(list_transform(xs, x -> abs(x))) / 127.0 AS sc FROM e), "
+            "g AS (SELECT vec_id, sc, CASE WHEN sc = 0 THEN 1.0 ELSE sc END AS safe, "
+            "xs FROM s), "
+            "q AS (SELECT vec_id, sc, list_transform(xs, x -> GREATEST(-127.0, "
+            "LEAST(127.0, FLOOR(x / safe + 0.5)))) AS qs FROM g) "
+            "SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS qsum, "
+            "CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS qnorm, "
+            "CAST(FLOOR(sc * 1e9 + 0.5) AS BIGINT) AS scale_x1e9 FROM q"
         ),
         "embedding_norms": (
             "SELECT vec_id, CAST(ROUND(sqrt(list_sum(list_transform(embedding, "

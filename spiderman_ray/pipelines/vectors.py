@@ -318,3 +318,40 @@ def embedding_norms(sf_dir: str) -> rd.Dataset:
         )
 
     return rd.read_parquet(_pq(sf_dir)).map_batches(norms, batch_format="pandas")
+
+
+def sq8_quantize(sf_dir: str) -> rd.Dataset:
+    """Scalar int8 quantization of the embedding column — the vector-
+    compression step of an embedding pipeline (4x smaller + int8-dot
+    search). Per vector: scale = max|x| / 127, q_i = clip(floor(x_i/scale
+    + 0.5), -127, 127). Pure per-batch map, no shuffle.
+
+    The driver-checked output is integer checksums per vector (sum,
+    squared-norm, scale_x1e9): every arithmetic step (float64 casts, one
+    division, floor(x+0.5)) is a single IEEE op mirrored in the DuckDB
+    oracle, so the hashes match exactly; reconstruction-error and
+    ANN-recall properties are pytest-bounded."""
+
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(batch)  # float64 exact from float32
+        amax = np.abs(m).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.clip(np.floor(m / safe[:, None] + 0.5), -127, 127).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "qsum": q.sum(axis=1),
+                "qnorm": (q * q).sum(axis=1),
+                "scale_x1e9": np.floor(scale * 1e9 + 0.5).astype("int64"),
+            }
+        )
+
+    return rd.read_parquet(_pq(sf_dir)).map_batches(quant, batch_format="pandas")
+
+
+def _sq8_codes(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    scale = np.abs(m).max(axis=1) / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.floor(m / safe[:, None] + 0.5), -127, 127).astype(np.int8)
+    return q, scale

@@ -588,3 +588,30 @@ def test_cms_bounds_and_merge_invariance():
     for tok, e in zip(toks, est):
         assert e >= true[tok], (tok, e, true[tok])
         assert e - true[tok] <= (2.718 / 4096) * total * 4, (tok, e, true[tok])
+
+
+def test_sq8_reconstruction_and_recall():
+    """Quantization properties: per-element reconstruction error <= scale/2,
+    and int8-dot ANN top-5 keeps high recall vs exact cosine."""
+    from spiderman_ray.pipelines.vectors import _sq8_codes, ann_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(sf + "/embeddings.parquet")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()])
+    ids = np.asarray(emb["vec_id"].to_pylist())
+    q, scale = _sq8_codes(m)
+    rec = q.astype(np.float64) * scale[:, None]
+    assert (np.abs(rec - m) <= scale[:, None] / 2 + 1e-12).all()
+
+    # recall of quantized cosine vs exact, first 8 queries, k=5
+    exact = ann_cosine_topk(sf, n_queries=8, k=5).to_pandas()
+    rn = rec / np.linalg.norm(rec, axis=1, keepdims=True)
+    recalls = []
+    for qid in exact["query_id"].unique():
+        qi = np.nonzero(ids == qid)[0][0]
+        sims = rn @ rn[qi]
+        sims[qi] = -np.inf
+        approx = set(ids[np.argsort(-sims)[:5]])
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & approx) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
