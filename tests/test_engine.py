@@ -600,3 +600,33 @@ def test_splash_render_conformance(tmp_path):
     assert m_c["images"] == 0
     co_c = _sorted_df(_table(str(tmp_path / "c"), "crawl_order"))
     assert co_c["url"].tolist() == [c["url"] for c in o_c.crawl_order]
+
+
+def test_kitchen_sink_conformance(tmp_path):
+    """Every behavioral knob at once — priority-capable frontier, bloom
+    dedup, MINSIZE retries, dirty-word blocklist, splash routing with
+    images KEPT, on a render-gated site: engine ≡ oracle on crawl order
+    and all tables. Features that pass alone but interact badly would
+    surface here."""
+    from spiderman_ray import schemas
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t1", render_rate=0.4)
+    policy = CrawlPolicy(
+        dedup_mode="bloom", bloom_mem_mb=1, bloom_k=7, num_shards=3,
+        min_size=512,
+        dirty_words=("blocked",),
+        splash={"callbacks": ("detail",), "wait": 2, "images": 1},
+    )
+    o = run_oracle(params, policy)
+    assert o.metrics["images"] > 0  # images kept through the render path
+    out = str(tmp_path / "sink")
+    _, m = _run(params, policy, out)
+    for k in ("crawled", "pages", "details", "images", "dead", "seen_count"):
+        assert m[k] == o.metrics[k], k
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    assert co["attempts"].tolist() == [c["attempts"] for c in o.crawl_order]
+    assert_rows_equal(_table(out, "pages"), o.pages, schemas.PAGES)
+    assert_rows_equal(_table(out, "details"), o.details, schemas.DETAILS)
+    assert_rows_equal(_table(out, "images"), o.images, schemas.IMAGES_FULL)
