@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_counts": lambda sf: T.pattern_counts(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
+        # Gopher-style repetition quality signals (integerized fractions)
+        "repetition_stats": lambda sf: T.repetition_stats(sf),
+        # sequence-packing token offsets (distributed two-pass prefix sum)
+        "pack_offsets": lambda sf: T.pack_offsets(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
         "decontaminate": lambda sf: T.decontaminate(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
@@ -756,6 +760,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_caps, "
             "CAST(len(regexp_extract_all(text, 'http[^ ]+')) AS BIGINT) AS n_urls "
             "FROM documents"
+        ),
+        "repetition_stats": (
+            # Gopher-style repetition signals; all fractions floored x10000.
+            # split(' ') keeps empties on both sides, so n >= 1 always.
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "t AS (SELECT doc_id, unnest(ws) AS tok FROM d), "
+            "tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok), "
+            "tm AS (SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n, "
+            "COUNT(*) AS n_distinct FROM tc GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1), "
+            "i -> ws[i + 1] || ' ' || ws[i + 2])) AS big FROM d), "
+            "bc AS (SELECT doc_id, big, COUNT(*) AS cnt FROM bg GROUP BY doc_id, big), "
+            "bm AS (SELECT doc_id, MAX(cnt) AS top_big FROM bc GROUP BY doc_id) "
+            "SELECT tm.doc_id, CAST(tm.n AS BIGINT) AS n_tokens, "
+            "CAST((tm.n - tm.n_distinct) * 10000 // tm.n AS BIGINT) AS dup_frac_x10000, "
+            "CAST(tm.top_cnt * 10000 // tm.n AS BIGINT) AS top_tok_frac_x10000, "
+            "CAST(COALESCE(bm.top_big, 0) * 10000 // GREATEST(tm.n - 1, 1) AS BIGINT) "
+            "AS top_bigram_frac_x10000 "
+            "FROM tm LEFT JOIN bm ON tm.doc_id = bm.doc_id"
+        ),
+        "pack_offsets": (
+            # exclusive prefix sum of token counts in doc_id order; bins of
+            # 512 tokens (pipelines.text.pack_offsets capacity default)
+            "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS so FROM d) "
+            "SELECT doc_id, n_tokens, CAST(so AS BIGINT) AS start_offset, "
+            "CAST(so // 512 AS BIGINT) AS first_bin, "
+            "CAST((so + n_tokens - 1) // 512 AS BIGINT) AS last_bin FROM c"
         ),
         "stratified_sample": (
             # same md5-prefix arithmetic as pipelines.text.stratified_sample

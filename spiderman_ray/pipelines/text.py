@@ -1191,3 +1191,138 @@ def decontaminate(sf_dir: str, bench_pct: int = 10, k: int = 8) -> rd.Dataset:
         .groupby("_dshard")
         .map_groups(total, batch_format="pandas")
     )
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals per document (the filters a
+    training-data pipeline applies before anything else): duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction —
+    all integerized x10000 (floor) so the driver hash matches the SQL
+    oracle exactly. Pure per-batch map, no shuffle: each doc's stats need
+    only that doc. Vectorized via ONE explode + two grouped counts per
+    batch (no per-row Counter loop); bigrams pair adjacent tokens
+    positionally with a numpy row-boundary mask."""
+
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toks = batch["text"].str.split(" ")
+        n = toks.str.len().astype("int64").to_numpy()
+        ex = toks.explode()
+        rows = ex.index.to_numpy()
+        tarr = ex.to_numpy()
+        idx = np.arange(len(batch))
+        tc = (
+            pd.DataFrame({"r": rows, "t": tarr})
+            .groupby(["r", "t"], sort=False)
+            .size()
+        )
+        top = tc.groupby(level=0).max().reindex(idx, fill_value=0).to_numpy()
+        ndist = tc.groupby(level=0).size().reindex(idx, fill_value=0).to_numpy()
+        # adjacent-pair (bigram) counts: positional shift + same-row mask
+        # (index-aligned Series ops would cartesian-join duplicate indices)
+        mask = rows[:-1] == rows[1:]
+        if mask.any():
+            bigs = (
+                pd.Series(tarr[:-1][mask]).str.cat(pd.Series(tarr[1:][mask]), sep=" ")
+            )
+            bc = (
+                pd.DataFrame({"r": rows[:-1][mask], "b": bigs.to_numpy()})
+                .groupby(["r", "b"], sort=False)
+                .size()
+            )
+            topb = bc.groupby(level=0).max().reindex(idx, fill_value=0).to_numpy()
+        else:
+            topb = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": n,
+                # split(' ') always yields >= 1 token, so n >= 1
+                "dup_frac_x10000": ((n - ndist) * 10000 // n).astype("int64"),
+                "top_tok_frac_x10000": (top * 10000 // n).astype("int64"),
+                "top_bigram_frac_x10000": (
+                    topb * 10000 // np.maximum(n - 1, 1)
+                ).astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(rep, batch_format="pandas")
+
+
+def pack_offsets(sf_dir: str, capacity: int = 512) -> rd.Dataset:
+    """Sequence-packing layout for LLM training: assign every document its
+    global token offset in the doc_id-ordered token stream, plus the first/
+    last training-sequence bin (``capacity`` tokens per bin) it lands in.
+
+    The global exclusive prefix sum is the interesting distributed part —
+    same two-pass shape as the engine's distributed frontier re-rank
+    (engine.py _rerank_distributed): sort by doc_id (range partitioning =>
+    disjoint ordered blocks), ONE tiny (min_doc_id, token_sum, n) summary
+    row per block, cumsum the per-block sums on the driver (O(blocks), not
+    O(rows)), then each block adds its base offset to a within-block
+    cumsum. The corpus never touches driver memory."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    sorted_ds = (
+        _read_docs(sf_dir)
+        .map_batches(counts, batch_format="pyarrow")
+        .sort("doc_id")
+        .materialize()
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "min_doc": pa.array([], type=pa.int64()),
+                    "tok_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "min_doc": pa.array([t["doc_id"][0].as_py()], type=pa.int64()),
+                "tok_sum": pa.array(
+                    [pc.sum(t["n_tokens"]).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    summary = (
+        sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("min_doc")
+    )
+    base = dict(
+        zip(summary["min_doc"], np.cumsum(summary["tok_sum"]) - summary["tok_sum"])
+    )
+
+    def assign(t: pa.Table, base=base, cap=capacity) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "start_offset": pa.array([], type=pa.int64()),
+                    "first_bin": pa.array([], type=pa.int64()),
+                    "last_bin": pa.array([], type=pa.int64()),
+                }
+            )
+        n = t["n_tokens"].to_numpy()
+        start = int(base[t["doc_id"][0].as_py()]) + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "start_offset": pa.array(start, type=pa.int64()),
+                "first_bin": pa.array(start // cap, type=pa.int64()),
+                # split(' ') yields >= 1 token, so the last token exists
+                "last_bin": pa.array((start + n - 1) // cap, type=pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

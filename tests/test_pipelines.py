@@ -615,3 +615,50 @@ def test_sq8_reconstruction_and_recall():
         e = set(exact[exact["query_id"] == qid]["neighbor_id"])
         recalls.append(len(e & approx) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_repetition_stats_equals_bruteforce():
+    """Vectorized explode/groupby repetition signals == per-doc Counter
+    brute force (dup-token, top-token, top-bigram fractions, floored
+    x10000)."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.text import repetition_stats
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    got = repetition_stats(sf).to_pandas().set_index("doc_id").sort_index()
+    assert len(got) == len(docs)
+    for _, row in docs.iterrows():
+        ws = row["text"].split(" ")
+        n = len(ws)
+        tc = Counter(ws)
+        bc = Counter(" ".join(p) for p in zip(ws, ws[1:]))
+        g = got.loc[row["doc_id"]]
+        assert g["n_tokens"] == n
+        assert g["dup_frac_x10000"] == (n - len(tc)) * 10000 // n
+        assert g["top_tok_frac_x10000"] == max(tc.values()) * 10000 // n
+        top_big = max(bc.values()) if bc else 0
+        assert g["top_bigram_frac_x10000"] == top_big * 10000 // max(n - 1, 1)
+
+
+def test_pack_offsets_prefix_sum_and_bins():
+    """Two-pass distributed prefix sum == pandas cumsum in doc_id order;
+    bins cover [start, start + n - 1] at capacity 512; offsets are
+    contiguous (no gaps/overlaps across block boundaries)."""
+    from spiderman_ray.pipelines.text import pack_offsets
+
+    sf = "/root/testdata/sf0.001"
+    got = pack_offsets(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    n = docs["text"].str.split(" ").str.len().astype("int64")
+    want_start = n.cumsum() - n
+    assert (got["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == n.to_numpy()).all()
+    assert (got["start_offset"].to_numpy() == want_start.to_numpy()).all()
+    assert (got["first_bin"].to_numpy() == want_start.to_numpy() // 512).all()
+    assert (
+        got["last_bin"].to_numpy()
+        == (want_start.to_numpy() + n.to_numpy() - 1) // 512
+    ).all()
