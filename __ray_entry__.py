@@ -12,6 +12,7 @@ here (or in spiderman_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -113,6 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _crawl_out("t1")
         return I.image_stats(os.path.join(out, "tables", "images"))
 
+    def crawl_host_stats(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.monitor import crawl_host_stats as chs
+
+        return chs(_crawl_out("t1"))
+
     def _docs_as_media(sf_dir: str, id_col: str) -> Any:
         """Deterministic media table synthesized from documents: payload =
         UTF-8 text bytes (the brief's opaque-binary multimodal column)."""
@@ -157,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phash_dups": crawl_phash_dups,
         "crawl_thumbnails": crawl_thumbnails,
         "crawl_image_stats": crawl_image_stats,
+        "crawl_host_stats": crawl_host_stats,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -482,6 +489,27 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         if bin((uniq[ids[i]] ^ uniq[ids[j]]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
     ]
     out["crawl_phash_dups"] = _values_sql(pair_rows, {"a": "VARCHAR", "b": "VARCHAR"})
+    # per-host metrics recomputed sequentially over the oracle's rows
+    # (integerized vclock: floor(ms*1000+0.5) microseconds)
+    hs: dict[str, list[int]] = {}
+    for r in o.crawl_order:
+        s = hs.setdefault(r["host"], [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += int(r["attempts"])
+        s[2] = max(s[2], int(math.floor(r["vts_ms"] * 1000.0 + 0.5)))
+    for r in o.dead_letters:
+        s = hs.setdefault(r["host"], [0, 0, 0, 0])
+        s[1] += int(r["attempts"])
+        s[3] += 1
+    out["crawl_host_stats"] = _values_sql(
+        [
+            {"host": h, "n_fetched": s[0], "attempts_total": s[1],
+             "vts_max_us": s[2], "n_dead": s[3]}
+            for h, s in sorted(hs.items())
+        ],
+        {"host": "VARCHAR", "n_fetched": "BIGINT", "attempts_total": "BIGINT",
+         "vts_max_us": "BIGINT", "n_dead": "BIGINT"},
+    )
     return out
 
 

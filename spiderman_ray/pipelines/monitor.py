@@ -15,6 +15,85 @@ import ray.data as rd
 from spiderman_ray.sources.table_io import read_dataset
 
 
+def _crawl_table_ds(out_dir: str, table: str) -> rd.Dataset:
+    """Stream a gen-partitioned crawl table (tables/<t>/gen=N/part-*.parquet)
+    as a Dataset. Falls back to an empty in-memory table (schema preserved)
+    when no parts exist, so aggregates over fresh/dead-letter-free runs work."""
+    import os
+
+    base = os.path.join(out_dir, "tables", table)
+    files: list[str] = []
+    if os.path.isdir(base):
+        for gen in sorted(os.listdir(base)):
+            gd = os.path.join(base, gen)
+            if gen.startswith("gen=") and os.path.isdir(gd):
+                files.extend(
+                    os.path.join(gd, f)
+                    for f in sorted(os.listdir(gd))
+                    if f.endswith(".parquet")
+                )
+    if not files:
+        from spiderman_ray.engine import read_table_all_gens
+
+        return rd.from_arrow(read_table_all_gens(out_dir, table))
+    return rd.read_parquet(files)
+
+
+def crawl_host_stats(out_dir: str) -> rd.Dataset:
+    """Per-host crawl metrics (the frontier-gauge / metrics surface,
+    SP_JOBS/job.py:113,135-139, aggregated per host): fetched rows, total
+    simulated attempts (including those consumed by dead letters), the
+    politeness-vclock high-water mark, and dead-letter count.
+
+    ONE shuffle: crawl_order and dead_letters are mapped into a common
+    partial-stats schema, unioned, and aggregated by host. Hosts are
+    O(parallelism) by construction (groupby-key invariant), and vts is
+    integerized (floor(ms*1000+0.5) microseconds) so the driver hash is
+    float-repr-proof."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Sum
+
+    def conv_order(batch: pa.Table) -> pa.Table:
+        vts_us = np.floor(batch["vts_ms"].to_numpy(zero_copy_only=False) * 1000.0 + 0.5)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "host": batch["host"],
+                "_fetched": pa.array(np.ones(n, dtype=np.int64)),
+                "_attempts": pc.cast(batch["attempts"], pa.int64()),
+                "_vts_us": pa.array(vts_us.astype(np.int64)),
+                "_dead": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def conv_dead(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "host": batch["host"],
+                "_fetched": z,
+                "_attempts": pc.cast(batch["attempts"], pa.int64()),
+                "_vts_us": z,
+                "_dead": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    order = _crawl_table_ds(out_dir, "crawl_order").map_batches(
+        conv_order, batch_format="pyarrow"
+    )
+    dead = _crawl_table_ds(out_dir, "dead_letters").map_batches(
+        conv_dead, batch_format="pyarrow"
+    )
+    return order.union(dead).groupby("host").aggregate(
+        Sum("_fetched", alias_name="n_fetched"),
+        Sum("_attempts", alias_name="attempts_total"),
+        Max("_vts_us", alias_name="vts_max_us"),
+        Sum("_dead", alias_name="n_dead"),
+    )
+
+
 def price_monitor(pages_uri: str, threshold: int = 5000) -> rd.Dataset:
     """Pages whose numeric price is below ``threshold`` — the
     kafka_mon predicate (price < 8000, kafka_mon.py:22-29) as a streaming

@@ -88,6 +88,43 @@ def test_price_monitor(tmp_path):
     eng._pool.shutdown()
 
 
+def test_crawl_host_stats(tmp_path):
+    """Per-host metrics aggregate ≡ sequential recompute over the oracle's
+    crawl_order + dead_letters (fetched count, attempts incl. dead letters,
+    vclock high-water mark in integer µs, dead-letter count)."""
+    import math
+
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.oracle import run_oracle
+    from spiderman_ray.pipelines.monitor import crawl_host_stats
+
+    params = SimParams.for_scale("t1")
+    o = run_oracle(params, CrawlPolicy())
+    out = str(tmp_path / "hs")
+    eng = CrawlEngine(params, CrawlPolicy(), out_dir=out)
+    eng.run()
+
+    exp: dict[str, list[int]] = {}
+    for r in o.crawl_order:
+        s = exp.setdefault(r["host"], [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += int(r["attempts"])
+        s[2] = max(s[2], int(math.floor(r["vts_ms"] * 1000.0 + 0.5)))
+    for r in o.dead_letters:
+        s = exp.setdefault(r["host"], [0, 0, 0, 0])
+        s[1] += int(r["attempts"])
+        s[3] += 1
+    assert o.dead_letters, "t1 must exercise the dead-letter leg"
+
+    got = crawl_host_stats(out).to_pandas().set_index("host").sort_index()
+    assert sorted(exp) == got.index.tolist()
+    for h, (nf, at, vts, nd) in exp.items():
+        row = got.loc[h]
+        assert (row["n_fetched"], row["attempts_total"], row["vts_max_us"],
+                row["n_dead"]) == (nf, at, vts, nd), h
+    eng._pool.shutdown()
+
+
 def priority_list_parse(resp, req):
     """Custom parser: image-poor details first? Demo: priority from the
     target detail ordinal (module-level so it pickles into Ray tasks)."""
