@@ -136,12 +136,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         ).map_batches(conv, batch_format="pyarrow")
 
+    def _docs_as_videos(sf_dir: str) -> Any:
+        """Deterministic SPV1 video table synthesized from documents: each
+        doc's UTF-8 bytes become cycled RGB frames packed in the seekable
+        container (multimodal.make_video). PNG frames are lossless, so the
+        decoded pixel sums are exact integers the SQL oracle re-derives."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        def conv(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from spiderman_ray.pipelines.multimodal import make_video
+
+            ids = pc.cast(batch["doc_id"], pa.string())
+            payloads = [make_video(t.encode()) for t in batch["text"].to_pylist()]
+            return pa.table(
+                {"video_id": ids, "payload": pa.array(payloads, pa.binary())}
+            )
+
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(conv, batch_format="pyarrow")
+
     def video_frames(sf_dir: str) -> Any:
         from spiderman_ray.pipelines.multimodal import video_frame_sample
 
         return video_frame_sample(
-            _docs_as_media(sf_dir, "video_id"), every_nth=8
-        ).drop_columns(["frame_bytes"])  # bytes are RNG-fake; structure is the oracle
+            _docs_as_videos(sf_dir), every_nth=8, mode="spv1"
+        ).drop_columns(["frame_bytes"])  # binary column: not SQL-comparable
 
     def audio_features(sf_dir: str) -> Any:
         import ray.data as rd  # noqa: F401  (symmetry with video_frames)
@@ -864,14 +887,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(sqrt(CAST(energy AS DOUBLE)) / 8192.0 * 1000000.0) AS BIGINT) "
             "AS rms_x1e6, 4 AS n_frames FROM d"
         ),
-        # video sampling structure (frame indices, dims, per-doc frame
-        # counts) is payload-length arithmetic — fully SQL-checkable even
-        # though the fake frame bytes are not
+        # real SPV1 decode check: the sampled frames' decoded pixel sums.
+        # make_video cycles the doc's UTF-8 bytes into 16x16x3 frames and
+        # PNG is lossless, so px_sum(frame f) = sum over j in [0,768) of
+        # byte[(f*768 + j) % n] — DuckDB re-derives it from hex(encode(text))
+        # with no shared code, hash-checking the container parse + seek +
+        # codec decode end-to-end (frame indices/dims stay length arithmetic)
         "video_frames": (
-            "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS video_id, "
-            "GREATEST(octet_length(encode(text)) // 256, 1) AS nf FROM documents) "
-            "SELECT video_id, CAST(unnest(range(0, nf, 8)) AS BIGINT) AS frame_idx, "
-            "16 AS w, 16 AS h FROM v"
+            "WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS video_id, "
+            "hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), "
+            "c AS (SELECT video_id, n, GREATEST(n // 256, 1) AS nf, "
+            "list_transform(range(0, n), "
+            "i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS codes "
+            "FROM b), "
+            "f AS (SELECT video_id, n, codes, "
+            "CAST(unnest(range(0, nf, 8)) AS BIGINT) AS frame_idx FROM c) "
+            "SELECT video_id, frame_idx, 16 AS w, 16 AS h, "
+            "CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(list_sum(list_transform(range(0, 768), "
+            "j -> CAST(codes[CAST((frame_idx*768 + j) % n AS INT) + 1] AS BIGINT))) "
+            "AS BIGINT) END AS px_sum FROM f"
         ),
         # nprobe == n_centroids probes every IVF cell -> exhaustive search ->
         # identical to the exact top-k oracle
