@@ -119,23 +119,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return chs(_crawl_out("t1"))
 
-    def _docs_as_media(sf_dir: str, id_col: str) -> Any:
-        """Deterministic media table synthesized from documents: payload =
-        UTF-8 text bytes (the brief's opaque-binary multimodal column)."""
-        import pyarrow as pa
-        import ray.data as rd
-
-        def conv(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            ids = pc.cast(batch["doc_id"], pa.string())
-            payload = pc.cast(batch["text"], pa.binary())
-            return pa.table({id_col: ids, "payload": payload})
-
-        return rd.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        ).map_batches(conv, batch_format="pyarrow")
-
     def _docs_as_videos(sf_dir: str) -> Any:
         """Deterministic SPV1 video table synthesized from documents: each
         doc's UTF-8 bytes become cycled RGB frames packed in the seekable
@@ -166,14 +149,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_as_videos(sf_dir), every_nth=8, mode="spv1"
         ).drop_columns(["frame_bytes"])  # binary column: not SQL-comparable
 
-    def audio_features(sf_dir: str) -> Any:
-        import ray.data as rd  # noqa: F401  (symmetry with video_frames)
+    def _docs_as_wavs(sf_dir: str) -> Any:
+        """Deterministic RIFF/WAVE table synthesized from documents: each
+        doc's UTF-8 bytes become 1024 cycled int16 PCM samples in a real
+        WAV container (functions.audio.make_audio); the SQL oracle
+        re-derives the identical samples from hex(encode(text))."""
+        import pyarrow as pa
+        import ray.data as rd
 
+        def conv(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from spiderman_ray.functions.audio import make_audio
+
+            ids = pc.cast(batch["doc_id"], pa.string())
+            payloads = [make_audio(t.encode()) for t in batch["text"].to_pylist()]
+            return pa.table(
+                {"clip_id": ids, "payload": pa.array(payloads, pa.binary())}
+            )
+
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(conv, batch_format="pyarrow")
+
+    def audio_features(sf_dir: str) -> Any:
         from spiderman_ray.pipelines import pool_size
         from spiderman_ray.pipelines.multimodal import AudioFeatures
 
-        return _docs_as_media(sf_dir, "clip_id").map_batches(
-            AudioFeatures, batch_format="pyarrow", batch_size=64,
+        return _docs_as_wavs(sf_dir).map_batches(
+            AudioFeatures, fn_constructor_kwargs={"mode": "wav"},
+            batch_format="pyarrow", batch_size=64,
             concurrency=pool_size(4), num_cpus=1,
         )
 
@@ -868,10 +873,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
             "WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
         ),
-        # the fake PCM decode (payload bytes cycled to 1024 samples
-        # d = 2*byte - 255) is exact-integer energy arithmetic, so DuckDB
-        # re-derives rms from hex(encode(text)) and the driver hash-checks
-        # the whole actor-pool output — see AudioFeatures._decode
+        # the engine decodes REAL RIFF/WAVE PCM (functions/audio.py chunk
+        # walker) whose samples make_audio synthesized as 2*byte - 255
+        # cycled to 1024 — exact-integer energy arithmetic, so DuckDB
+        # re-derives rms from hex(encode(text)) with no shared code and the
+        # driver hash-checks encode -> container parse -> decode -> features
         "audio_features": (
             "WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS clip_id, "
             "hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), "

@@ -1,12 +1,13 @@
 """Multimodal column operators: opaque binary payloads + typed metadata.
 
-Images are REAL here (our own codecs), and so is video: the SPV1 container
-below (magic + seek table + per-frame PNG/SJPG stills) is parsed and decoded
-for real, frame by frame, with the same numpy codecs the image pipeline
-uses. Only audio decode remains a clearly-marked deterministic fake (no PCM
-codec in this container) — its Ray-side plumbing (schema, actor signature,
-batch sizing, output layout) is genuine and tested, so dropping in a real
-decoder is a one-line change in the actor's ``__init__``.
+All three modalities decode for REAL here with no external media library:
+images via the own PNG/SJPG codecs, video via the SPV1 container below
+(magic + seek table + per-frame PNG/SJPG stills), and audio via the
+RIFF/WAVE PCM chunk walker in functions/audio.py (WAV is a public format
+needing only struct+numpy). Clearly-marked ``deterministic_fake`` modes
+remain for opaque payloads in formats that WOULD need a codec library
+(compressed audio, mp4/webm video) — their Ray-side plumbing is identical,
+so a third-party decoder is a one-line swap in the actor's ``__init__``.
 
 Batch-size guidance: rows are wide (binary payloads), so stages use small
 ``batch_size`` and ``batch_format='pyarrow'`` (binary columns do not
@@ -34,7 +35,7 @@ THUMBNAILS = pa.schema(
     ]
 )
 
-#: Contract for (stubbed) audio feature extraction.
+#: Contract for audio feature extraction (real WAV path and the legacy fake).
 AUDIO_FEATURES = pa.schema(
     [
         ("clip_id", pa.string()),
@@ -174,41 +175,50 @@ def thumbnails(images_uri: str, size: int = 32, concurrency: int = 4) -> rd.Data
 
 
 class AudioFeatures:
-    """Actor-pool stage contract for audio feature extraction.
+    """Actor-pool stage: per-clip features (duration, rms, frame count).
 
-    STUB: this container has no audio codec library. ``deterministic_fake``
-    mode exercises the full Ray plumbing with a fake decoder (bytes ->
-    pseudo-samples via a seeded hash), which is what the tests run; with a
-    real decoder (librosa/soundfile) only ``_decode`` changes.
-    """
+    ``mode='wav'`` (default) is a REAL decode path: the payload is parsed
+    as RIFF/WAVE PCM by the in-repo chunk walker (functions/audio.py — a
+    public format needing no codec library, like the PNG codec), and the
+    features are computed from the decoded samples at the container's own
+    sample rate. ``mode='deterministic_fake'`` remains for opaque non-WAV
+    binary (bytes cycled to pseudo-samples); compressed formats
+    (mp3/flac/ogg) would need a library this container doesn't ship."""
 
-    def __init__(self, mode: str = "deterministic_fake"):
-        if mode not in ("deterministic_fake",):
+    def __init__(self, mode: str = "wav"):
+        if mode not in ("wav", "deterministic_fake"):
             raise NotImplementedError(
-                "real audio decode requires an audio library not present in "
-                "this container; use mode='deterministic_fake'"
+                "compressed audio decode requires a codec library not "
+                "present in this container; use mode='wav' (PCM) or "
+                "mode='deterministic_fake'"
             )
         self.mode = mode
 
-    def _decode(self, clip_id: str, payload: bytes) -> np.ndarray:
-        """Fake PCM decode: payload bytes cycled/padded to 1024 integer
-        samples d = 2*byte - 255 in [-255, 255]. Deterministic AND
-        independently recomputable — the driver's SQL oracle re-derives the
+    def _decode(self, clip_id: str, payload: bytes) -> tuple[np.ndarray, int]:
+        """-> (mono int64 samples, sample rate). Fake mode: payload bytes
+        cycled/padded to 1024 integer samples d = 2*byte - 255 in
+        [-255, 255] at 16 kHz. Both modes are deterministic AND
+        independently recomputable — the driver's SQL oracle re-derives
         identical samples from hex(encode(text)), making the actor-pool
         output hash-checkable (real rms over exact-integer energy:
         rms = sqrt(sum(d^2))/8192 since mean(d^2/256^2) over 1024)."""
+        if self.mode == "wav":
+            from spiderman_ray.functions.audio import decode_wav
+
+            frames, rate = decode_wav(payload)
+            return frames.astype(np.int64).mean(axis=1, dtype=np.int64), rate
         b = np.frombuffer(payload, dtype=np.uint8)
         if len(b) == 0:
             b = np.zeros(1, dtype=np.uint8)
-        return 2 * b[np.arange(1024) % len(b)].astype(np.int64) - 255
+        return 2 * b[np.arange(1024) % len(b)].astype(np.int64) - 255, 16000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in ("clip_id", "duration_ms", "rms_x1e6", "n_frames")}
         for row in batch.to_pylist():
-            d = self._decode(row["clip_id"], row["payload"])
+            d, rate = self._decode(row["clip_id"], row["payload"])
             energy = int(np.sum(d * d))  # exact: <= 1024 * 255^2 << 2^53
             out["clip_id"].append(row["clip_id"])
-            out["duration_ms"].append(len(d) * 1000 // 16000)
+            out["duration_ms"].append(len(d) * 1000 // rate)
             out["rms_x1e6"].append(int(np.sqrt(float(energy)) / 8192.0 * 1000000.0))
             out["n_frames"].append(len(d) // 256)
         return pa.Table.from_pydict(out, schema=AUDIO_FEATURES)

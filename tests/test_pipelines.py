@@ -94,9 +94,11 @@ def test_audio_features_fake_and_video_stub():
             "payload": [b"\x01\x02\x03\x04fakebytes", b"other-fake-bytes"],
         }
     )
+    fake = {"fn_constructor_kwargs": {"mode": "deterministic_fake"}}
     out = (
         rd.from_arrow(tbl)
-        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                     concurrency=1, **fake)
         .to_pandas()
     )
     assert list(out.columns) == ["clip_id", "duration_ms", "rms_x1e6", "n_frames"]
@@ -104,7 +106,8 @@ def test_audio_features_fake_and_video_stub():
     # deterministic: same payload -> same features
     out2 = (
         rd.from_arrow(tbl)
-        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                     concurrency=1, **fake)
         .to_pandas()
     )
     pd.testing.assert_frame_equal(out, out2)
@@ -140,6 +143,70 @@ def test_audio_features_fake_and_video_stub():
     assert len(frames[frames["video_id"] == "v2"]) == 1  # tiny payload: 1 frame
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(mode="real")
+
+
+def test_audio_wav_real_decode():
+    """RIFF/WAVE codec: encode/decode round-trip is bit-exact, the chunk
+    walker skips unknown chunks and handles 8-bit + stereo, and the wav-mode
+    AudioFeatures stage ≡ the fake-mode features on make_audio clips (same
+    sample rule, but arrived at through a real container parse)."""
+    import struct
+
+    import ray.data as rd
+
+    from spiderman_ray.functions.audio import decode_wav, encode_wav, make_audio
+    from spiderman_ray.pipelines.multimodal import AudioFeatures
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, size=701, dtype=np.int16)
+    got, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and (got[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32768, size=(64, 2), dtype=np.int16)
+    got2, _ = decode_wav(encode_wav(stereo, 44100))
+    assert (got2 == stereo).all()
+
+    # robustness: a LIST chunk between fmt and data must be skipped
+    payload = encode_wav(mono, 8000)
+    fmt_at = payload.index(b"fmt ")
+    fmt_len = struct.unpack_from("<I", payload, fmt_at + 4)[0]
+    cut = fmt_at + 8 + fmt_len
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:cut] + extra + payload[cut:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got3, _ = decode_wav(spliced)
+    assert (got3[:, 0] == mono).all()
+
+    for bad in (b"RIFFxxxx", b"", b"RIFF" + b"\x00" * 20):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+    # engine parity: wav-mode features over real containers == fake-mode
+    # features over the raw bytes (make_audio implements the same rule)
+    datas = [b"wav-clip-one " * 40, b"z", b""]
+    clips = pa.table(
+        {
+            "clip_id": ["a", "b", "c"],
+            "payload": [make_audio(d) for d in datas],
+        }
+    )
+    raw = pa.table({"clip_id": ["a", "b", "c"], "payload": datas})
+    w = (
+        rd.from_arrow(clips)
+        .map_batches(AudioFeatures, fn_constructor_kwargs={"mode": "wav"},
+                     batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    f = (
+        rd.from_arrow(raw)
+        .map_batches(AudioFeatures,
+                     fn_constructor_kwargs={"mode": "deterministic_fake"},
+                     batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        w.sort_values("clip_id").reset_index(drop=True),
+        f.sort_values("clip_id").reset_index(drop=True),
+    )
 
 
 def test_video_spv1_real_decode():
