@@ -119,6 +119,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return chs(_crawl_out("t1"))
 
+    def pii_redaction(sf_dir: str) -> Any:
+        """redact_pii over documents with PII injected deterministically
+        from doc_id (docs are word-soup with none): every third doc gains
+        an email, an IPv4 and a phone number the SQL oracle reconstructs
+        with string concatenation before applying the identical RE2
+        patterns. Injection is per-batch Arrow concat; the operator itself
+        is pure (works on any (doc_id, text) table)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderman_ray.pipelines.text import redact_pii
+
+        def inject(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            did = batch["doc_id"]
+            suffix = [
+                (
+                    f" contact user{i}@example.com ip 10.{i % 256}.{i % 7}."
+                    f"{i % 13} phone +1-555-{i % 10000:04d}"
+                    if i % 3 == 0
+                    else ""
+                )
+                for i in did.to_pylist()
+            ]
+            text = pc.binary_join_element_wise(
+                pc.cast(batch["text"], pa.string()), pa.array(suffix), ""
+            )
+            return pa.table({"doc_id": did, "text": text})
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(inject, batch_format="pyarrow")
+        return redact_pii(docs)
+
     def _docs_as_videos(sf_dir: str) -> Any:
         """Deterministic SPV1 video table synthesized from documents: each
         doc's UTF-8 bytes become cycled RGB frames packed in the seekable
@@ -209,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": R.revenue_by_segment,
         "priority_union": R.priority_union,
         "distinct_brands": R.distinct_brands,
+        # ROLLUP: leaf + subtotal + grand-total levels in one shuffle
+        "returns_rollup": R.returns_rollup,
         # range (interval) join via bucket-overlap co-partitioning
         "range_join_shipments": R.range_join_shipments,
         # exact quantiles, two-pass histogram (no full sort)
@@ -245,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
         "repetition_stats": lambda sf: T.repetition_stats(sf),
+        # PII scrub over documents with deterministically injected PII
+        "pii_redaction": pii_redaction,
         # sequence-packing token offsets (distributed two-pass prefix sum)
         "pack_offsets": lambda sf: T.pack_offsets(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
@@ -571,6 +610,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents, "
             "COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        # ROLLUP levels with the 'ALL' sentinel (COALESCE) so NULL
+        # representation can't skew the value hash
+        "returns_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_x100, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        # identical RE2 patterns through DuckDB's RE2: rebuild the injected
+        # PII by concatenation, then count-then-replace in the same order
+        # (email -> ip -> phone, later counts see earlier placeholders)
+        "pii_redaction": (
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.' "
+            "|| CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.' || CAST(doc_id % 13 AS VARCHAR) || ' phone +1-555-' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END AS t "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, t, "
+            "CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+')) AS BIGINT) AS n_email, "
+            "regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g') AS r1 FROM aug), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(r1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ip, "
+            "regexp_replace(r1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g') AS r2 FROM s1) "
+            "SELECT doc_id, n_email, n_ip, "
+            "CAST(len(regexp_extract_all(r2, '\\+1-555-\\d{4}')) AS BIGINT) AS n_phone, "
+            "regexp_replace(r2, '\\+1-555-\\d{4}', '<PHONE>', 'g') AS redacted FROM s2"
         ),
         "md5_keys": "SELECT c_custkey, UPPER(md5(c_name)) AS pkey FROM customer",
         "event_days": "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events",

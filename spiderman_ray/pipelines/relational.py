@@ -112,6 +112,39 @@ def grouped_returns(sf_dir: str) -> rd.Dataset:
     )
 
 
+def returns_rollup(sf_dir: str) -> rd.Dataset:
+    """Multi-level (ROLLUP) aggregate: leaf groups, per-flag subtotals and
+    the grand total in ONE shuffle. The distributed pass is exactly
+    grouped_returns' pre-combined groupby; the subtotal/total expansion then
+    runs over the LEAF RESULT only — O(distinct flag x distinct status)
+    rows, driver-size by definition — so no second exchange and no
+    per-input-row rollup fan-out (which would triple the shuffled volume).
+    Subtotal keys use the 'ALL' sentinel (COALESCE in the SQL oracle)
+    rather than NULL so value hashing is representation-proof."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        leaf = batch.to_pandas()
+        per_flag = (
+            leaf.groupby("l_returnflag", as_index=False)[
+                ["sum_qty_x100", "sum_rev_cents", "n_rows"]
+            ]
+            .sum()
+            .assign(l_linestatus="ALL")
+        )
+        total = leaf[["sum_qty_x100", "sum_rev_cents", "n_rows"]].sum().to_frame().T
+        total["l_returnflag"] = "ALL"
+        total["l_linestatus"] = "ALL"
+        cols = ["l_returnflag", "l_linestatus", "sum_qty_x100", "sum_rev_cents", "n_rows"]
+        out = pd.concat([leaf[cols], per_flag[cols], total[cols]], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_returns(sf_dir).repartition(1).map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )
+
+
 def md5_keys(sf_dir: str) -> rd.Dataset:
     """Row keying: pkey = uppercase md5 (SP/utils/base.py:38-40) over a
     business column, vectorized per batch."""

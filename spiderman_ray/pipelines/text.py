@@ -1021,6 +1021,36 @@ def pattern_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
+#: PII patterns, applied in this order (count, then replace, then move on —
+#: later patterns see earlier placeholders). RE2 syntax only: pyarrow's
+#: regex kernels AND DuckDB's regexp functions are both RE2, so the driver
+#: oracle runs the IDENTICAL patterns through the identical engine.
+_PII_PATTERNS = (
+    ("email", r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\+1-555-\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(docs: rd.Dataset) -> rd.Dataset:
+    """PII scrub over a (doc_id, text) dataset — the training-data
+    redaction staple: count then replace emails, IPv4 addresses and phone
+    numbers with typed placeholder tokens. Fully vectorized Arrow RE2
+    kernels (count_substring_regex / replace_substring_regex), one pass,
+    no Python row loop, no shuffle — layout- and cluster-size-invariant."""
+
+    def xf(batch: pa.Table) -> pa.Table:
+        red = batch["text"]
+        cols: dict = {"doc_id": batch["doc_id"]}
+        for name, rx, token in _PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(red, rx), pa.int64())
+            red = pc.replace_substring_regex(red, rx, token)
+        cols["redacted"] = red
+        return pa.table(cols)
+
+    return docs.map_batches(xf, batch_format="pyarrow")
+
+
 def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     """Per-document most-DISTINCTIVE term: argmax of tf/df (df-normalized
     term frequency, the tf-idf ranking shape) with tie-break (ratio desc,

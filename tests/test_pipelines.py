@@ -792,3 +792,77 @@ def test_pack_offsets_prefix_sum_and_bins():
         got["last_bin"].to_numpy()
         == (want_start.to_numpy() + n.to_numpy() - 1) // 512
     ).all()
+
+
+def test_returns_rollup_levels_consistent():
+    """ROLLUP expansion: leaf rows == grouped_returns, per-flag subtotals ==
+    sum of their leaves, grand total == sum of everything — against a
+    brute-force pandas recompute over the raw parquet."""
+    from spiderman_ray.pipelines.relational import returns_rollup
+
+    sf = "/root/testdata/sf0.001"
+    got = returns_rollup(sf).to_pandas()
+    li = pq.read_table(
+        sf + "/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    li["qty"] = np.floor(li["l_quantity"] * 100 + 0.5).astype("int64")
+    li["rev"] = np.floor(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+
+    leaf = got[(got["l_returnflag"] != "ALL") & (got["l_linestatus"] != "ALL")]
+    want = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty_x100=("qty", "sum"), sum_rev_cents=("rev", "sum"),
+        n_rows=("qty", "size"),
+    ).reset_index()
+    pd.testing.assert_frame_equal(
+        leaf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True),
+        want.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    sub = got[(got["l_returnflag"] != "ALL") & (got["l_linestatus"] == "ALL")]
+    for _, r in sub.iterrows():
+        mine = leaf[leaf["l_returnflag"] == r["l_returnflag"]]
+        assert r["sum_rev_cents"] == mine["sum_rev_cents"].sum()
+        assert r["n_rows"] == mine["n_rows"].sum()
+    tot = got[(got["l_returnflag"] == "ALL") & (got["l_linestatus"] == "ALL")]
+    assert len(tot) == 1 and tot.iloc[0]["n_rows"] == len(li)
+    assert tot.iloc[0]["sum_rev_cents"] == li["rev"].sum()
+    assert len(got) == len(leaf) + len(sub) + 1
+
+
+def test_redact_pii_counts_and_text():
+    """Operator-level: counts and placeholder substitution over hand-built
+    edge cases (multiple hits, none, adjacent kinds, empty string)."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.text import redact_pii
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "write a.b@x.io and c@y.org now",
+                "no pii here at all",
+                "ip 10.1.2.3 then 255.255.0.1 call +1-555-0007",
+                "",
+            ],
+        }
+    )
+    out = (
+        redact_pii(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_ip"].tolist() == [0, 0, 2, 0]
+    assert out["n_phone"].tolist() == [0, 0, 1, 0]
+    assert out["redacted"].tolist() == [
+        "write <EMAIL> and <EMAIL> now",
+        "no pii here at all",
+        "ip <IP> then <IP> call <PHONE>",
+        "",
+    ]
