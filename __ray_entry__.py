@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_shipments": R.range_join_shipments,
         # exact quantiles, two-pass histogram (no full sort)
         "price_quantiles": R.price_quantiles,
+        # per-group exact quantiles, shard-grouped vectorized rank gather
+        "brand_price_quantiles": R.brand_price_quantiles,
         # -- text analysis / dedup families --------------------------------
         "doc_fingerprints": T.doc_fingerprints,
         "winnow_fingerprints": T.winnow_fingerprints,
@@ -610,6 +612,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents, "
             "COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        # per-group quantiles: same 1-indexed ceil(q*n) rank contract as
+        # price_quantiles, applied per brand via window rank join
+        "brand_price_quantiles": (
+            "WITH c AS (SELECT p_brand, "
+            "CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS cents FROM part), "
+            "r AS (SELECT p_brand, cents, "
+            "ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cents) AS rk, "
+            "COUNT(*) OVER (PARTITION BY p_brand) AS n FROM c), "
+            "p AS (SELECT * FROM (VALUES (25), (50), (75), (90)) AS t(pct)) "
+            "SELECT r.p_brand, CAST(p.pct AS BIGINT) AS pct, "
+            "r.cents AS value_cents FROM r JOIN p "
+            "ON r.rk = (p.pct * r.n + 99) // 100"
         ),
         # ROLLUP levels with the 'ALL' sentinel (COALESCE) so NULL
         # representation can't skew the value hash

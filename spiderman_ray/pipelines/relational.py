@@ -532,6 +532,56 @@ def price_quantiles(sf_dir: str, pcts: tuple[int, ...] = (25, 50, 75, 90, 99)) -
     )
 
 
+def brand_price_quantiles(
+    sf_dir: str, pcts: tuple[int, ...] = (25, 50, 75, 90)
+) -> rd.Dataset:
+    """Per-GROUP exact quantiles (p_retailprice cents per p_brand) — the
+    grouped companion to ``price_quantiles``. One shuffle: rows are
+    dispatched by a hash shard of the brand (64 groups, O(parallelism)
+    however many brands exist, per the groupby-key invariant); inside a
+    shard ONE vectorized pass sorts (brand, cents) and gathers every
+    brand's target ranks with numpy indexing — no per-key Python loop.
+    Rank contract shared with the SQL oracle: value of 1-indexed rank
+    ``(pct*n + 99) // 100`` in the group's sorted column (ceil(q*n),
+    DuckDB quantile_disc semantics, integer arithmetic only).
+
+    Scale note: a shard holds its brands' full row sets; if one group
+    outgrew worker memory the two-pass histogram of ``price_quantiles``
+    applies per group — not needed at testdata scale (documented limit)."""
+    import pandas as pd
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "cents"], kind="mergesort")
+        v = g["cents"].to_numpy()
+        brands, starts, counts = np.unique(
+            g["p_brand"].to_numpy(), return_index=True, return_counts=True
+        )
+        ps = np.array(pcts, dtype=np.int64)
+        # (n_brands, n_pcts) rank matrix -> flat gather, no Python loop
+        idx = starts[:, None] + (ps[None, :] * counts[:, None] + 99) // 100 - 1
+        return pd.DataFrame(
+            {
+                "p_brand": np.repeat(brands, len(ps)),
+                "pct": np.tile(ps, len(brands)),
+                "value_cents": v[idx.ravel()].astype("int64"),
+            }
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["p_retailprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"p_brand": batch["p_brand"], "cents": pa.array(cents)})
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(_add_key_shard("p_brand"), batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
 def priority_union(sf_dir: str) -> rd.Dataset:
     """ds.union of two filtered branches + grouped count (the reference's
     union-typed item stream split, SP/pipelines/pipelines_rdbm.py:40-57)."""

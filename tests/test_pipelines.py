@@ -866,3 +866,30 @@ def test_redact_pii_counts_and_text():
         "ip <IP> then <IP> call <PHONE>",
         "",
     ]
+
+
+def test_brand_price_quantiles_equals_bruteforce():
+    """Shard-grouped per-key rank gather == per-group numpy sort + explicit
+    ceil(q*n) rank pick, for every brand and pct."""
+    from spiderman_ray.pipelines.relational import brand_price_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        brand_price_quantiles(sf)
+        .to_pandas()
+        .sort_values(["p_brand", "pct"])
+        .reset_index(drop=True)
+    )
+    part = pq.read_table(
+        sf + "/part.parquet", columns=["p_brand", "p_retailprice"]
+    ).to_pandas()
+    part["cents"] = np.floor(part["p_retailprice"] * 100 + 0.5).astype("int64")
+    rows = []
+    for brand, g in part.groupby("p_brand"):
+        v = np.sort(g["cents"].to_numpy())
+        for p in (25, 50, 75, 90):
+            rows.append((brand, p, int(v[(p * len(v) + 99) // 100 - 1])))
+    want = pd.DataFrame(rows, columns=["p_brand", "pct", "value_cents"]).sort_values(
+        ["p_brand", "pct"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
