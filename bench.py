@@ -147,6 +147,12 @@ def run_bench() -> dict:
             .count(),
         )
 
+    def _pii_redaction():
+        # same deterministically-injected-PII input the driver gate runs
+        import __ray_entry__ as entrymod
+
+        return entrymod.queries()["pii_redaction"](SF_DIR)
+
     # -- data pipelines over $GRAFT_SF_DIR ---------------------------------
     for name, fn in [
         ("grouped_returns", lambda: R.grouped_returns(SF_DIR).to_pandas()),
@@ -165,6 +171,8 @@ def run_bench() -> dict:
         ("price_quantiles", lambda: R.price_quantiles(SF_DIR).num_rows),
         ("top_tokens", lambda: T.top_tokens(SF_DIR).count()),
         ("tfidf_top_terms", lambda: T.tfidf_top_terms(SF_DIR).count()),
+        ("brand_price_quantiles", lambda: R.brand_price_quantiles(SF_DIR).count()),
+        ("pii_redaction", lambda: _pii_redaction().count()),
     ]:
         timed(name, fn)
 
