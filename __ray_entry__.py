@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: T.stratified_sample(sf),
         # overlapping token-window chunking (LLM indexing/training prep)
         "doc_chunks": lambda sf: T.doc_chunks(sf),
+        # content-defined chunking (Rabin/FastCDC family), chunk-level fps
+        "cdc_chunks": lambda sf: T.cdc_chunks(sf),
         # regex feature counts (cleaning / PII-scan shape)
         "pattern_counts": lambda sf: T.pattern_counts(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
@@ -406,6 +408,41 @@ def _winnow_sql(k: int = 8, window: int = 6) -> str:
         "ELSE CAST(list_aggregate(mins, 'bit_xor') AS HUGEINT) END AS BIGINT) AS fps_checksum "
         "FROM sel "
         f"UNION ALL SELECT doc_id, 0, 0 FROM b WHERE n < {k}"
+    )
+
+
+def _cdc_sql(w: int = 8, div: int = 16, base: int = 1000003) -> str:
+    """Content-defined chunking oracle: the same windowed rolling hash as
+    _winnow_sql marks cut positions (h % div == div-1 after byte end),
+    chunks are the slices between cuts, and each chunk's fp is the Horner
+    polynomial over its bytes folded with list_reduce in HUGEINT mod 2^64
+    — mirrors pipelines.text.cdc_chunks byte for byte."""
+    m = 1 << 64
+    ws = [pow(base, w - 1 - j, m) for j in range(w)]
+    poly = " + ".join(f"cs[s+{j}] * {wgt}" for j, wgt in enumerate(ws))
+    return (
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "codes AS (SELECT doc_id, n, list_transform(range(0, n), "
+        "i -> CAST(CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT) AS HUGEINT)) AS cs "
+        "FROM b WHERE n > 0), "
+        f"cuts AS (SELECT doc_id, n, cs, CASE WHEN n >= {w} THEN "
+        f"list_filter(list_transform(range(1, n - {w} + 2), "
+        f"s -> CASE WHEN ({poly}) % {m} % {div} = {div - 1} "
+        f"THEN s + {w} - 1 ELSE -1 END), e -> e >= 0 AND e < n) "
+        "ELSE [] END AS ends FROM codes), "
+        "ch AS (SELECT doc_id, n, cs, list_prepend(0, ends) AS starts, "
+        "list_append(ends, n) AS stops FROM cuts), "
+        "idx AS (SELECT doc_id, n, cs, starts, stops, "
+        "unnest(range(1, len(starts) + 1)) AS ci FROM ch), "
+        "fps AS (SELECT doc_id, ci, starts[ci] AS a, stops[ci] AS b, "
+        f"list_reduce(cs[starts[ci] + 1:stops[ci]], "
+        f"(acc, x) -> (acc * {base} + x) % {m}) AS fpu FROM idx) "
+        "SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx, "
+        "CAST(a AS BIGINT) AS start_byte, CAST(b - a AS BIGINT) AS len_bytes, "
+        f"CAST(CASE WHEN fpu >= {1 << 63} THEN fpu - {1 << 64} ELSE fpu END "
+        "AS BIGINT) AS fp FROM fps "
+        "UNION ALL SELECT doc_id, 0, 0, 0, 0 FROM b WHERE n = 0"
     )
 
 
@@ -849,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE 100 * inter >= 60 * union_sz"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "cdc_chunks": _cdc_sql(),
         "decontaminate": (
             # 8-word shingle string sets vs the engine's 64-bit shingle
             # hashes: equal up to ~2^-64 collisions (same contract as

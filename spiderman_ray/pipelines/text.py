@@ -660,6 +660,72 @@ def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 6) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(stage, batch_format="pandas")
 
 
+def cdc_chunks(
+    sf_dir: str, w: int = 8, div: int = 16, base: int = 1000003
+) -> rd.Dataset:
+    """Content-defined chunking (the Rabin/FastCDC family — public
+    algorithms): chunk boundaries fall AFTER any byte whose trailing
+    w-byte window's rolling polynomial hash satisfies ``h % div ==
+    div - 1``, so boundaries move with the content — an insertion
+    re-chunks only its neighborhood, which is what makes CDC the dedup
+    primitive for shifted/edited payloads where fixed-size blocks break.
+    Per chunk: (doc_id, chunk_idx, start_byte, len_bytes, fp) with fp = the
+    Horner polynomial hash of the chunk's bytes mod 2^64 (signed-int64
+    two's complement, like the winnow checksum) — identical chunks across
+    documents share fps, so a downstream exact dedup over ``fp`` dedups at
+    chunk granularity. All arithmetic is uint64 wraparound numpy (the SQL
+    oracle mirrors it in HUGEINT); per-doc work is one sliding-window
+    hash + per-chunk vectorized multiply-sum, no shuffle, no Python
+    per-byte loop. Production CDC adds min/max chunk clamps (sequential
+    state); this operator keeps the pure content-defined rule so the
+    per-position predicate stays embarrassingly parallel."""
+    weights = np.power(
+        np.uint64(base), np.arange(w - 1, -1, -1, dtype=np.uint64)
+    )
+
+    def chunks_of(text: str) -> list[tuple[int, int, int, int]]:
+        codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(codes)
+        if n == 0:
+            return [(0, 0, 0, 0)]
+        with np.errstate(over="ignore"):
+            if n >= w:
+                grams = np.lib.stride_tricks.sliding_window_view(codes, w)
+                hashes = (grams * weights[None, :]).sum(axis=1)  # mod 2**64
+                # window starting at s ends at byte s+w-1; a boundary there
+                # cuts BEFORE byte s+w — drop the cut at the text's end
+                ends = np.nonzero(hashes % np.uint64(div) == np.uint64(div - 1))[0] + w
+                ends = ends[ends < n]
+            else:
+                ends = np.array([], dtype=np.int64)
+            starts = np.concatenate(([0], ends)).astype(np.int64)
+            stops = np.concatenate((ends, [n])).astype(np.int64)
+            out = []
+            for ci, (a, b) in enumerate(zip(starts, stops)):
+                seg = codes[a:b]
+                pows = np.power(np.uint64(base),
+                                np.arange(b - a - 1, -1, -1, dtype=np.uint64))
+                fp = int((seg * pows).sum().astype(np.int64))
+                out.append((ci, int(a), int(b - a), fp))
+        return out
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("doc_id", "chunk_idx", "start_byte", "len_bytes", "fp")}
+        for did, t in zip(batch["doc_id"], batch["text"]):
+            for ci, a, ln, fp in chunks_of(t):
+                rows["doc_id"].append(did)
+                rows["chunk_idx"].append(ci)
+                rows["start_byte"].append(a)
+                rows["len_bytes"].append(ln)
+                rows["fp"].append(fp)
+        return pd.DataFrame(rows).astype(
+            {"doc_id": "int64", "chunk_idx": "int64", "start_byte": "int64",
+             "len_bytes": "int64", "fp": "int64"}
+        )
+
+    return _read_docs(sf_dir).map_batches(stage, batch_format="pandas")
+
+
 class SimHasher:
     """64-bit SimHash per doc (word-feature hashing, sign-sum of bits).
 
