@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": lambda sf: T.doc_chunks(sf),
         # content-defined chunking (Rabin/FastCDC family), chunk-level fps
         "cdc_chunks": lambda sf: T.cdc_chunks(sf),
+        # first-wins chunk store membership over the CDC fps
+        "cdc_dedup": lambda sf: T.cdc_dedup(sf),
         # regex feature counts (cleaning / PII-scan shape)
         "pattern_counts": lambda sf: T.pattern_counts(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
@@ -887,6 +889,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_fingerprints": _winnow_sql(),
         "cdc_chunks": _cdc_sql(),
+        # first occurrence per fp in global (doc_id, chunk_idx) order
+        "cdc_dedup": (
+            f"WITH chunks AS ({_cdc_sql()}) "
+            "SELECT doc_id, chunk_idx, fp, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY fp "
+            "ORDER BY doc_id, chunk_idx) = 1 AS BIGINT) AS is_first "
+            "FROM chunks"
+        ),
         "decontaminate": (
             # 8-word shingle string sets vs the engine's 64-bit shingle
             # hashes: equal up to ~2^-64 collisions (same contract as

@@ -726,6 +726,51 @@ def cdc_chunks(
     return _read_docs(sf_dir).map_batches(stage, batch_format="pandas")
 
 
+def cdc_dedup(sf_dir: str) -> rd.Dataset:
+    """Chunk-level dedup over ``cdc_chunks``: the first occurrence of each
+    chunk fingerprint in global (doc_id, chunk_idx) order is the stored
+    copy; later occurrences are dedup hits (the storage/transfer savings a
+    CDC store realizes). ONE exchange beyond the chunker: chunks shard by
+    hash64(fp) % 64 (dedup co-location, keys O(parallelism)); within a
+    shard one sorted vectorized pass marks firsts — the ``dedup_exact``
+    pattern at chunk granularity. Output: (doc_id, chunk_idx, fp,
+    is_first) — per-doc savings are then a trivial grouped SUM."""
+
+    def shard(batch: pa.Table) -> pa.Table:
+        sh = _shard64_of(batch["fp"].to_pylist())
+        return batch.append_column("_dshard", pa.array(sh))
+
+    return (
+        cdc_chunks(sf_dir)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_dshard")
+        .map_groups(_mark_chunk_firsts, batch_format="pandas")
+    )
+
+
+def _mark_chunk_firsts(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one fp-shard, mark the first (doc_id, chunk_idx) per fp.
+
+    fps are compared in int64 numpy: ``Series.shift()`` pads with NaN,
+    which coerces the whole ``ne`` comparison to float64, where two
+    distinct 63-bit fps within one ulp (~2^10 at this magnitude) compare
+    equal — a real collision observed at sf0.01 (fps 8616313419613545224
+    vs a <1024-distant neighbor) that silently zeroed a true first."""
+    g = g.sort_values(["fp", "doc_id", "chunk_idx"], kind="mergesort")
+    fpv = g["fp"].to_numpy(dtype=np.int64)
+    is_first = np.ones(len(fpv), dtype=np.int64)
+    if len(fpv) > 1:
+        is_first[1:] = (fpv[1:] != fpv[:-1]).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "chunk_idx": g["chunk_idx"].to_numpy(dtype=np.int64),
+            "fp": fpv,
+            "is_first": is_first,
+        }
+    )
+
+
 class SimHasher:
     """64-bit SimHash per doc (word-feature hashing, sign-sum of bits).
 

@@ -950,3 +950,45 @@ def test_cdc_chunks_realign_after_insertion():
     assert tail >= max(1, len(a_fps) - 4), (tail, len(a_fps), len(b_fps))
     # and dedup utility: repeated content shares chunk fps across "docs"
     assert len(set(a_fps)) < len(a_fps)
+
+def test_cdc_dedup_first_wins_groundtruth():
+    """Chunk-level dedup marks exactly the first (doc_id, chunk_idx) per
+    fp; verified against a pandas recompute over the full chunk set."""
+    from spiderman_ray.pipelines.text import cdc_chunks, cdc_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        cdc_dedup(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    chunks = cdc_chunks(sf).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    want = chunks.assign(
+        is_first=(~chunks.sort_values(["doc_id", "chunk_idx"]) ["fp"].duplicated()).astype("int64")
+    )[["doc_id", "chunk_idx", "fp", "is_first"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.groupby("fp")["is_first"].sum() == 1).all()
+
+
+def test_mark_chunk_firsts_float_ulp_collision():
+    """Regression: two distinct int64 fps closer than one float64 ulp
+    (~2^10 at 63-bit magnitude) must NOT collapse to equal — the old
+    Series.shift()-based compare coerced to float64 and zeroed a true
+    first at sf0.01."""
+    from spiderman_ray.pipelines.text import _mark_chunk_firsts
+
+    a = 8616313419613545224          # not float64-representable
+    b = a - 200                      # same float64 rounding bucket as a
+    assert float(a) == float(b) and a != b
+    g = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "chunk_idx": [0, 0, 0],
+            "fp": pd.array([b, a, a], dtype="int64"),
+        }
+    )
+    out = _mark_chunk_firsts(g).set_index(["doc_id", "chunk_idx"])
+    assert out.loc[(1, 0), "is_first"] == 1   # b is its own first
+    assert out.loc[(2, 0), "is_first"] == 1   # a's true first
+    assert out.loc[(3, 0), "is_first"] == 0
