@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": lambda sf: T.pack_offsets(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
         "decontaminate": lambda sf: T.decontaminate(sf),
+        # composed flagship curation: gate -> lang-id -> exact dedup ->
+        # decontaminate, one streaming pass + two exchanges
+        "curate": lambda sf: T.curate(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -461,6 +464,28 @@ def _oracle_t1():
 
         _ORACLE_T1 = run_oracle(SimParams.for_scale("t1"))
     return _ORACLE_T1
+
+
+def _decon_sql() -> str:
+    """8-word shingle string sets vs the engine's 64-bit shingle hashes:
+    equal up to ~2^-64 collisions (same contract as minhash_pairs);
+    benchmark split = the hash_sample md5 rule. Shared by the
+    ``decontaminate`` oracle and the ``curate`` composition."""
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < "
+        f"{(10 << 32) // 100} AS is_bench FROM documents), "
+        "sh AS (SELECT doc_id, is_bench, CASE WHEN len(ws) < 8 "
+        "THEN [array_to_string(ws, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(ws) - 6), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || "
+        "ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) END AS s "
+        "FROM d), "
+        "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_bench), "
+        "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_bench) "
+        "SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr "
+        "JOIN bench ON tr.g = bench.g GROUP BY tr.doc_id"
+    )
 
 
 def _values_sql(rows: list[dict], types: dict[str, str]) -> str:
@@ -897,23 +922,27 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, chunk_idx) = 1 AS BIGINT) AS is_first "
             "FROM chunks"
         ),
-        "decontaminate": (
-            # 8-word shingle string sets vs the engine's 64-bit shingle
-            # hashes: equal up to ~2^-64 collisions (same contract as
-            # minhash_pairs); benchmark split = the hash_sample md5 rule
-            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
-            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < "
-            f"{(10 << 32) // 100} AS is_bench FROM documents), "
-            "sh AS (SELECT doc_id, is_bench, CASE WHEN len(ws) < 8 "
-            "THEN [array_to_string(ws, ' ')] "
-            "ELSE list_distinct(list_transform(range(1, len(ws) - 6), "
-            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || "
-            "ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) END AS s "
-            "FROM d), "
-            "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_bench), "
-            "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_bench) "
-            "SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr "
-            "JOIN bench ON tr.g = bench.g GROUP BY tr.doc_id"
+        "decontaminate": _decon_sql(),
+        "curate": (
+            # composed curation manifest == pipelines.text.curate: the
+            # dirty/min-token/bench gates, md5 first-wins dedup, lang_id
+            # label, then minus the decontamination hit set — each stage's
+            # SQL is the already-hash-verified per-operator oracle
+            f"WITH lang AS (SELECT * FROM ({_lang_id_sql()}) t), "
+            "flt AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "md5(text) AS fp FROM documents "
+            "WHERE text NOT LIKE '%drop%' AND text NOT LIKE '%null%' "
+            "AND len(string_split(text, ' ')) >= 5 "
+            "AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) >= {(10 << 32) // 100}), "
+            "ded AS (SELECT doc_id, n_tokens FROM ("
+            "SELECT doc_id, n_tokens, ROW_NUMBER() OVER ("
+            "PARTITION BY fp ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), "
+            f"contam AS (SELECT * FROM ({_decon_sql()}) t) "
+            "SELECT d.doc_id, l.lang_pred, d.n_tokens "
+            "FROM ded d JOIN lang l ON d.doc_id = l.doc_id "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)"
         ),
         "tfidf_top_terms": (
             # ranking ratio tf/df is one IEEE division -> bit-identical in

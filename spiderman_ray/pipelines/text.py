@@ -1467,3 +1467,110 @@ def pack_offsets(sf_dir: str, capacity: int = 512) -> rd.Dataset:
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+# ---------------------------------------------------------------------------
+# composed corpus curation (flagship LLM-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+class _CurateStage(LangId):
+    """Fused per-doc curation stats: ONE read + ONE pass computes the
+    dirty-word gate, token count, content md5, bench-split membership and
+    language prediction (profiles compiled once per actor via LangId's
+    __init__). Rows failing any gate are dropped INSIDE the stage so only
+    candidate rows reach the dedup exchange."""
+
+    def __init__(self, min_tokens: int, bench_thresh: int):
+        super().__init__()
+        self.min_tokens = min_tokens
+        self.bench_thresh = bench_thresh
+        self.dirty = ("drop", "null")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # .to_numpy(): LangId returns a fresh RangeIndex — positional, not
+        # index-aligned, assembly below
+        lang = super().__call__(batch)["lang_pred"].to_numpy()
+        text = batch["text"]
+        n_tokens = text.str.split(" ").str.len().astype("int64")
+        ok = n_tokens >= self.min_tokens
+        for w in self.dirty:
+            ok &= ~text.str.contains(w, regex=False)
+        ok &= pd.Series(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                >= self.bench_thresh
+                for d in batch["doc_id"]
+            ],
+            index=batch.index,
+        )
+        fp = [hashlib.md5(t.encode()).hexdigest() for t in text]
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "lang_pred": lang,
+                "n_tokens": n_tokens,
+                "fp": fp,
+            }
+        )
+        return out[ok.to_numpy()]
+
+
+def curate(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10) -> rd.Dataset:
+    """Composed corpus-curation flagship: the end-to-end pass a training-data
+    user runs before tokenization, as ONE streaming Dataset —
+
+    1. quality + dirty-word gate, language ID, content fingerprint and
+       bench-split exclusion fused into one actor-pool stage (one corpus
+       read, candidates only leave the stage),
+    2. exact first-wins dedup on the content md5 via the fp-shard pattern
+       (hash64(fp) % 64 — keys O(parallelism), one exchange),
+    3. benchmark decontamination: drop training docs sharing any 8-word
+       shingle with the held-out split (``decontaminate``'s shingle-sharded
+       scan; its output is contamination-rate-sized, anti-joined broadcast
+       like ``dedup_minhash_survivors`` — at extreme contamination it
+       becomes a bloom filter).
+
+    Output: (doc_id, lang_pred, n_tokens) — the curated-corpus manifest.
+    Two exchanges total beyond the reads; nothing corpus-sized ever
+    materializes on the driver."""
+    bench_thresh = (bench_pct << 32) // 100
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_fshard", pa.array(_shard64_of(batch["fp"].to_pylist()))
+        )
+
+    def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort")
+        keep = g["fp"].ne(g["fp"].shift())  # fp is a hex STRING: exact compare
+        return g.loc[keep, ["doc_id", "lang_pred", "n_tokens"]]
+
+    survivors = (
+        _read_docs(sf_dir)
+        .map_batches(
+            _CurateStage,
+            fn_constructor_args=(min_tokens, bench_thresh),
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=pool_size(2),
+        )
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(first_per_fp, batch_format="pandas")
+    )
+
+    contaminated = pa.array(
+        sorted(
+            r["doc_id"]
+            for r in decontaminate(sf_dir, bench_pct=bench_pct).take_all()
+        ),
+        type=pa.int64(),
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=contaminated)
+        )
+        return batch.filter(keep)
+
+    return survivors.map_batches(anti, batch_format="pyarrow")

@@ -992,3 +992,38 @@ def test_mark_chunk_firsts_float_ulp_collision():
     assert out.loc[(1, 0), "is_first"] == 1   # b is its own first
     assert out.loc[(2, 0), "is_first"] == 1   # a's true first
     assert out.loc[(3, 0), "is_first"] == 0
+
+def test_curate_composition_invariants():
+    """The curated manifest is exactly: quality+dirty+bench-gated docs,
+    first-wins unique on content md5, minus decontamination hits —
+    verified against an independent pandas recompute at sf0.001."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import curate, decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    got = curate(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    thr = (10 << 32) // 100
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    docs["fp"] = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"]]
+    docs["is_bench"] = [
+        int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thr for d in docs["doc_id"]
+    ]
+    keep = (
+        (docs["n_tokens"] >= 5)
+        & ~docs["text"].str.contains("drop", regex=False)
+        & ~docs["text"].str.contains("null", regex=False)
+        & ~docs["is_bench"]
+    )
+    flt = docs[keep].sort_values("doc_id")
+    ded = flt[~flt["fp"].duplicated()]
+    contam = set(decontaminate(sf).to_pandas()["doc_id"])
+    want_ids = [d for d in ded["doc_id"] if d not in contam]
+
+    assert list(got["doc_id"]) == want_ids
+    # n_tokens column round-trips; every fp unique among survivors
+    m = ded.set_index("doc_id").loc[got["doc_id"]]
+    assert list(got["n_tokens"]) == list(m["n_tokens"])
+    assert m["fp"].is_unique
