@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate corpus-scale variant (seeded hyperplanes are not
         # SQL-expressible; pytest measures recall vs the exact operator)
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
+        # exact k-NN graph over every vector (SemDeDup building block)
+        "knn_graph": lambda sf: V.knn_graph(sf),
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
@@ -866,6 +868,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45"
+        ),
+        "knn_graph": (
+            # rank on int64 sims quantized x1e6 (double-cast lists so DuckDB
+            # computes in float64 like the engine's normalized matmul); ties
+            # by neighbor_id — mirrors pipelines.vectors.knn_graph
+            "WITH e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) "
+            "AS BIGINT) AS sim_x1m FROM e a JOIN e b ON a.vec_id != b.vec_id) "
+            "SELECT vec_id, neighbor_id, sim_x1m, CAST(rank AS BIGINT) AS rank "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY sim_x1m DESC, neighbor_id) AS rank FROM scored) "
+            "WHERE rank <= 3"
         ),
         # -- round-2 oracles for previously no_oracle queries ---------------
         "lang_id": _lang_id_sql(),

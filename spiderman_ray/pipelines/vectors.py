@@ -355,3 +355,95 @@ def _sq8_codes(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     safe = np.where(scale == 0.0, 1.0, scale)
     q = np.clip(np.floor(m / safe[:, None] + 0.5), -127, 127).astype(np.int8)
     return q, scale
+
+def knn_graph(sf_dir: str, k: int = 3, chunk_rows: int = 2048) -> rd.Dataset:
+    """Exact k-NN graph over ALL embeddings (the SemDeDup / semantic-
+    clustering building block): for every vector, its top-k cosine
+    neighbors. Same chunk-pair block join as ``cosine_dup_pairs`` — each
+    (i, j) task zero-copy reads two normalized chunks, matmuls once, and
+    keeps only each side's LOCAL top-k per vector (the combiner: k rows
+    per vector per task cross the exchange, never the full sim matrix);
+    a shard-grouped reduce (hash64(vec_id) % 64 — keys O(parallelism))
+    merges partials into the global top-k.
+
+    Similarities are quantized to int64 x1e6 BEFORE ranking on both the
+    engine and the DuckDB oracle, so rank order is decided on identical
+    integers (float64 matmul noise ~1e-15 never reorders except within
+    ~1e-9 of a quantization boundary). Ties break by neighbor_id.
+    Output: (vec_id, neighbor_id, sim_x1m, rank).
+
+    Exact all-pairs is O(n^2) compute by definition — this is the recall
+    oracle; ``ann_ivf_topk``/``cosine_dup_pairs_lsh`` are the sub-O(n^2)
+    corpus-scale paths."""
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    normed = (
+        rd.read_parquet(_pq(sf_dir))
+        .map_batches(_normalize_chunk, batch_format="pandas", batch_size=chunk_rows)
+        .repartition(target_num_rows_per_block=chunk_rows)
+    )
+    refs = normed.to_arrow_refs()
+    idx = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+
+    def _local_topk(ids_q, sim_x1m, ids_c, self_block: bool) -> pd.DataFrame:
+        """Top-k per row of an int64 (nq x nc) quantized-sim matrix.
+        Single sortable key: (1e6 - sim) * 2^32 + neighbor_id — sims are
+        in [-1e6, 1e6] and ids < 2^32, so the key fits int64 and orders
+        by (-sim, neighbor_id)."""
+        key = (np.int64(1_000_000) - sim_x1m) * np.int64(1 << 32) + ids_c[None, :]
+        if self_block:
+            np.fill_diagonal(key, np.iinfo(np.int64).max)
+        kk = min(k, key.shape[1] - (1 if self_block else 0))
+        if kk <= 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim_x1m": pd.Series(dtype="int64")}
+            )
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(key.shape[0]), kk)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids_q, kk),
+                "neighbor_id": ids_c[cols],
+                "sim_x1m": sim_x1m[rows, cols],
+            }
+        )
+
+    def pair_block(batch: pd.DataFrame, refs=refs) -> pd.DataFrame:
+        outs = []
+        for i, j in zip(batch["i"], batch["j"]):
+            ids_i, m_i = _unpack_chunk(ray.get(refs[i]))
+            ids_j, m_j = (ids_i, m_i) if i == j else _unpack_chunk(ray.get(refs[j]))
+            sim = np.floor(m_i @ m_j.T * 1e6 + 0.5).astype(np.int64)
+            outs.append(_local_topk(ids_i, sim, ids_j, self_block=(i == j)))
+            if i != j:
+                outs.append(_local_topk(ids_j, sim.T.copy(), ids_i, self_block=False))
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"vec_id": "int64", "neighbor_id": "int64", "sim_x1m": "int64"})
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_vshard", pa.array(_shard64_of(batch["vec_id"].to_pylist()))
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["vec_id", "sim_x1m", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        # a partial may repeat a (vec_id, neighbor) only across tasks of the
+        # SAME pair -- (i, j) emits each side once, so no dedup needed
+        g["rank"] = g.groupby("vec_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return g[["vec_id", "neighbor_id", "sim_x1m", "rank"]].astype("int64")
+
+    return (
+        rd.from_items(idx)
+        .map_batches(pair_block, batch_format="pandas", batch_size=1)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_vshard")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )

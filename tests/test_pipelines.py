@@ -1027,3 +1027,35 @@ def test_curate_composition_invariants():
     m = ded.set_index("doc_id").loc[got["doc_id"]]
     assert list(got["n_tokens"]) == list(m["n_tokens"])
     assert m["fp"].is_unique
+
+def test_knn_graph_multichunk_matches_bruteforce():
+    """Force the chunk-pair block join to actually fan out (chunk_rows
+    << n) and compare the full k-NN graph to a single-matrix numpy
+    brute force with identical quantization + tie rules."""
+    from spiderman_ray.pipelines.vectors import knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        knn_graph(sf, k=3, chunk_rows=128)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    tab = pq.read_table(sf + "/embeddings.parquet")
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = np.floor(m @ m.T * 1e6 + 0.5).astype(np.int64)
+    rows = []
+    for qi in range(len(ids)):
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-sim[qi, j], ids[j]),
+        )[:3]
+        rows.extend(
+            (ids[qi], ids[j], sim[qi, j], r) for r, j in enumerate(order, 1)
+        )
+    want = pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim_x1m", "rank"])
+    want = want.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
