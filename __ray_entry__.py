@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         # exact k-NN graph over every vector (SemDeDup building block)
         "knn_graph": lambda sf: V.knn_graph(sf),
+        # SemDeDup survivors: min vec_id per cosine near-dup component
+        "semantic_dedup": lambda sf: V.semantic_dedup_survivors(sf),
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
@@ -868,6 +870,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45"
+        ),
+        "semantic_dedup": (
+            # survivors = min vec_id per connected component of the exact
+            # cosine near-dup graph — same recursive min-label propagation
+            # as the dedup_minhash oracle
+            "WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "pairs AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a "
+            "JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) > 0.45), "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT vec_id, vec_id FROM embeddings "
+            "UNION SELECT e2.v, cc.lbl FROM cc JOIN edges e2 ON cc.node = e2.u), "
+            "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
+            "SELECT DISTINCT lbl AS vec_id FROM m"
         ),
         "knn_graph": (
             # rank on int64 sims quantized x1e6 (double-cast lists so DuckDB

@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -446,4 +447,37 @@ def knn_graph(sf_dir: str, k: int = 3, chunk_rows: int = 2048) -> rd.Dataset:
         .map_batches(shard, batch_format="pyarrow")
         .groupby("_vshard")
         .map_groups(reduce_topk, batch_format="pandas")
+    )
+
+def semantic_dedup_survivors(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
+    """SemDeDup-style semantic dedup: survivors = min vec_id per connected
+    component of the embedding-cosine near-dup graph (sim > threshold),
+    singletons included. Composition of existing scale machinery:
+
+    - edges from the exact chunk-pair block join (``cosine_dup_pairs``;
+      ``cosine_dup_pairs_lsh`` is the drop-in sub-O(n^2) corpus path),
+    - components via the same size-gated union-find as
+      ``dedup_minhash_survivors`` (driver UF for LSH-bounded pair counts,
+      shard-grouped distributed label propagation above the cap),
+    - survivors = embeddings anti-joined against the dominated nodes.
+
+    Returns a DATASET of (vec_id) — survivor sets are corpus-sized."""
+    from spiderman_ray.pipelines.text import _MinUnionFind
+
+    pairs = cosine_dup_pairs(sf_dir, threshold=threshold)
+    uf = _MinUnionFind()
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        uf.union(int(a), int(b))
+    losers = pa.array(
+        sorted(n for n in uf.parent if uf.find(n) != n), type=pa.int64()
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(pc.cast(batch["vec_id"], pa.int64()), value_set=losers)
+        )
+        return batch.filter(keep)
+
+    return rd.read_parquet(_pq(sf_dir), columns=["vec_id"]).map_batches(
+        anti, batch_format="pyarrow"
     )

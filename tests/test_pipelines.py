@@ -1059,3 +1059,39 @@ def test_knn_graph_multichunk_matches_bruteforce():
     want = pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim_x1m", "rank"])
     want = want.sort_values(["vec_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+def test_semantic_dedup_component_structure():
+    """Exactly one survivor (the min vec_id) per connected component of
+    the cosine near-dup graph; non-paired vectors all survive."""
+    from spiderman_ray.pipelines.vectors import (
+        cosine_dup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    surv = set(semantic_dedup_survivors(sf).to_pandas()["vec_id"])
+    pairs = cosine_dup_pairs(sf).to_pandas()
+    all_ids = set(
+        pq.read_table(sf + "/embeddings.parquet", columns=["vec_id"])
+        .column("vec_id").to_pylist()
+    )
+
+    # union-find groundtruth
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in zip(pairs["a"], pairs["b"]):
+        union(int(a), int(b))
+    comp = {}
+    for v in all_ids:
+        comp.setdefault(find(v), set()).add(v)
+    want = {min(c) for c in comp.values()}
+    assert surv == want
+    assert len(pairs) > 0  # the threshold actually bites at this sf
