@@ -173,6 +173,10 @@ def run_bench() -> dict:
         ("tfidf_top_terms", lambda: T.tfidf_top_terms(SF_DIR).count()),
         ("brand_price_quantiles", lambda: R.brand_price_quantiles(SF_DIR).count()),
         ("pii_redaction", lambda: _pii_redaction().count()),
+        ("cdc_dedup", lambda: T.cdc_dedup(SF_DIR).count()),
+        ("curate", lambda: T.curate(SF_DIR).count()),
+        ("knn_graph", lambda: V.knn_graph(SF_DIR).count()),
+        ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),
     ]:
         timed(name, fn)
 
