@@ -324,6 +324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
+        # product-quantization codes (k-means codebooks are not SQL-
+        # expressible -> rows-only; pytest bounds distortion + determinism)
+        "pq_quantize": lambda sf: V.pq_quantize(sf),
+        # PQ-ADC + exact-rerank approximate top-k (pytest bounds recall
+        # vs the exact ann_cosine_topk baseline; rows-only)
+        "ann_pq_topk": lambda sf: V.ann_pq_topk(sf),
         # -- multimodal plumbing over synthesized binary payloads ----------
         "video_frames": video_frames,
         "audio_features": audio_features,

@@ -481,3 +481,152 @@ def semantic_dedup_survivors(sf_dir: str, threshold: float = 0.45) -> rd.Dataset
     return rd.read_parquet(_pq(sf_dir), columns=["vec_id"]).map_batches(
         anti, batch_format="pyarrow"
     )
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ codes + ADC approximate search)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 12, seed: int = 23) -> np.ndarray:
+    """Seeded Euclidean k-means for PQ sub-codebooks (PQ quantizes raw
+    subvectors, so L2 — unlike the cosine ``_kmeans`` used by IVF)."""
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _pq_fit(sf_dir: str, m: int, k: int, fit_sample_rows: int) -> np.ndarray:
+    """Fit m per-subspace codebooks on a BOUNDED deterministic sample (the
+    first ``fit_sample_rows`` rows — the ann_ivf_topk sampled-fit pattern;
+    PQ literature fits on ~thousands of points regardless of corpus size).
+    Returns (m, k, d/m) float64 codebooks over NORMALIZED vectors."""
+    pf = pq.ParquetFile(_pq(sf_dir))
+    batches, seen = [], 0
+    for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        batches.append(rb)
+        seen += rb.num_rows
+        if seen >= fit_sample_rows:
+            break
+    tab = pa.Table.from_batches(batches).slice(0, fit_sample_rows)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    d = mat.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    return np.stack(
+        [_kmeans_l2(mat[:, s * sub : (s + 1) * sub], k) for s in range(m)]
+    )
+
+
+def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors -> (n, m) uint8 codes, vectorized argmin
+    over ||x_s - c||^2 = ||x_s||^2 - 2 x_s.c + ||c||^2 per subspace."""
+    m, k, sub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for s in range(m):
+        xs = mat[:, s * sub : (s + 1) * sub]
+        d2 = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_quantize(
+    sf_dir: str, m: int = 16, k: int = 256, fit_sample_rows: int = 4096
+) -> rd.Dataset:
+    """Product-quantization codes for every embedding — the vector-
+    compression step beyond sq8 (64 float32 dims -> 8 4-bit-ish codes):
+    codebooks fit once on a bounded sample, broadcast via ray.put, and
+    every batch encodes vectorized (argmin over per-subspace distance
+    tables). Output per vector: the codes plus integer checksums —
+    code_sum and the reconstruction cosine x1e6 (how much signal the
+    codes keep). k-means is not SQL-expressible, so this is a rows-only
+    driver row; pytest bounds determinism, distortion and ADC recall."""
+    books_ref = ray.put(_pq_fit(sf_dir, m, k, fit_sample_rows))
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(books_ref)
+        mm, kk, sub = books.shape
+        x = _batch_matrix(batch)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        codes = _pq_encode(x, books)
+        recon = np.concatenate(
+            [books[s][codes[:, s]] for s in range(mm)], axis=1
+        )
+        rn = np.linalg.norm(recon, axis=1)
+        cos = (x * recon).sum(axis=1) / np.where(rn == 0, 1.0, rn)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "code_sum": codes.astype(np.int64).sum(axis=1),
+                "recon_cos_x1e6": np.floor(cos * 1e6 + 0.5).astype("int64"),
+            }
+        )
+
+    return rd.read_parquet(_pq(sf_dir)).map_batches(encode, batch_format="pandas")
+
+
+def ann_pq_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 5, m: int = 16, n_cents: int = 256,
+    fit_sample_rows: int = 4096, rerank_r: int = 32,
+) -> pa.Table:
+    """PQ-ADC approximate top-k with exact re-ranking (the ADC+R pattern):
+    each query precomputes an (m x n_cents) dot-product table against the
+    sub-codebooks; every batch scores candidates with table LOOKUPS + a
+    sum over m codes — no float matmul against the corpus, the memory-
+    bandwidth-bound regime PQ exists for — then re-scores only its local
+    ADC top-``rerank_r`` with exact dots (the batch still holds the
+    original vectors, so refinement costs r true dots per query per
+    batch, not a pass over the corpus). Same output shape as
+    ann_cosine_topk; pytest bounds recall."""
+    books = _pq_fit(sf_dir, m, n_cents, fit_sample_rows)
+    qtab = pq.read_table(_pq(sf_dir)).slice(0, n_queries)
+    qids = np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtab["embedding"].to_pylist()])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sub = qmat.shape[1] // m
+    # ADC tables: adc[q, s, c] = q_s . books[s, c]
+    adc = np.einsum("qsd,scd->qsc", qmat.reshape(len(qmat), m, sub), books)
+    ref = ray.put((qids, adc, books, qmat))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, tables, bks, qm = ray.get(ref)
+        x = _batch_matrix(batch)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        codes = _pq_encode(x, bks)
+        ids = batch["vec_id"].to_numpy()
+        # sims[q, n] = sum_s tables[q, s, codes[n, s]]
+        sims = tables[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for j, qid in enumerate(q_ids):
+            mask = ids != qid
+            cand_ids, cand = ids[mask], sims[j][mask]
+            order = np.lexsort((cand_ids, -cand))[: max(k, rerank_r)]
+            # exact re-rank of the ADC preselection: true dots against the
+            # batch's own original vectors
+            exact = x[mask][order] @ qm[j]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(cand_ids[order])
+            out["sim"].extend(exact)
+        return pd.DataFrame(out)
+
+    partials = (
+        rd.read_parquet(_pq(sf_dir))
+        .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), int(r["neighbor_id"]), rank))
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]),
+        preserve_index=False,
+    )
