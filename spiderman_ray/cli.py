@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -126,6 +127,55 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered data-pipeline query over a testdata-shaped
+    directory and sink it as partitioned parquet (or csv/jsonl) — the
+    operational surface for the SURVEY §2 / LLM-data operator registry.
+    Listing: ``query --list``."""
+    import importlib.util
+
+    # the registry lives in __ray_entry__.py at the repo root (the driver
+    # contract); load it by path so the CLI works from any cwd
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(root, "__ray_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    registry = entry.queries()
+    if args.list or args.name is None:
+        print(json.dumps(sorted(registry)))
+        return 0
+    if args.name not in registry:
+        print(json.dumps({"error": f"unknown query {args.name!r}"}))
+        return 1
+
+    ray = _ray_session()
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    res = registry[args.name](args.sf)
+    if isinstance(res, pd.DataFrame):
+        res = rd.from_pandas(res)
+    elif isinstance(res, pa.Table):
+        res = rd.from_arrow(res)
+    if args.dest:
+        if args.fmt == "csv":
+            res.write_csv(args.dest)
+        elif args.fmt == "jsonl":
+            res.write_json(args.dest)
+        else:
+            res.write_parquet(args.dest)
+        n = rd.read_parquet(args.dest).count() if args.fmt == "parquet" else None
+        print(json.dumps({"query": args.name, "dest": args.dest,
+                          "rows_written": n}))
+    else:
+        print(json.dumps({"query": args.name, "rows": res.count()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_oracle(args: argparse.Namespace) -> int:
     from spiderman_ray.oracle import run_oracle
     from spiderman_ray.simweb import SimParams
@@ -194,6 +244,16 @@ def main(argv=None) -> int:
                    "(DATAFILE_DELIMITER parity)")
     e.add_argument("--dest", required=True)
     e.set_defaults(fn=cmd_export)
+
+    q = sub.add_parser(
+        "query", help="run a registered data-pipeline query over an sf dir"
+    )
+    q.add_argument("name", nargs="?", default=None, help="query name (see --list)")
+    q.add_argument("--sf", default="/root/testdata/sf0.01", help="input table dir")
+    q.add_argument("--dest", default=None, help="sink dir (omit = count only)")
+    q.add_argument("--fmt", default="parquet", choices=["parquet", "csv", "jsonl"])
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.set_defaults(fn=cmd_query)
 
     o = sub.add_parser("oracle", help="run the reference-oracle simulator")
     o.add_argument("--scale", default="t1")

@@ -66,3 +66,18 @@ def test_kill_task_terminates_process_group(tmp_path):
     assert reg.get_tasks() == {}
     # killing again: unknown
     assert kill_task(task["id"], reg)["returncode"] == -1
+
+
+def test_cli_query_list_names():
+    """`cli query --list` prints the full registry without needing Ray."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "spiderman_ray.cli", "query", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    names = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert "curate" in names and "knn_graph" in names and len(names) >= 70
