@@ -119,17 +119,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return chs(_crawl_out("t1"))
 
-    def pii_redaction(sf_dir: str) -> Any:
-        """redact_pii over documents with PII injected deterministically
-        from doc_id (docs are word-soup with none): every third doc gains
-        an email, an IPv4 and a phone number the SQL oracle reconstructs
-        with string concatenation before applying the identical RE2
-        patterns. Injection is per-batch Arrow concat; the operator itself
-        is pure (works on any (doc_id, text) table)."""
+    def _pii_docs(sf_dir: str) -> Any:
+        """Documents with PII injected deterministically from doc_id (docs
+        are word-soup with none): every third doc gains an email, an IPv4
+        and a phone number the SQL oracle reconstructs with string
+        concatenation. Injection is per-batch Arrow concat; shared input
+        for pii_redaction and bpe_token_stats."""
         import pyarrow as pa
         import ray.data as rd
-
-        from spiderman_ray.pipelines.text import redact_pii
 
         def inject(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -149,10 +146,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             return pa.table({"doc_id": did, "text": text})
 
-        docs = rd.read_parquet(
+        return rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         ).map_batches(inject, batch_format="pyarrow")
-        return redact_pii(docs)
+
+    def pii_redaction(sf_dir: str) -> Any:
+        """redact_pii over the PII-injected documents; the operator itself
+        is pure (works on any (doc_id, text) table)."""
+        from spiderman_ray.pipelines.text import redact_pii
+
+        return redact_pii(_pii_docs(sf_dir))
+
+    def bpe_token_stats(sf_dir: str) -> Any:
+        """BPE-style pretokenizer counts over the PII-injected documents —
+        the injected '@'/'.'/'-'/'+' punctuation exercises the non-word
+        branch the word-soup corpus lacks."""
+        from spiderman_ray.pipelines.text import bpe_token_stats as bts
+
+        return bts(_pii_docs(sf_dir))
 
     def _docs_as_videos(sf_dir: str) -> Any:
         """Deterministic SPV1 video table synthesized from documents: each
@@ -290,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: T.repetition_stats(sf),
         # PII scrub over documents with deterministically injected PII
         "pii_redaction": pii_redaction,
+        # BPE-pretokenizer token counting (RE2 on both sides) over the
+        # PII-injected docs so the punctuation branch is exercised
+        "bpe_token_stats": bpe_token_stats,
         # sequence-packing token offsets (distributed two-pass prefix sum)
         "pack_offsets": lambda sf: T.pack_offsets(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
@@ -729,6 +743,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_email, n_ip, "
             "CAST(len(regexp_extract_all(r2, '\\+1-555-\\d{4}')) AS BIGINT) AS n_phone, "
             "regexp_replace(r2, '\\+1-555-\\d{4}', '<PHONE>', 'g') AS redacted FROM s2"
+        ),
+        "bpe_token_stats": (
+            # identical RE2 strings through DuckDB; same doc_id%3 injection
+            # CTE as pii_redaction
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.' "
+            "|| CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.' || CAST(doc_id % 13 AS VARCHAR) || ' phone +1-555-' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(t, ' ?[0-9A-Za-z_一-鿿]+| ?[^ 0-9A-Za-z_一-鿿]+')) AS BIGINT) AS n_tokens_bpe, "
+            "CAST(len(regexp_extract_all(t, ' ?[0-9A-Za-z_一-鿿]+')) AS BIGINT) AS n_word_tokens, "
+            "CAST(len(regexp_extract_all(t, ' ?[0-9A-Za-z_一-鿿]+| ?[^ 0-9A-Za-z_一-鿿]+')) "
+            "- len(regexp_extract_all(t, ' ?[0-9A-Za-z_一-鿿]+')) AS BIGINT) AS n_other_tokens "
+            "FROM aug"
         ),
         "md5_keys": "SELECT c_custkey, UPPER(md5(c_name)) AS pkey FROM customer",
         "event_days": "SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events",

@@ -1574,3 +1574,39 @@ def curate(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10) -> rd.Dataset:
         return batch.filter(keep)
 
     return survivors.map_batches(anti, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# BPE-style pretokenizer counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-family pretokenizer shape (optional leading space + a word run OR a
+#: punctuation run), restricted to an explicit ASCII+CJK word class so the
+#: pattern means the same thing in Arrow's RE2 and DuckDB's RE2 (both sides
+#: run the IDENTICAL string — the lang_id tokenizer contract)
+BPE_TOKEN_RE = " ?[0-9A-Za-z_一-鿿]+| ?[^ 0-9A-Za-z_一-鿿]+"
+BPE_WORD_RE = " ?[0-9A-Za-z_一-鿿]+"
+
+
+def bpe_token_stats(docs: rd.Dataset) -> rd.Dataset:
+    """Token counting the way a BPE tokenizer's pretokenizer splits —
+    the second counting mode a training-data pipeline needs beyond
+    whitespace ``token_stats`` (punctuation runs become tokens, words
+    keep their leading space). Pure vectorized Arrow RE2 kernels
+    (count_substring_regex), no row loop, no shuffle; works on any
+    (doc_id, text) table. Output: (doc_id, n_tokens_bpe, n_word_tokens,
+    n_other_tokens)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        n_all = pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64())
+        n_word = pc.cast(pc.count_substring_regex(text, BPE_WORD_RE), pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens_bpe": n_all,
+                "n_word_tokens": n_word,
+                "n_other_tokens": pc.subtract(n_all, n_word),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")

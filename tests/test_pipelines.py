@@ -1130,3 +1130,24 @@ def test_ann_pq_topk_recall_vs_exact():
     ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
     ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     assert len(ex & ap) / len(ex) >= 0.9
+
+def test_bpe_token_stats_branches():
+    """Pretokenizer counts: words keep leading spaces, punctuation runs
+    are separate tokens; the non-word branch actually fires."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.text import bpe_token_stats
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "hello world"},
+            {"doc_id": 2, "text": "a+b=c, user@example.com"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    got = bpe_token_stats(docs).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == [2, 2, 0]  # "hello", " world"
+    # "a", "+", "b", "=", "c", ", user"? -> tokens: a | + | b | = | c | , | " user" | @ | example | . | com
+    assert got.loc[2, "n_other_tokens"] >= 4
+    assert got.loc[2, "n_tokens_bpe"] == got.loc[2, "n_word_tokens"] + got.loc[2, "n_other_tokens"]
+    assert got.loc[3].tolist() == [0, 0, 0]
