@@ -46,10 +46,32 @@ def list_spiders() -> dict:
 
 
 class TaskRegistry:
-    """JSON-file task hash — TaskRedis (api.py:31-60) without Redis."""
+    """JSON-file task hash — TaskRedis (api.py:31-60) without Redis.
+
+    Redis hash ops are atomic; the file analog must be too: every
+    load-modify-save runs under an ``flock`` on a sidecar lockfile (push
+    from a runner thread races remove from the killer — both the dying
+    task's ``finally`` and ``kill_task`` deregister), and the write-side
+    tmp name is per-writer so concurrent writers can never truncate each
+    other's tmp or ``os.replace`` a path the other already consumed."""
 
     def __init__(self, path: str = "/tmp/spiderman_tasks.json"):
         self.path = path
+
+    def _locked(self):
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            with open(self.path + ".lock", "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return lock()
 
     def _load(self) -> dict:
         if not os.path.exists(self.path):
@@ -58,20 +80,24 @@ class TaskRegistry:
             return json.load(f)
 
     def _save(self, tasks: dict) -> None:
-        tmp = self.path + ".tmp"
+        import threading
+
+        tmp = f"{self.path}.{os.getpid()}.{threading.get_ident()}.tmp"
         with open(tmp, "w") as f:
             json.dump(tasks, f, indent=1)
         os.replace(tmp, self.path)
 
     def push(self, task: dict) -> None:
-        tasks = self._load()
-        tasks[task["id"]] = task
-        self._save(tasks)
+        with self._locked():
+            tasks = self._load()
+            tasks[task["id"]] = task
+            self._save(tasks)
 
     def remove(self, task_id: str) -> None:
-        tasks = self._load()
-        tasks.pop(task_id, None)
-        self._save(tasks)
+        with self._locked():
+            tasks = self._load()
+            tasks.pop(task_id, None)
+            self._save(tasks)
 
     def get_task(self, task_id: str) -> dict | None:
         return self._load().get(task_id)

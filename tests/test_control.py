@@ -81,3 +81,29 @@ def test_cli_query_list_names():
     assert out.returncode == 0, out.stderr
     names = _json.loads(out.stdout.strip().splitlines()[-1])
     assert "curate" in names and "knn_graph" in names and len(names) >= 70
+
+
+def test_registry_concurrent_writers_never_corrupt(tmp_path):
+    """Regression for the kill-path race: the dying task's finally-remove
+    and kill_task's remove (plus concurrent pushes) must never truncate
+    each other's tmp file, lose the file, or leave invalid JSON."""
+    from spiderman_ray.control import TaskRegistry
+
+    reg = TaskRegistry(str(tmp_path / "tasks.json"))
+    errs = []
+
+    def hammer(tid):
+        try:
+            for i in range(60):
+                reg.push({"id": f"{tid}-{i}", "spider": "s", "host": "h"})
+                reg.remove(f"{tid}-{i}")
+        except Exception as e:  # FileNotFoundError / JSONDecodeError pre-fix
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert reg.get_tasks() == {}  # every push got its matching remove
