@@ -120,6 +120,13 @@ def cmd_export(args: argparse.Namespace) -> int:
         from spiderman_ray.sources.table_io import write_delimited
 
         write_delimited(tbl, args.dest, args.table, delimiter=args.delimiter)
+    elif args.fmt == "sqlite":
+        from spiderman_ray.sources.rdbms import write_table_rdbms
+
+        res = write_table_rdbms(tbl, args.dest, args.table)
+        print(json.dumps(res))
+        ray.shutdown()
+        return 0
     else:
         ds.write_parquet(args.dest)
     print(json.dumps({"rows": tbl.num_rows, "dest": args.dest}))
@@ -239,7 +246,8 @@ def main(argv=None) -> int:
     e = sub.add_parser("export", help="export a crawled table to csv/parquet")
     e.add_argument("--out", required=True, help="crawl output dir")
     e.add_argument("--table", default="pages")
-    e.add_argument("--fmt", default="csv", choices=["csv", "parquet", "jsonl", "txt"])
+    e.add_argument("--fmt", default="csv",
+                   choices=["csv", "parquet", "jsonl", "txt", "sqlite"])
     e.add_argument("--delimiter", default=",", help="txt format delimiter "
                    "(DATAFILE_DELIMITER parity)")
     e.add_argument("--dest", required=True)

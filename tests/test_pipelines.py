@@ -1151,3 +1151,21 @@ def test_bpe_token_stats_branches():
     assert got.loc[2, "n_other_tokens"] >= 4
     assert got.loc[2, "n_tokens_bpe"] == got.loc[2, "n_word_tokens"] + got.loc[2, "n_other_tokens"]
     assert got.loc[3].tolist() == [0, 0, 0]
+
+def test_rdbms_sink_streams_dataset(tmp_path):
+    """The sink's Dataset path streams iter_batches without materializing;
+    rows match the source."""
+    import ray.data as rd
+
+    from spiderman_ray.sources.rdbms import read_table_rdbms, write_table_rdbms
+
+    ds = rd.range(100).map_batches(
+        lambda b: {"pkey": [str(i) for i in b["id"]], "v": b["id"]},
+        batch_format="numpy",
+    )
+    db = str(tmp_path / "ds.db")
+    res = write_table_rdbms(ds, db, "t", bizdate="2026-08-17")
+    assert res["rows_written"] == 100 and res["rows_dropped"] == 0
+    back = read_table_rdbms(db, "t")
+    assert back.num_rows == 100
+    assert set(back["pkey"].to_pylist()) == {str(i) for i in range(100)}

@@ -103,3 +103,45 @@ def test_write_delimited_sanitizes_values(tmp_path):
     path = write_delimited(tbl, str(tmp_path), "t", delimiter="|")
     lines = open(path).read().splitlines()
     assert lines == ["a|b", "xy|1", "linebreak|2"]
+
+
+def test_rdbms_sink_roundtrip_idempotent_and_poison(tmp_path):
+    """RdbmPipeline-parity sqlite sink: meta columns added, values stored
+    as TEXT, re-running a load does not duplicate (deterministic keyid +
+    INSERT OR REPLACE), and a poison row is dropped row-at-a-time instead
+    of failing the batch (pipelines_rdbm.py:90-105 fallback)."""
+    import sqlite3
+
+    import pyarrow as pa
+
+    from spiderman_ray.sources.rdbms import read_table_rdbms, write_table_rdbms
+
+    db = str(tmp_path / "sink.db")
+    tbl = pa.table({"pkey": ["a", "b", "c"], "price": [1, 2, 3]})
+    res = write_table_rdbms(tbl, db, "zhifang_list", bizdate="2026-08-17")
+    assert res == {"rows_written": 3, "rows_dropped": 0, "table": "zhifang_list"}
+
+    back = read_table_rdbms(db, "zhifang_list")
+    assert back.num_rows == 3
+    assert back.column_names == [
+        "keyid", "pkey", "price", "bizdate", "ctime", "spider"
+    ]
+    assert set(back["price"].to_pylist()) == {"1", "2", "3"}  # VARCHAR parity
+    assert all(k.startswith("2026-08-17_") for k in back["keyid"].to_pylist())
+
+    # idempotent re-load: same content -> same keyids -> REPLACE, no dupes
+    write_table_rdbms(tbl, db, "zhifang_list", bizdate="2026-08-17")
+    assert read_table_rdbms(db, "zhifang_list").num_rows == 3
+
+    # poison row: pre-create the table with a CHECK the batch violates once
+    db2 = str(tmp_path / "poison.db")
+    con = sqlite3.connect(db2)
+    con.execute(
+        'CREATE TABLE "t" (keyid TEXT PRIMARY KEY, "pkey" TEXT, "price" TEXT, '
+        "bizdate TEXT, ctime TEXT, spider TEXT, CHECK (\"price\" != '2'))"
+    )
+    con.commit()
+    con.close()
+    res2 = write_table_rdbms(tbl, db2, "t", bizdate="2026-08-17")
+    assert res2["rows_written"] == 2 and res2["rows_dropped"] == 1
+    assert set(read_table_rdbms(db2, "t")["pkey"].to_pylist()) == {"a", "c"}
