@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": lambda sf: __import__(
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_distinct(sf),
+        # one-pass mergeable log-bucket quantile sketch (deterministic
+        # integer bucketing -> exact SQL parity; error bounded per bucket)
+        "approx_price_quantiles": lambda sf: __import__(
+            "spiderman_ray.pipelines.sketches", fromlist=["x"]
+        ).approx_price_quantiles(sf),
         # Count-Min sketch estimates for the exact top-k tokens (mergeable
         # constant-size tables; pytest bounds the over-estimate)
         "approx_token_counts": lambda sf: __import__(
@@ -827,6 +832,25 @@ def oracle_sql() -> dict[str, str]:
             "ON l.l_shipdate >= o.o_orderdate "
             "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        "approx_price_quantiles": (
+            # identical integer bucketing: length(bin(c)) == bit_length,
+            # >> and the 64*s offset mirror sketches._log_buckets exactly
+            "WITH v AS (SELECT CAST(FLOOR(p_retailprice*100+0.5) AS BIGINT) AS c FROM part), "
+            "b AS (SELECT c, length(bin(c)) AS L FROM v), "
+            "k AS (SELECT CASE WHEN c < 128 THEN c "
+            "ELSE (c >> (L-7)) + 64*(L-7) END AS bucket FROM b), "
+            "h AS (SELECT bucket, COUNT(*) AS n FROM k GROUP BY bucket), "
+            "cum AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cn FROM h), "
+            "t AS (SELECT COUNT(*) AS cnt FROM v), "
+            "p AS (SELECT unnest([25, 50, 75, 90]) AS pct), "
+            "sel AS (SELECT p.pct AS pct, MIN(c2.bucket) AS bucket "
+            "FROM p CROSS JOIN t JOIN cum c2 ON c2.cn >= (p.pct*t.cnt+99)//100 "
+            "GROUP BY p.pct) "
+            "SELECT CAST(pct AS BIGINT) AS pct, "
+            "CAST(CASE WHEN bucket < 128 THEN bucket "
+            "ELSE (((bucket - 64*(bucket//64 - 1)) + 1) << (bucket//64 - 1)) - 1 "
+            "END AS BIGINT) AS value_cents_ub FROM sel"
         ),
         "price_quantiles": (
             # rank contract shared with pipelines.relational.price_quantiles:

@@ -158,3 +158,80 @@ def approx_token_counts(sf_dir: str, k: int = 20, width: int = 4096) -> pa.Table
             "n_est": pa.array(est.astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic log-bucket quantile sketch
+# ---------------------------------------------------------------------------
+
+#: mantissa bits kept per bucket: relative error <= 2^-_QK (1.5625%)
+_QK = 6
+
+
+def _log_buckets(c: np.ndarray) -> np.ndarray:
+    """Integer-exact log-spaced bucket ids for positive int64 values
+    < 2^53: values below 2^(_QK+1) are their own bucket; above, the top
+    _QK+1 mantissa bits plus the scaled exponent. Monotone in the value,
+    identical integer arithmetic in DuckDB (length(bin(c)), >>)."""
+    c = c.astype(np.int64)
+    # bit_length via frexp — float64 conversion is exact below 2^53
+    _, exp = np.frexp(c.astype(np.float64))
+    s = exp.astype(np.int64) - (_QK + 1)
+    small = c < (1 << (_QK + 1))
+    return np.where(small, c, (c >> np.maximum(s, 0)) + (1 << _QK) * s)
+
+
+def _bucket_upper(bucket: int) -> int:
+    """Exact upper bound of a bucket (the sketch's quantile answer)."""
+    if bucket < (1 << (_QK + 1)):
+        return int(bucket)
+    s = bucket // (1 << _QK) - 1
+    base = bucket - (1 << _QK) * s
+    return ((base + 1) << s) - 1
+
+
+def approx_price_quantiles(
+    sf_dir: str, pcts: tuple = (25, 50, 75, 90)
+) -> pa.Table:
+    """One-pass mergeable quantile sketch over part prices (cents) — the
+    approximate sibling of the exact two-pass ``price_quantiles``: every
+    batch folds into (bucket, count) partials (the combiner), one tiny
+    grouped SUM merges them (constant state however large the corpus),
+    and the driver reads each percentile's bucket upper bound off O(64
+    x width) rows. Deterministic integer bucketing means the DuckDB
+    oracle reproduces the EXACT same answers (hash-verified), while the
+    answer-vs-truth error is bounded by one bucket: value in
+    (ub/(1+2^-6), ub]. Rank contract ceil(p*n/100), as price_quantiles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        b, n = np.unique(_log_buckets(cents), return_counts=True)
+        return pa.table({"bucket": pa.array(b), "n": pa.array(n.astype(np.int64))})
+
+    hist = (
+        rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    buckets = hist["bucket"].to_numpy()
+    rows = []
+    for p in pcts:
+        rank = (p * total + 99) // 100
+        b = buckets[np.searchsorted(cum, rank)]
+        rows.append((int(p), _bucket_upper(int(b))))
+    return pa.table(
+        {
+            "pct": pa.array([r[0] for r in rows], type=pa.int64()),
+            "value_cents_ub": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )

@@ -1169,3 +1169,25 @@ def test_rdbms_sink_streams_dataset(tmp_path):
     back = read_table_rdbms(db, "t")
     assert back.num_rows == 100
     assert set(back["pkey"].to_pylist()) == {str(i) for i in range(100)}
+
+def test_approx_price_quantiles_error_bound_and_upper():
+    """Sketch answers are bucket UPPER bounds: >= the exact quantile and
+    within one bucket (relative error <= 2^-6) of it; layout-invariant."""
+    from spiderman_ray.pipelines.sketches import approx_price_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    approx = approx_price_quantiles(sf).to_pandas().set_index("pct")
+    cents = np.sort(
+        np.floor(
+            pq.read_table(sf + "/part.parquet", columns=["p_retailprice"])
+            .column("p_retailprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+    )
+    for p in (25, 50, 75, 90):
+        ub = approx.loc[p, "value_cents_ub"]
+        ex = cents[(p * len(cents) + 99) // 100 - 1]  # exact ceil-rank value
+        assert ub >= ex
+        assert ub <= ex * (1 + 2**-6) + 1
+    # deterministic merge: two runs produce identical buckets/answers
+    again = approx_price_quantiles(sf).to_pandas().set_index("pct")
+    assert (again["value_cents_ub"] == approx["value_cents_ub"]).all()
