@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return chs(_crawl_out("t1"))
 
+    def crawl_lineage_stats(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.monitor import crawl_lineage_stats as cls_
+
+        return cls_(_crawl_out("t1"))
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -238,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_thumbnails": crawl_thumbnails,
         "crawl_image_stats": crawl_image_stats,
         "crawl_host_stats": crawl_host_stats,
+        # per-seed lineage (closed-form roots from the seq encoding)
+        "crawl_lineage_stats": crawl_lineage_stats,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -671,6 +678,24 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         ],
         {"host": "VARCHAR", "n_fetched": "BIGINT", "attempts_total": "BIGINT",
          "vts_max_us": "BIGINT", "n_dead": "BIGINT"},
+    )
+    # per-seed lineage: root recovered in closed form from the seq encoding
+    # (child seq = parent_seq * 2^20 + idx), recomputed sequentially
+    ls: dict[int, list[int]] = {}
+    for r in o.crawl_order:
+        root = int(r["seq"]) >> (20 * int(r["generation"]))
+        s = ls.setdefault(root, [0, 0])
+        s[0] += 1
+        s[1] = max(s[1], int(r["generation"]))
+    seed_urls = {
+        int(r["seq"]): r["url"] for r in o.crawl_order if int(r["generation"]) == 0
+    }
+    out["crawl_lineage_stats"] = _values_sql(
+        [
+            {"seed_url": seed_urls[root], "n_urls": s[0], "max_depth": s[1]}
+            for root, s in sorted(ls.items())
+        ],
+        {"seed_url": "VARCHAR", "n_urls": "BIGINT", "max_depth": "BIGINT"},
     )
     return out
 

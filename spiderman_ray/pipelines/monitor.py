@@ -105,3 +105,58 @@ def price_monitor(pages_uri: str, threshold: int = 5000) -> rd.Dataset:
         return batch.filter(keep).select(["pkey", "title", "price", "pagenum"])
 
     return read_dataset(pages_uri).map_batches(flt, batch_format="pyarrow")
+
+
+def crawl_lineage_stats(out_dir: str) -> rd.Dataset:
+    """Per-seed lineage analytics over crawl_order: every crawled URL's
+    ROOT SEED is recoverable in closed form from the frontier's seq
+    encoding (child seq = parent_seq * 2^20 + child_idx, schemas.FRONTIER
+    — so root = seq >> 20*generation, no iterative parent join even at
+    10^10 rows). One pre-combined groupby on the O(#seeds) root key, then
+    the tiny gen-0 (seed_seq -> url) map is broadcast for labeling.
+    Output: (seed_url, n_urls, max_depth) — how much crawl each seed
+    ultimately produced and how deep it went; the oracle is a VALUES pin
+    recomputed sequentially by the reference-loop simulator."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Max, Sum
+
+    def roots(batch: pa.Table) -> pa.Table:
+        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gen = batch["generation"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "root": pa.array(seq >> (20 * gen)),
+                "n": pa.array(np.ones(len(seq), dtype=np.int64)),
+                "depth": pa.array(gen),
+            }
+        )
+
+    order = _crawl_table_ds(out_dir, "crawl_order")
+    seeds = {
+        int(r["seq"]): r["url"]
+        for b in order.map_batches(
+            lambda t: t.filter(pc.equal(t["generation"], 0)).select(["seq", "url"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    seeds_ref = ray.put(seeds)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(seeds_ref)
+        return pa.table(
+            {
+                "seed_url": pa.array([m[int(r)] for r in batch["root"].to_pylist()]),
+                "n_urls": batch["n"],
+                "max_depth": pc.cast(batch["depth"], pa.int64()),
+            }
+        )
+
+    return (
+        order.map_batches(roots, batch_format="pyarrow")
+        .groupby("root")
+        .aggregate(Sum("n", alias_name="n"), Max("depth", alias_name="depth"))
+        .map_batches(label, batch_format="pyarrow")
+    )

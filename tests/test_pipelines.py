@@ -1191,3 +1191,26 @@ def test_approx_price_quantiles_error_bound_and_upper():
     # deterministic merge: two runs produce identical buckets/answers
     again = approx_price_quantiles(sf).to_pandas().set_index("pct")
     assert (again["value_cents_ub"] == approx["value_cents_ub"]).all()
+
+def test_crawl_lineage_stats_partitions_crawl(tmp_path):
+    """Every crawled URL belongs to exactly one seed's subtree: lineage
+    n_urls sums to the crawl_order row count and each seed maps to
+    itself at depth >= 0."""
+    from spiderman_ray.engine import read_table_all_gens
+    from spiderman_ray.pipelines.monitor import crawl_lineage_stats
+    from spiderman_ray.simweb import SimParams
+    from spiderman_ray.engine import CrawlEngine
+
+    from spiderman_ray.policy import CrawlPolicy
+
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(SimParams.for_scale("t1"), CrawlPolicy(), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+
+    got = crawl_lineage_stats(out).to_pandas()
+    order = read_table_all_gens(out, "crawl_order").to_pandas()
+    assert got["n_urls"].sum() == len(order)
+    seeds = set(order.loc[order["generation"] == 0, "url"])
+    assert set(got["seed_url"]) == seeds
+    assert (got["max_depth"] >= 0).all() and got["max_depth"].max() == order["generation"].max()
