@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         # exact k-NN graph over every vector (SemDeDup building block)
         "knn_graph": lambda sf: V.knn_graph(sf),
+        # doc-metadata x vector native join -> per-language centroids
+        "lang_centroids": lambda sf: V.lang_centroids(sf),
         # SemDeDup survivors: min vec_id per cosine near-dup component
         "semantic_dedup": lambda sf: V.semantic_dedup_survivors(sf),
         "embedding_norms": V.embedding_norms,
@@ -955,6 +957,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45"
+        ),
+        "lang_centroids": (
+            # per-dim sums via a 64-way range join; addition order differs
+            # from the engine's batch partials but the x1e6 quantization
+            # absorbs the ~1e-13 float noise (same contract as knn_graph)
+            "WITH j AS (SELECT d.lang AS lang, list_transform(e.embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM documents d "
+            "JOIN embeddings e ON e.vec_id = d.doc_id), "
+            "s AS (SELECT lang, r.i AS i, SUM(v[r.i + 1]) AS sv, COUNT(*) AS n "
+            "FROM j, range(64) r(i) GROUP BY lang, r.i) "
+            "SELECT lang, CAST(MIN(n) AS BIGINT) AS n_docs, "
+            "CAST(FLOOR(sqrt(SUM((sv / n) * (sv / n))) * 1e6 + 0.5) AS BIGINT) "
+            "AS centroid_norm_x1e6 FROM s GROUP BY lang"
         ),
         "semantic_dedup": (
             # survivors = min vec_id per connected component of the exact

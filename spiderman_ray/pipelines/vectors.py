@@ -630,3 +630,62 @@ def ann_pq_topk(
         pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]),
         preserve_index=False,
     )
+
+def lang_centroids(sf_dir: str) -> pa.Table:
+    """Per-language embedding centroid — the doc-metadata x vector join a
+    curation pipeline uses for language-conditioned semantic analysis.
+    Ray-native shapes end to end: documents(doc_id, lang) JOINs
+    embeddings(vec_id, embedding) via Dataset.join (hash shuffle, both
+    sides corpus-sized at 100 TB — no broadcast), then each batch folds
+    into per-language partial sums (lang, n, s_0..s_63 — the combiner:
+    O(langs x dims) rows cross the exchange, never vectors), one tiny
+    grouped SUM merges, and the centroid L2 norm comes off O(langs)
+    rows. Output: (lang, n_docs, centroid_norm_x1e6)."""
+    import os as _os
+
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    dim_cols = [f"s_{i}" for i in range(64)]
+    emb_cols = [f"e_{i}" for i in range(64)]
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        # Acero hash joins reject list<float> payload columns — carry the
+        # vector as 64 fixed float64 columns through the shuffle instead
+        m = _batch_matrix(batch)
+        out = pd.DataFrame(m, columns=emb_cols)
+        out.insert(0, "vec_id", batch["vec_id"].to_numpy())
+        return out
+
+    embs = rd.read_parquet(_pq(sf_dir)).map_batches(widen, batch_format="pandas")
+    joined = embs.join(docs, join_type="inner", num_partitions=16,
+                       on=("vec_id",), right_on=("doc_id",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[emb_cols].to_numpy(dtype=np.float64)
+        out_rows = []
+        for lang, idx in batch.groupby("lang", sort=False).indices.items():
+            s = m[idx].sum(axis=0)
+            out_rows.append((lang, len(idx), *s))
+        return pd.DataFrame(out_rows, columns=["lang", "n", *dim_cols])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"),
+                   *[Sum(c, alias_name=c) for c in dim_cols])
+        .to_pandas()
+        .sort_values("lang")
+    )
+    cent = agg[dim_cols].to_numpy() / agg["n"].to_numpy()[:, None]
+    return pa.table(
+        {
+            "lang": pa.array(list(agg["lang"])),
+            "n_docs": pa.array(agg["n"].astype("int64")),
+            "centroid_norm_x1e6": pa.array(
+                np.floor(np.linalg.norm(cent, axis=1) * 1e6 + 0.5).astype("int64")
+            ),
+        }
+    )

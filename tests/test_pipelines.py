@@ -1214,3 +1214,20 @@ def test_crawl_lineage_stats_partitions_crawl(tmp_path):
     seeds = set(order.loc[order["generation"] == 0, "url"])
     assert set(got["seed_url"]) == seeds
     assert (got["max_depth"] >= 0).all() and got["max_depth"].max() == order["generation"].max()
+
+def test_lang_centroids_equals_direct_recompute():
+    from spiderman_ray.pipelines.vectors import lang_centroids
+
+    sf = "/root/testdata/sf0.001"
+    got = lang_centroids(sf).to_pandas().set_index("lang")
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    embs = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    m = np.stack(embs["embedding"].to_numpy()).astype(np.float64)
+    lang_of = docs.set_index("doc_id")["lang"]
+    langs = lang_of.reindex(embs["vec_id"]).to_numpy()
+    for lang in got.index:
+        sel = m[langs == lang]
+        want = int(np.floor(np.linalg.norm(sel.mean(axis=0)) * 1e6 + 0.5))
+        assert got.loc[lang, "n_docs"] == len(sel)
+        assert abs(got.loc[lang, "centroid_norm_x1e6"] - want) <= 1
