@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": bpe_token_stats,
         # sequence-packing token offsets (distributed two-pass prefix sum)
         "pack_offsets": lambda sf: T.pack_offsets(sf),
+        # deterministic global corpus shuffle (reproducible training order)
+        "shuffle_order": lambda sf: T.shuffle_order(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
         "decontaminate": lambda sf: T.decontaminate(sf),
         # composed flagship curation: gate -> lang-id -> exact dedup ->
@@ -1027,6 +1029,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
             "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
             "SELECT DISTINCT lbl AS doc_id FROM m"
+        ),
+        "shuffle_order": (
+            # same md5-prefix uint64 key as functions.hashing.hash64
+            "WITH k AS (SELECT doc_id, CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS key "
+            "FROM documents) "
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 "
+            "AS BIGINT) AS pos FROM k"
         ),
         "hash_sample": (
             # same md5-prefix arithmetic as pipelines.text.hash_sample

@@ -1610,3 +1610,78 @@ def bpe_token_stats(docs: rd.Dataset) -> rd.Dataset:
         )
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+def shuffle_order(sf_dir: str) -> rd.Dataset:
+    """Deterministic global corpus shuffle for training-data layout: every
+    doc's position in the md5-hash-ordered permutation. Unlike
+    ``random_shuffle`` the result is identical across runs, block layouts
+    and cluster sizes (the ``hash_sample`` argument, applied to ORDER),
+    so a training run is exactly reproducible and resumable from any
+    position. Distributed shape: key per batch, ONE range sort on
+    (key, doc_id), then global positions via the per-block-summary prefix
+    sum (the ``pack_offsets`` / _rerank_distributed two-pass — O(blocks)
+    driver scan, corpus never on the driver). Output: (doc_id, pos)."""
+    from spiderman_ray.functions.hashing import hash64
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = hash64([str(d) for d in batch["doc_id"].to_pylist()]).view(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "key": pa.array(k, type=pa.uint64()),
+            }
+        )
+
+    sorted_ds = (
+        _read_docs(sf_dir, columns=("doc_id",))
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["key", "doc_id"])
+        .materialize()
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "min_key": pa.array([], type=pa.uint64()),
+                    "min_doc": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "min_key": pa.array([t["key"][0].as_py()], type=pa.uint64()),
+                "min_doc": pa.array([t["doc_id"][0].as_py()], type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    summary = (
+        sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["min_key", "min_doc"])
+    )
+    base = dict(
+        zip(
+            zip(summary["min_key"], summary["min_doc"]),
+            np.cumsum(summary["n"]) - summary["n"],
+        )
+    )
+
+    def assign(t: pa.Table, base=base) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        b = int(base[(t["key"][0].as_py(), t["doc_id"][0].as_py())])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": pa.array(b + np.arange(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

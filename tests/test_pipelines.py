@@ -1231,3 +1231,21 @@ def test_lang_centroids_equals_direct_recompute():
         want = int(np.floor(np.linalg.norm(sel.mean(axis=0)) * 1e6 + 0.5))
         assert got.loc[lang, "n_docs"] == len(sel)
         assert abs(got.loc[lang, "centroid_norm_x1e6"] - want) <= 1
+
+def test_shuffle_order_is_a_permutation_and_layout_invariant():
+    """shuffle_order yields a complete 0..n-1 permutation, identical when
+    the input arrives in a different block layout (the reproducible-
+    training-order contract random_shuffle cannot give)."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.text import shuffle_order
+
+    sf = "/root/testdata/sf0.001"
+    got = shuffle_order(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(got)
+    assert sorted(got["pos"]) == list(range(n))
+
+    again = (
+        shuffle_order(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
