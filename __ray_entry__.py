@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.lang_id,
         "minhash_pairs": lambda sf: T.minhash_verified_pairs(sf),
         "dedup_minhash": T.dedup_minhash_survivors,
+        # audit view: every doc's near-dup component label
+        "minhash_clusters": lambda sf: T.minhash_clusters(sf),
         "simhash": T.simhash_table,
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
         # exact inverted-index member of the dedup family (no LSH)
@@ -1029,6 +1031,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
             "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
             "SELECT DISTINCT lbl AS doc_id FROM m"
+        ),
+        "minhash_clusters": (
+            # same recursive component labels, every node kept
+            f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u) "
+            "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id "
+            "FROM cc GROUP BY node"
         ),
         "shuffle_order": (
             # same md5-prefix uint64 key as functions.hashing.hash64

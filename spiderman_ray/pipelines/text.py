@@ -1685,3 +1685,36 @@ def shuffle_order(sf_dir: str) -> rd.Dataset:
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+def minhash_clusters(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+    """Cluster labels for EVERY document: cluster_id = min doc_id of its
+    verified near-dup component (singletons label themselves) — the audit
+    view of ``dedup_minhash_survivors`` (which keeps one row per cluster;
+    this keeps all rows + the mapping). Same LSH-bounded pair graph and
+    union-find; the non-singleton label map is component-count-sized and
+    broadcast for a pure per-batch attach."""
+    import ray
+
+    pairs = minhash_verified_pairs_ds(sf_dir, threshold).drop_columns(["jaccard_x10k"])
+    uf = _MinUnionFind()
+    for batch in pairs.iter_batches(batch_format="pandas"):
+        for a, b in zip(batch["a"], batch["b"]):
+            uf.union(int(a), int(b))
+    labels = {n: uf.find(n) for n in uf.parent}
+    ref = ray.put(labels)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "cluster_id": pa.array(
+                    [m.get(int(d), int(d)) for d in ids], type=pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(_pq(sf_dir), columns=["doc_id"]).map_batches(
+        attach, batch_format="pyarrow"
+    )

@@ -1249,3 +1249,15 @@ def test_shuffle_order_is_a_permutation_and_layout_invariant():
         shuffle_order(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again)
+
+def test_minhash_clusters_consistent_with_survivors():
+    """Labels and survivors agree: survivors == distinct cluster_ids, and
+    every cluster_id is the min doc_id of its members."""
+    from spiderman_ray.pipelines.text import dedup_minhash_survivors, minhash_clusters
+
+    sf = "/root/testdata/sf0.01"
+    labels = minhash_clusters(sf).to_pandas()
+    surv = set(dedup_minhash_survivors(sf).to_pandas()["doc_id"])
+    assert set(labels["cluster_id"].unique()) == surv
+    mins = labels.groupby("cluster_id")["doc_id"].min()
+    assert (mins.index == mins.values).all()
