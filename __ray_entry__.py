@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
         "repetition_stats": lambda sf: T.repetition_stats(sf),
+        # CCNet-shape unigram LM quality (integer log2 corpus counts)
+        "unigram_quality": lambda sf: T.unigram_quality(sf),
         # PII scrub over documents with deterministically injected PII
         "pii_redaction": pii_redaction,
         # BPE-pretokenizer token counting (RE2 on both sides) over the
@@ -1041,6 +1043,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u) "
             "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id "
             "FROM cc GROUP BY node"
+        ),
+        "unigram_quality": (
+            # floor(log2(count)) = length(bin(c)) - 1: same integer
+            # arithmetic as the engine's frexp bit-length
+            "WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok), "
+            "ct AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok) "
+            "SELECT tf.doc_id, "
+            "CAST(SUM(tf.tf * (length(bin(ct.c)) - 1)) AS BIGINT) AS logcount2_sum, "
+            "CAST(SUM(tf.tf) AS BIGINT) AS n_tokens "
+            "FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id"
         ),
         "shuffle_order": (
             # same md5-prefix uint64 key as functions.hashing.hash64

@@ -1718,3 +1718,65 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     return rd.read_parquet(_pq(sf_dir), columns=["doc_id"]).map_batches(
         attach, batch_format="pyarrow"
     )
+
+def unigram_quality(sf_dir: str) -> rd.Dataset:
+    """CCNet-shape unigram LM quality signal per document: the sum over
+    the doc's tokens of floor(log2(corpus count of that token)) — common-
+    word mass, the integer-exact stand-in for unigram log-probability (a
+    real system loads a KenLM here; the distributed shape is identical).
+    No vocabulary broadcast (the tf-idf token-space pattern): per-doc term
+    counts shard by hash64(token); a token's GLOBAL count is complete
+    inside its shard, so each (doc, token, tf) row picks up its
+    contribution where the token lives; contributions re-shard by doc_id
+    and sum. floor(log2) is computed as bit_length - 1 on BOTH sides
+    (numpy frexp exponent / DuckDB length(bin(c))), so the driver gate
+    hash-verifies it exactly. Output: (doc_id, logcount2_sum, n_tokens)."""
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), index=batch["doc_id"].to_pylist())
+        toks = s.str.split(" ").explode()
+        toks = toks[toks != ""]
+        tc = toks.groupby([toks.index, toks]).size()
+        dids = tc.index.get_level_values(0).to_numpy(dtype=np.int64)
+        tokens = tc.index.get_level_values(1).to_numpy(dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "token": pa.array(tokens, type=pa.string()),
+                "tf": pa.array(tc.to_numpy().astype(np.int64)),
+                "_tshard": pa.array(_shard64_of(list(tokens))),
+            }
+        )
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        ct = g.groupby("token", sort=False)["tf"].transform("sum").to_numpy()
+        _, exp = np.frexp(ct.astype(np.float64))  # bit_length, exact < 2^53
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "c": tf * (exp.astype(np.int64) - 1),
+                "n": tf,
+            }
+        )
+        out["_dshard"] = _shard64_of(list(out["doc_id"]))
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False)[["c", "n"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "logcount2_sum": agg["c"].astype("int64"),
+                "n_tokens": agg["n"].astype("int64"),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_counts, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(contrib, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )

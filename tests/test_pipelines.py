@@ -1261,3 +1261,28 @@ def test_minhash_clusters_consistent_with_survivors():
     assert set(labels["cluster_id"].unique()) == surv
     mins = labels.groupby("cluster_id")["doc_id"].min()
     assert (mins.index == mins.values).all()
+
+def test_unigram_quality_equals_direct_recompute():
+    """Token-space LM quality: per-doc sum of tf * floor(log2(corpus
+    count)) matches a single-process pandas recompute exactly."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.text import unigram_quality
+
+    sf = "/root/testdata/sf0.001"
+    got = unigram_quality(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    corpus = Counter()
+    per_doc = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = [w for w in t.split(" ") if w]
+        per_doc[d] = Counter(toks)
+        corpus.update(toks)
+    rows = []
+    for d in sorted(per_doc):
+        s = sum(tf * (corpus[w].bit_length() - 1) for w, tf in per_doc[d].items())
+        n = sum(per_doc[d].values())
+        rows.append((d, s, n))
+    want = pd.DataFrame(rows, columns=["doc_id", "logcount2_sum", "n_tokens"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
