@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed flagship curation: gate -> lang-id -> exact dedup ->
         # decontaminate, one streaming pass + two exchanges
         "curate": lambda sf: T.curate(sf),
+        # full-strength flagship: curate + MinHash near-dup removal
+        "curate_full": lambda sf: T.curate_full(sf),
         # HyperLogLog distinct sketch (deterministic registers; estimate is
         # approximate by design, so no SQL hash oracle — pytest bounds it)
         "approx_distinct_users": lambda sf: __import__(
@@ -529,6 +531,31 @@ def _decon_sql() -> str:
         "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_bench) "
         "SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr "
         "JOIN bench ON tr.g = bench.g GROUP BY tr.doc_id"
+    )
+
+
+def _curate_sql() -> str:
+    """Composed curation manifest == pipelines.text.curate: the dirty/
+    min-token/bench gates, md5 first-wins dedup, lang_id label, then minus
+    the decontamination hit set — each stage's SQL is the already-hash-
+    verified per-operator oracle. Shared by ``curate`` and
+    ``curate_full``."""
+    return (
+        f"WITH lang AS (SELECT * FROM ({_lang_id_sql()}) t), "
+        "flt AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "md5(text) AS fp FROM documents "
+        "WHERE text NOT LIKE '%drop%' AND text NOT LIKE '%null%' "
+        "AND len(string_split(text, ' ')) >= 5 "
+        "AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) >= {(10 << 32) // 100}), "
+        "ded AS (SELECT doc_id, n_tokens FROM ("
+        "SELECT doc_id, n_tokens, ROW_NUMBER() OVER ("
+        "PARTITION BY fp ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), "
+        f"contam AS (SELECT * FROM ({_decon_sql()}) t) "
+        "SELECT d.doc_id, l.lang_pred, d.n_tokens "
+        "FROM ded d JOIN lang l ON d.doc_id = l.doc_id "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)"
     )
 
 
@@ -1093,26 +1120,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM chunks"
         ),
         "decontaminate": _decon_sql(),
-        "curate": (
-            # composed curation manifest == pipelines.text.curate: the
-            # dirty/min-token/bench gates, md5 first-wins dedup, lang_id
-            # label, then minus the decontamination hit set — each stage's
-            # SQL is the already-hash-verified per-operator oracle
-            f"WITH lang AS (SELECT * FROM ({_lang_id_sql()}) t), "
-            "flt AS (SELECT doc_id, "
-            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
-            "md5(text) AS fp FROM documents "
-            "WHERE text NOT LIKE '%drop%' AND text NOT LIKE '%null%' "
-            "AND len(string_split(text, ' ')) >= 5 "
-            "AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
-            f"AS UBIGINT) >= {(10 << 32) // 100}), "
-            "ded AS (SELECT doc_id, n_tokens FROM ("
-            "SELECT doc_id, n_tokens, ROW_NUMBER() OVER ("
-            "PARTITION BY fp ORDER BY doc_id) AS rn FROM flt) WHERE rn = 1), "
-            f"contam AS (SELECT * FROM ({_decon_sql()}) t) "
-            "SELECT d.doc_id, l.lang_pred, d.n_tokens "
-            "FROM ded d JOIN lang l ON d.doc_id = l.doc_id "
-            "WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)"
+        "curate": _curate_sql(),
+        "curate_full": (
+            # curate + near-dup removal: dominated nodes (lbl < node) of
+            # the MinHash-verified component graph, the dedup_minhash CC
+            f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
+            "dom AS (SELECT node FROM (SELECT node, MIN(lbl) AS lbl FROM cc "
+            "GROUP BY node) WHERE lbl < node) "
+            f"SELECT * FROM ({_curate_sql()}) c "
+            "WHERE c.doc_id NOT IN (SELECT node FROM dom)"
         ),
         "tfidf_top_terms": (
             # ranking ratio tf/df is one IEEE division -> bit-identical in

@@ -584,6 +584,26 @@ def dedup_minhash_survivors(
     (lbl < node), the same broadcast-key anti-join as
     relational.missing_pages; at extreme dup rates the loser set becomes a
     bloom filter (state/bloom.py)."""
+    losers = minhash_loser_ids(sf_dir, threshold, driver_pair_cap)
+    loser_set = pa.array(sorted(losers), type=pa.int64())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=loser_set))
+        return batch.filter(keep)
+
+    return rd.read_parquet(_pq(sf_dir), columns=["doc_id"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+def minhash_loser_ids(
+    sf_dir: str, threshold: float = 0.6, driver_pair_cap: int = 2_000_000
+) -> set:
+    """Dominated doc_ids (lbl < node) of the verified near-dup component
+    graph — the shared core of ``dedup_minhash_survivors`` and the
+    ``curate_full`` composition. LSH-bounded pair graph; size-gated
+    driver union-find vs distributed label propagation (see
+    dedup_minhash_survivors docstring)."""
     pairs = minhash_verified_pairs_ds(sf_dir, threshold).drop_columns(["jaccard_x10k"])
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -600,7 +620,7 @@ def dedup_minhash_survivors(
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
-        return rd.read_parquet(_pq(sf_dir), columns=["doc_id"])
+        return set()
     if n_edges <= driver_pair_cap:
         uf = _MinUnionFind()
         for batch in edges.iter_batches(batch_format="pandas"):
@@ -610,15 +630,7 @@ def dedup_minhash_survivors(
         losers = {n for n in uf.parent if uf.find(n) != n}
     else:
         losers = _cc_losers_distributed(edges)
-    loser_set = pa.array(sorted(losers), type=pa.int64())
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=loser_set))
-        return batch.filter(keep)
-
-    return rd.read_parquet(_pq(sf_dir), columns=["doc_id"]).map_batches(
-        anti, batch_format="pyarrow"
-    )
+    return losers
 
 
 def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 6) -> rd.Dataset:
@@ -1779,4 +1791,29 @@ def unigram_quality(sf_dir: str) -> rd.Dataset:
         .map_groups(contrib, batch_format="pandas")
         .groupby("_dshard")
         .map_groups(per_doc, batch_format="pandas")
+    )
+
+def curate_full(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10,
+                threshold: float = 0.6) -> rd.Dataset:
+    """The full-strength curation flagship: everything ``curate`` does
+    (gates + lang-id + exact content dedup + decontamination) PLUS
+    near-duplicate removal — docs dominated in the MinHash-verified
+    component graph (lbl < node) are dropped, keeping each fuzzy-dup
+    cluster's min doc_id. One extra component-sized anti-join over the
+    streaming ``curate`` output; all stages reuse their independently
+    hash-verified machinery."""
+    import ray
+
+    losers = pa.array(
+        sorted(minhash_loser_ids(sf_dir, threshold)), type=pa.int64()
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=losers)
+        )
+        return batch.filter(keep)
+
+    return curate(sf_dir, min_tokens=min_tokens, bench_pct=bench_pct).map_batches(
+        anti, batch_format="pyarrow"
     )

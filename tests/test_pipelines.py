@@ -1286,3 +1286,13 @@ def test_unigram_quality_equals_direct_recompute():
         rows.append((d, s, n))
     want = pd.DataFrame(rows, columns=["doc_id", "logcount2_sum", "n_tokens"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+def test_curate_full_removes_exactly_the_dominated_near_dups():
+    from spiderman_ray.pipelines.text import curate, curate_full, minhash_loser_ids
+
+    sf = "/root/testdata/sf0.001"
+    base = set(curate(sf).to_pandas()["doc_id"])
+    full = set(curate_full(sf).to_pandas()["doc_id"])
+    losers = minhash_loser_ids(sf)
+    assert full == base - losers
+    assert full < base  # the near-dup stage actually bites on this data
