@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketing machinery while staying equal to the exact-cosine oracle
         # (pytest covers the approximate nprobe<n_centroids recall path)
         "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf, nprobe=16),
+        # IVF + PQ-ADC + exact rerank (the FAISS IVFADC shape) run at
+        # nprobe=n_centroids: exhaustive probe + measured-exact rerank ==
+        # the exact oracle (deterministic); pytest covers nprobe<n_centroids
+        "ann_ivfpq_topk": lambda sf: V.ann_ivfpq_topk(sf, nprobe=16),
         "cosine_dup_pairs": V.cosine_dup_pairs,
         # approximate corpus-scale variant (seeded hyperplanes are not
         # SQL-expressible; pytest measures recall vs the exact operator)
@@ -1264,6 +1268,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_sum(list_transform(range(0, 768), "
             "j -> CAST(codes[CAST((frame_idx*768 + j) % n AS INT) + 1] AS BIGINT))) "
             "AS BIGINT) END AS px_sum FROM f"
+        ),
+        # nprobe == n_centroids + exact rerank of the ADC preselection ->
+        # identical to the exact top-k oracle (deterministic; the
+        # approximate nprobe<n_centroids path is pytest-bounded)
+        "ann_ivfpq_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 8), scored AS ("
+            "SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) "
+            "WHERE rank <= 5"
         ),
         # nprobe == n_centroids probes every IVF cell -> exhaustive search ->
         # identical to the exact top-k oracle

@@ -689,3 +689,79 @@ def lang_centroids(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+def ann_ivfpq_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 5, n_centroids: int = 16,
+    nprobe: int = 4, m: int = 16, n_cents: int = 256,
+    fit_sample_rows: int = 4096, rerank_r: int = 32,
+) -> pa.Table:
+    """IVF + PQ-ADC + exact re-rank — the composition a 100 TB vector
+    store actually runs (the FAISS IVFADC shape): the coarse quantizer
+    prunes each batch to vectors in the query's ``nprobe`` probed cells
+    (work ~ nprobe/n_centroids of the corpus), PQ tables score those
+    candidates with integer-code lookups instead of matmuls, and the
+    local ADC top-``rerank_r`` get exact dots (the batch still holds the
+    original vectors). Both quantizers fit on one bounded sample and
+    broadcast once. Same output shape as ann_cosine_topk; pytest bounds
+    recall against the exact baseline."""
+    pf = pq.ParquetFile(_pq(sf_dir))
+    batches, seen = [], 0
+    want = max(fit_sample_rows, n_queries)
+    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        seen += rb.num_rows
+        if seen >= want:
+            break
+    tab = pa.Table.from_batches(batches).slice(0, want)
+    qids = np.asarray(tab["vec_id"].to_pylist()[:n_queries], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    coarse = _kmeans(mat, n_centroids)
+    books = np.stack(
+        [
+            _kmeans_l2(mat[:, s * (mat.shape[1] // m) : (s + 1) * (mat.shape[1] // m)], n_cents)
+            for s in range(m)
+        ]
+    )
+    qmat = mat[:n_queries]
+    probes = np.argsort(-(qmat @ coarse.T), axis=1)[:, :nprobe]
+    sub = qmat.shape[1] // m
+    adc = np.einsum("qsd,scd->qsc", qmat.reshape(len(qmat), m, sub), books)
+    ref = ray.put((qids, qmat, coarse, probes, books, adc))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, qm, cents, pr, bks, tables = ray.get(ref)
+        x = _batch_matrix(batch)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        assign = np.argmax(x @ cents.T, axis=1)
+        codes = _pq_encode(x, bks)
+        ids = batch["vec_id"].to_numpy()
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for j, qid in enumerate(q_ids):
+            cand = np.isin(assign, pr[j]) & (ids != qid)
+            if not cand.any():
+                continue
+            c_codes = codes[cand]
+            adc_sims = tables[j][np.arange(c_codes.shape[1])[None, :], c_codes].sum(axis=1)
+            c_ids = ids[cand]
+            order = np.lexsort((c_ids, -adc_sims))[: max(k, rerank_r)]
+            exact = x[cand][order] @ qm[j]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(c_ids[order])
+            out["sim"].extend(exact)
+        return pd.DataFrame(out)
+
+    partials = (
+        rd.read_parquet(_pq(sf_dir))
+        .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), int(r["neighbor_id"]), rank))
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]),
+        preserve_index=False,
+    )

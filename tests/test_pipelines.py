@@ -1296,3 +1296,20 @@ def test_curate_full_removes_exactly_the_dominated_near_dups():
     losers = minhash_loser_ids(sf)
     assert full == base - losers
     assert full < base  # the near-dup stage actually bites on this data
+
+def test_ann_ivfpq_recall_and_exhaustive_exactness():
+    """IVFADC composition: exhaustive probe + exact rerank equals the
+    exact baseline; the genuinely approximate nprobe=8 path keeps
+    recall@5 >= 0.7 (measured 0.775-0.9)."""
+    from spiderman_ray.pipelines.vectors import ann_cosine_topk, ann_ivfpq_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann_cosine_topk(sf).to_pandas()
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+
+    full = ann_ivfpq_topk(sf, nprobe=16).to_pandas()
+    assert set(map(tuple, full[["query_id", "neighbor_id"]].values)) == ex
+
+    approx = ann_ivfpq_topk(sf, nprobe=8).to_pandas()
+    ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(ex & ap) / len(ex) >= 0.7
