@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: T.repetition_stats(sf),
         # CCNet-shape unigram LM quality (integer log2 corpus counts)
         "unigram_quality": lambda sf: T.unigram_quality(sf),
+        # feature-hashed embedding generation (integer checksums)
+        "hash_embed": lambda sf: T.hash_embed(sf),
         # PII scrub over documents with deterministically injected PII
         "pii_redaction": pii_redaction,
         # BPE-pretokenizer token counting (RE2 on both sides) over the
@@ -1086,6 +1088,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(tf.tf * (length(bin(ct.c)) - 1)) AS BIGINT) AS logcount2_sum, "
             "CAST(SUM(tf.tf) AS BIGINT) AS n_tokens "
             "FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id"
+        ),
+        "hash_embed": (
+            # bucket = the hash64 md5-prefix arithmetic mod 64; integer
+            # checksums of the per-doc bucket-count vector
+            "WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS tok FROM documents), "
+            "b AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) "
+            "AS UBIGINT) % 64 AS bk FROM t), "
+            "c AS (SELECT doc_id, bk, COUNT(*) AS c FROM b GROUP BY doc_id, bk), "
+            "a AS (SELECT doc_id, COUNT(*) AS nnz, SUM(c) AS bs, "
+            "SUM(c * c) AS bss FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(a.nnz, 0) AS BIGINT) AS nnz, "
+            "CAST(COALESCE(a.bs, 0) AS BIGINT) AS bucket_sum, "
+            "CAST(COALESCE(a.bss, 0) AS BIGINT) AS bucket_sq_sum "
+            "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
         ),
         "shuffle_order": (
             # same md5-prefix uint64 key as functions.hashing.hash64

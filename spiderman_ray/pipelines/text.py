@@ -1817,3 +1817,52 @@ def curate_full(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10,
     return curate(sf_dir, min_tokens=min_tokens, bench_pct=bench_pct).map_batches(
         anti, batch_format="pyarrow"
     )
+
+def hash_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
+    """Deterministic feature-hashed bag-of-words embedding per document —
+    the embedding-GENERATION stage of a data pipeline (a real system runs
+    a model in this exact actor-pool slot; the plumbing, batching and
+    output layout are identical). Each token maps to bucket
+    hash64(token) % dim with weight = its count; the raw integer bucket
+    vector is emitted as integer checksums the SQL oracle reproduces
+    exactly (same md5-prefix arithmetic — no float leaves the operator).
+    Pure per-batch vectorized map — no shuffle.
+    Output: (doc_id, nnz, bucket_sum, bucket_sq_sum)."""
+
+    def embed(batch: pd.DataFrame) -> pd.DataFrame:
+        from spiderman_ray.functions.hashing import hash64
+
+        s = pd.Series(
+            batch["text"].to_numpy(),
+            index=batch["doc_id"].to_numpy(dtype=np.int64),
+        )
+        toks = s.str.split(" ").explode()
+        toks = toks[toks != ""]
+        if len(toks):
+            buckets = (hash64(list(toks.to_numpy(dtype=object))).view(np.uint64)
+                       % np.uint64(dim)).astype(np.int64)
+            df = pd.DataFrame({"doc_id": toks.index.to_numpy(dtype=np.int64),
+                               "b": buckets})
+            counts = df.groupby(["doc_id", "b"], sort=False).size()
+            per_doc = counts.groupby(level=0)
+            agg = pd.DataFrame(
+                {
+                    "nnz": per_doc.size(),
+                    "bucket_sum": per_doc.sum(),
+                    "bucket_sq_sum": per_doc.apply(lambda v: int((v.to_numpy() ** 2).sum())),
+                }
+            ).reset_index(names="doc_id")
+        else:
+            agg = pd.DataFrame(columns=["doc_id", "nnz", "bucket_sum", "bucket_sq_sum"])
+        # docs with no tokens still get a row (all-zero vector)
+        have = set(agg["doc_id"])
+        missing = [d for d in s.index if d not in have]
+        if missing:
+            agg = pd.concat(
+                [agg, pd.DataFrame({"doc_id": missing, "nnz": 0,
+                                    "bucket_sum": 0, "bucket_sq_sum": 0})],
+                ignore_index=True,
+            )
+        return agg.astype("int64")
+
+    return _read_docs(sf_dir).map_batches(embed, batch_format="pandas")

@@ -1313,3 +1313,24 @@ def test_ann_ivfpq_recall_and_exhaustive_exactness():
     approx = ann_ivfpq_topk(sf, nprobe=8).to_pandas()
     ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     assert len(ex & ap) / len(ex) >= 0.7
+
+def test_hash_embed_checksums_match_direct():
+    """Feature-hash embedding checksums equal a direct recompute; empty
+    docs yield the all-zero row."""
+    import ray.data as rd
+
+    from spiderman_ray.functions.hashing import hash64
+    from spiderman_ray.pipelines.text import hash_embed
+
+    sf = "/root/testdata/sf0.001"
+    got = hash_embed(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.sample(20, random_state=7).iterrows():
+        toks = [w for w in r["text"].split(" ") if w]
+        b = (hash64(toks).view(np.uint64) % np.uint64(64)).astype(np.int64)
+        from collections import Counter
+        c = Counter(b.tolist())
+        row = got[got["doc_id"] == r["doc_id"]].iloc[0]
+        assert row["nnz"] == len(c)
+        assert row["bucket_sum"] == sum(c.values()) == len(toks)
+        assert row["bucket_sq_sum"] == sum(v * v for v in c.values())
