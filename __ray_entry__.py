@@ -12,6 +12,7 @@ here (or in spiderman_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 from collections.abc import Callable
@@ -123,6 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from spiderman_ray.pipelines.monitor import crawl_lineage_stats as cls_
 
         return cls_(_crawl_out("t1"))
+
+    def crawl_image_dedup(sf_dir: str) -> Any:
+        return I.image_dedup_exact(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
 
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
@@ -245,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": crawl_host_stats,
         # per-seed lineage (closed-form roots from the seq encoding)
         "crawl_lineage_stats": crawl_lineage_stats,
+        # byte-level exact content dedup over the image store
+        "crawl_image_dedup": crawl_image_dedup,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -731,6 +739,19 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     seed_urls = {
         int(r["seq"]): r["url"] for r in o.crawl_order if int(r["generation"]) == 0
     }
+    # byte-level content fps of the image store, first-wins by image_id
+    seen_fp: dict[str, str] = {}
+    idrows = []
+    for iid, data in sorted((r["image_id"], r["bytes"]) for r in o.images):
+        f = hashlib.md5(data).hexdigest()
+        idrows.append(
+            {"image_id": iid, "content_fp": f, "is_first": int(f not in seen_fp)}
+        )
+        seen_fp.setdefault(f, iid)
+    out["crawl_image_dedup"] = _values_sql(
+        idrows,
+        {"image_id": "VARCHAR", "content_fp": "VARCHAR", "is_first": "BIGINT"},
+    )
     out["crawl_lineage_stats"] = _values_sql(
         [
             {"seed_url": seed_urls[root], "n_urls": s[0], "max_depth": s[1]}

@@ -209,3 +209,45 @@ def image_stats(images_uri: str, concurrency: int | None = None,
         concurrency=pool_size(concurrency or 10**6),
         num_cpus=1,
     )
+
+
+def image_dedup_exact(images_uri: str) -> rd.Dataset:
+    """Exact CONTENT dedup over crawled images: md5 of the stored bytes,
+    first occurrence per content fp in image_id order wins — the byte-
+    level multimodal sibling of text dedup_exact (pHash handles near-dups;
+    this catches identical payloads under different URLs). fp-shard
+    pattern (hash64(fp) % 64); string fps compare exactly in the sorted
+    first-marking pass. Output: (image_id, content_fp, is_first) — also a
+    byte-exactness check of the whole image store against the reference-
+    loop oracle's VALUES pin."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(b).hexdigest() for b in batch["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "content_fp": pa.array(fps, type=pa.string()),
+                "_fshard": pa.array(_shard64_of(fps)),
+            }
+        )
+
+    def firsts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_fp", "image_id"], kind="mergesort")
+        first = g["content_fp"].ne(g["content_fp"].shift())  # string: exact
+        return pd.DataFrame(
+            {
+                "image_id": g["image_id"].to_numpy(),
+                "content_fp": g["content_fp"].to_numpy(),
+                "is_first": first.to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        read_dataset(images_uri, columns=["image_id", "bytes"])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(firsts, batch_format="pandas")
+    )

@@ -1334,3 +1334,22 @@ def test_hash_embed_checksums_match_direct():
         assert row["nnz"] == len(c)
         assert row["bucket_sum"] == sum(c.values()) == len(toks)
         assert row["bucket_sq_sum"] == sum(v * v for v in c.values())
+
+def test_image_dedup_exact_first_wins(tmp_path):
+    """Identical payloads under different image_ids: the lexicographically
+    first id wins; distinct payloads all survive."""
+    from spiderman_ray.pipelines.images import image_dedup_exact
+
+    rows = [
+        {"image_id": "B", "bytes": b"same-bytes"},
+        {"image_id": "A", "bytes": b"same-bytes"},
+        {"image_id": "C", "bytes": b"other"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "part-0.parquet"))
+    got = (
+        image_dedup_exact(str(tmp_path))
+        .to_pandas()
+        .set_index("image_id")["is_first"]
+        .to_dict()
+    )
+    assert got == {"A": 1, "B": 0, "C": 1}
