@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": lambda sf: T.shuffle_order(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
         "decontaminate": lambda sf: T.decontaminate(sf),
+        # constant-memory bloom screen (no false negatives; FP-bounded by
+        # pytest vs the exact operator -> rows-only driver row)
+        "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
         # composed flagship curation: gate -> lang-id -> exact dedup ->
         # decontaminate, one streaming pass + two exchanges
         "curate": lambda sf: T.curate(sf),

@@ -1866,3 +1866,89 @@ def hash_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
         return agg.astype("int64")
 
     return _read_docs(sf_dir).map_batches(embed, batch_format="pandas")
+
+def decontaminate_bloom(
+    sf_dir: str, bench_pct: int = 10, k: int = 8,
+    m_bits: int = 1 << 20, n_hashes: int = 4,
+) -> rd.Dataset:
+    """Constant-memory decontamination screen — the 100 TB path when the
+    benchmark's shingle set is too large to join: the bench grams fold
+    into a FIXED-size bloom bitmap (each block emits its local bitmap,
+    OR-merge is associative/commutative like the HLL registers — any
+    reduction topology gives identical bits), which broadcasts once;
+    every training batch then probes its grams locally. NO FALSE
+    NEGATIVES by construction (every truly shared gram flags its doc);
+    false positives add spurious flags at a rate bounded by the bloom
+    load (pytest measures it against the exact ``decontaminate``).
+    Output: (doc_id, n_flagged) for training docs with >= 1 flagged
+    gram — a superset of the exact operator's rows."""
+    import ray
+
+    thresh = (bench_pct << 32) // 100
+    words = m_bits // 64
+
+    def _is_bench(ids) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thresh
+             for d in ids),
+            dtype=bool, count=len(ids),
+        )
+
+    def _idxs(h: np.ndarray) -> np.ndarray:
+        """(n, n_hashes) bit indices via double hashing on the 64-bit gram
+        hash's two 32-bit halves (deterministic, vectorized)."""
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+        i = np.arange(n_hashes, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        bench = _is_bench(ids)
+        bits = np.zeros(words, dtype=np.uint64)
+        shs = _kgram_hashes_batch(
+            [t for t, b in zip(batch["text"].to_pylist(), bench) if b], k=k
+        )
+        if shs:
+            h = np.concatenate(shs).astype(np.uint64)
+            if len(h):
+                idx = _idxs(h).ravel()
+                np.bitwise_or.at(bits, idx // 64, np.uint64(1) << (idx % 64).astype(np.uint64))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(block_bitmap, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    bloom = np.zeros(words, dtype=np.uint64)
+    for b in parts:
+        for raw in b["bitmap"].to_pylist():
+            bloom |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        ids = batch["doc_id"].to_pylist()
+        bench = _is_bench(ids)
+        out_ids, out_n = [], []
+        shs = _kgram_hashes_batch(batch["text"].to_pylist(), k=k)
+        for d, is_b, h in zip(ids, bench, shs):
+            if is_b or not len(h):
+                continue
+            idx = _idxs(h.astype(np.uint64))
+            hit = ((bl[idx // 64] >> (idx % 64).astype(np.uint64))
+                   & np.uint64(1)).astype(bool).all(axis=1)
+            n = int(hit.sum())
+            if n:
+                out_ids.append(int(d))
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "n_flagged": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(probe, batch_format="pyarrow")

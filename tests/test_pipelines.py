@@ -1353,3 +1353,19 @@ def test_image_dedup_exact_first_wins(tmp_path):
         .to_dict()
     )
     assert got == {"A": 1, "B": 0, "C": 1}
+
+def test_decontaminate_bloom_superset_no_false_negatives():
+    """Bloom screen vs exact decontamination: every exact hit is flagged
+    with n_flagged >= n_shared (no false negatives); spurious flags stay
+    rare at this bloom load."""
+    from spiderman_ray.pipelines.text import decontaminate, decontaminate_bloom
+
+    sf = "/root/testdata/sf0.01"
+    exact = decontaminate(sf).to_pandas().set_index("doc_id")["n_shared"]
+    bloom = decontaminate_bloom(sf).to_pandas().set_index("doc_id")["n_flagged"]
+    assert set(exact.index) <= set(bloom.index)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    # false-positive docs (flagged but not contaminated) bounded
+    fp_docs = set(bloom.index) - set(exact.index)
+    assert len(fp_docs) <= max(5, len(exact) // 2)
