@@ -361,8 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pytest covers the approximate nprobe<n_centroids recall path)
         "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf, nprobe=16),
         # IVF + PQ-ADC + exact rerank (the FAISS IVFADC shape) run at
-        # nprobe=n_centroids: exhaustive probe + measured-exact rerank ==
-        # the exact oracle (deterministic); pytest covers nprobe<n_centroids
+        # nprobe=n_centroids: exhaustive probe BYPASSES the ADC preselect
+        # (exact dots for every candidate) -> STRUCTURALLY equal to the
+        # exact oracle; pytest covers nprobe<n_centroids
         "ann_ivfpq_topk": lambda sf: V.ann_ivfpq_topk(sf, nprobe=16),
         "cosine_dup_pairs": V.cosine_dup_pairs,
         # approximate corpus-scale variant (seeded hyperplanes are not
@@ -1310,9 +1311,9 @@ def oracle_sql() -> dict[str, str]:
             "j -> CAST(codes[CAST((frame_idx*768 + j) % n AS INT) + 1] AS BIGINT))) "
             "AS BIGINT) END AS px_sum FROM f"
         ),
-        # nprobe == n_centroids + exact rerank of the ADC preselection ->
-        # identical to the exact top-k oracle (deterministic; the
-        # approximate nprobe<n_centroids path is pytest-bounded)
+        # nprobe == n_centroids bypasses the ADC preselect (exact dots for
+        # every candidate) -> structurally identical to the exact top-k
+        # oracle; the approximate nprobe<n_centroids path is pytest-bounded
         "ann_ivfpq_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             "ORDER BY vec_id LIMIT 8), scored AS ("

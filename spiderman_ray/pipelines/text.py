@@ -495,14 +495,15 @@ class _MinUnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def _cc_losers_distributed(edges: rd.Dataset) -> set:
+def _cc_labels_distributed(edges: rd.Dataset) -> rd.Dataset:
     """Connected components over a (key=u, node=v, lbl=-1 | key=node, lbl)
     edge+label Dataset via shard-grouped LOCAL union-find rounds: each round
     every shard unions its local edges + incoming labels and emits min
     labels, a second grouping takes the per-node min. Labels only decrease,
     so a stable sum means converged — typically 2 rounds for near-dup
     clusters, O(log diameter) in general (local UF collapses everything a
-    shard can see, unlike plain min-over-neighbors)."""
+    shard can see, unlike plain min-over-neighbors). Returns the
+    materialized (node, lbl) Dataset over every node appearing in edges."""
     from ray.data.aggregate import Sum
 
     def init_labels(batch: pa.Table) -> pa.Table:
@@ -559,7 +560,12 @@ def _cc_losers_distributed(edges: rd.Dataset) -> set:
         if cur_sum == prev_sum:
             break  # labels only decrease: stable sum == converged
         prev_sum = cur_sum
+    return labels
 
+
+def _cc_losers_distributed(edges: rd.Dataset) -> set:
+    """Dominated nodes (lbl < node) of the distributed component labels."""
+    labels = _cc_labels_distributed(edges)
     losers = set()
     for batch in labels.iter_batches(batch_format="pandas"):
         dominated = batch[batch["lbl"] < batch["node"]]
@@ -1698,37 +1704,87 @@ def shuffle_order(sf_dir: str) -> rd.Dataset:
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
-def minhash_clusters(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+def minhash_clusters(
+    sf_dir: str, threshold: float = 0.6, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
     """Cluster labels for EVERY document: cluster_id = min doc_id of its
     verified near-dup component (singletons label themselves) — the audit
     view of ``dedup_minhash_survivors`` (which keeps one row per cluster;
-    this keeps all rows + the mapping). Same LSH-bounded pair graph and
-    union-find; the non-singleton label map is component-count-sized and
-    broadcast for a pure per-batch attach."""
+    this keeps all rows + the mapping). SIZE-GATED like the survivor op:
+    below ``driver_pair_cap`` a driver union-find builds a paired-node-
+    sized label map (<= 2x the LSH-bounded pair count) broadcast for a
+    per-batch attach; above it the shard-grouped distributed label
+    propagation runs and labels attach via a node-sharded grouped MIN —
+    nothing corpus- or pair-graph-sized ever lands on the driver."""
     import ray
 
-    pairs = minhash_verified_pairs_ds(sf_dir, threshold).drop_columns(["jaccard_x10k"])
-    uf = _MinUnionFind()
-    for batch in pairs.iter_batches(batch_format="pandas"):
-        for a, b in zip(batch["a"], batch["b"]):
-            uf.union(int(a), int(b))
-    labels = {n: uf.find(n) for n in uf.parent}
-    ref = ray.put(labels)
+    pairs = (
+        minhash_verified_pairs_ds(sf_dir, threshold)
+        .drop_columns(["jaccard_x10k"])
+        .materialize()
+    )
+    docs = rd.read_parquet(_pq(sf_dir), columns=["doc_id"])
+    if pairs.count() <= driver_pair_cap:
+        uf = _MinUnionFind()
+        for batch in pairs.iter_batches(batch_format="pandas"):
+            for a, b in zip(batch["a"], batch["b"]):
+                uf.union(int(a), int(b))
+        labels = {n: uf.find(n) for n in uf.parent}
+        ref = ray.put(labels)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids = batch["doc_id"].to_pylist()
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ids = batch["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "cluster_id": pa.array(
+                        [m.get(int(d), int(d)) for d in ids], type=pa.int64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(attach, batch_format="pyarrow")
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "cluster_id": pa.array(
-                    [m.get(int(d), int(d)) for d in ids], type=pa.int64()
-                ),
+                "key": pa.array(np.concatenate([u, v])),
+                "node": pa.array(np.concatenate([v, u])),
+                "lbl": pa.array(np.full(2 * len(u), -1, dtype=np.int64)),
             }
         )
 
-    return rd.read_parquet(_pq(sf_dir), columns=["doc_id"]).map_batches(
-        attach, batch_format="pyarrow"
+    labels_ds = _cc_labels_distributed(
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+    ).select_columns(["node", "lbl"])
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        return pa.table({"node": ids, "lbl": ids})  # singleton default
+
+    def shard_node(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_nshard", pa.array(_shard64_of(batch["node"].to_pylist()))
+        )
+
+    def min_lbl(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", sort=False)["lbl"].min().reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": m["node"].astype("int64"),
+                "cluster_id": m["lbl"].astype("int64"),
+            }
+        )
+
+    return (
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+        .union(labels_ds)
+        .map_batches(shard_node, batch_format="pyarrow")
+        .groupby("_nshard")
+        .map_groups(min_lbl, batch_format="pandas")
     )
 
 def unigram_quality(sf_dir: str) -> rd.Dataset:
@@ -1933,9 +1989,12 @@ def decontaminate_bloom(
         ids = batch["doc_id"].to_pylist()
         bench = _is_bench(ids)
         out_ids, out_n = [], []
-        shs = _kgram_hashes_batch(batch["text"].to_pylist(), k=k)
-        for d, is_b, h in zip(ids, bench, shs):
-            if is_b or not len(h):
+        # hash only TRAINING docs — bench rows are never probed
+        train = [(d, t) for d, t, b in
+                 zip(ids, batch["text"].to_pylist(), bench) if not b]
+        shs = _kgram_hashes_batch([t for _, t in train], k=k)
+        for (d, _), h in zip(train, shs):
+            if not len(h):
                 continue
             idx = _idxs(h.astype(np.uint64))
             hit = ((bl[idx // 64] >> (idx % 64).astype(np.uint64))

@@ -70,13 +70,7 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
         .map_batches(local_topk, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
-    rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            rows.append((int(qid), int(r["neighbor_id"]), rank))
-    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _merge_topk(partials, k)
 
 
 def _normalize_chunk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -91,10 +85,10 @@ def _unpack_chunk(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
-def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 2048) -> pa.Table:
-    """EXACT embedding-cosine near-dup pairs (a < b, sim > threshold; 0.45
-    yields pairs in the synthetic embeddings) via a distributed CHUNK-PAIR
-    BLOCK JOIN — the round-1 full-matrix ``ray.put`` broadcast is gone:
+def cosine_pairs_ds(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 2048) -> rd.Dataset:
+    """EXACT embedding-cosine near-dup pairs (a < b, sim > threshold) as a
+    DATASET, via a distributed CHUNK-PAIR BLOCK JOIN — the round-1
+    full-matrix ``ray.put`` broadcast is gone:
 
     - vectors are normalized distributed (map_batches) and left in the
       object store as C ~n/chunk_rows blocks (``to_arrow_refs`` — nothing
@@ -134,9 +128,15 @@ def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 204
         b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
         return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
 
-    res = rd.from_items(idx).map_batches(
+    return rd.from_items(idx).map_batches(
         pair_block, batch_format="pandas", batch_size=1
-    ).to_pandas()
+    )
+
+
+def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 2048) -> pa.Table:
+    """Driver-collected view of ``cosine_pairs_ds`` (sorted (a, b) Table)
+    for the hash-verified driver query; pair counts are threshold-bounded."""
+    res = cosine_pairs_ds(sf_dir, threshold, chunk_rows).to_pandas()
     if res.empty:  # keep the (a, b) int64 schema even with zero pairs
         res = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     else:
@@ -295,14 +295,7 @@ def ann_ivf_topk(
         .map_batches(local_topk, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
-    rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            rows.append((int(qid), int(r["neighbor_id"]), rank))
-    return pa.Table.from_pandas(
-        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]), preserve_index=False
-    )
+    return _merge_topk(partials, k)
 
 
 def embedding_norms(sf_dir: str) -> rd.Dataset:
@@ -391,6 +384,11 @@ def knn_graph(sf_dir: str, k: int = 3, chunk_rows: int = 2048) -> rd.Dataset:
         Single sortable key: (1e6 - sim) * 2^32 + neighbor_id — sims are
         in [-1e6, 1e6] and ids < 2^32, so the key fits int64 and orders
         by (-sim, neighbor_id)."""
+        if len(ids_c) and int(ids_c.max()) >= (1 << 32):
+            # ids past 2^32 would bleed into the sim field and silently
+            # corrupt ordering — fail loudly; a wider-id corpus needs a
+            # (sim, id) lexsort here instead of the packed key
+            raise ValueError("knn_graph packed sort key requires vec_id < 2^32")
         key = (np.int64(1_000_000) - sim_x1m) * np.int64(1 << 32) + ids_c[None, :]
         if self_block:
             np.fill_diagonal(key, np.iinfo(np.int64).max)
@@ -449,28 +447,48 @@ def knn_graph(sf_dir: str, k: int = 3, chunk_rows: int = 2048) -> rd.Dataset:
         .map_groups(reduce_topk, batch_format="pandas")
     )
 
-def semantic_dedup_survivors(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
+def semantic_dedup_survivors(
+    sf_dir: str, threshold: float = 0.45, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
     """SemDeDup-style semantic dedup: survivors = min vec_id per connected
     component of the embedding-cosine near-dup graph (sim > threshold),
     singletons included. Composition of existing scale machinery:
 
-    - edges from the exact chunk-pair block join (``cosine_dup_pairs``;
-      ``cosine_dup_pairs_lsh`` is the drop-in sub-O(n^2) corpus path),
-    - components via the same size-gated union-find as
-      ``dedup_minhash_survivors`` (driver UF for LSH-bounded pair counts,
-      shard-grouped distributed label propagation above the cap),
+    - edges from the exact chunk-pair block join (``cosine_pairs_ds``, a
+      DATASET — never driver-materialized here; ``cosine_dup_pairs_lsh``
+      is the drop-in sub-O(n^2) corpus path),
+    - components via the same SIZE-GATED union-find as
+      ``dedup_minhash_survivors``: below ``driver_pair_cap`` the
+      threshold-bounded pair stream folds into a driver UF batch by
+      batch; above it the shard-grouped distributed label propagation
+      (``_cc_losers_distributed``) runs instead,
     - survivors = embeddings anti-joined against the dominated nodes.
 
     Returns a DATASET of (vec_id) — survivor sets are corpus-sized."""
-    from spiderman_ray.pipelines.text import _MinUnionFind
+    from spiderman_ray.pipelines.text import _cc_losers_distributed, _MinUnionFind
 
-    pairs = cosine_dup_pairs(sf_dir, threshold=threshold)
-    uf = _MinUnionFind()
-    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
-        uf.union(int(a), int(b))
-    losers = pa.array(
-        sorted(n for n in uf.parent if uf.find(n) != n), type=pa.int64()
-    )
+    pairs = cosine_pairs_ds(sf_dir, threshold=threshold).materialize()
+    if pairs.count() <= driver_pair_cap:
+        uf = _MinUnionFind()
+        for batch in pairs.iter_batches(batch_format="pandas"):
+            for a, b in zip(batch["a"], batch["b"]):
+                uf.union(int(a), int(b))
+        loser_ids = sorted(n for n in uf.parent if uf.find(n) != n)
+    else:
+        def both_dirs(batch: pa.Table) -> pa.Table:
+            u = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(np.concatenate([u, v])),
+                    "node": pa.array(np.concatenate([v, u])),
+                    "lbl": pa.array(np.full(2 * len(u), -1, dtype=np.int64)),
+                }
+            )
+
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+        loser_ids = sorted(_cc_losers_distributed(edges))
+    losers = pa.array(loser_ids, type=pa.int64())
 
     def anti(batch: pa.Table) -> pa.Table:
         keep = pc.invert(
@@ -502,21 +520,43 @@ def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 12, seed: int = 23) -> np.n
     return cents
 
 
+def _read_sample(sf_dir: str, want: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``want`` rows as (vec_ids, NORMALIZED float64 matrix) — the
+    shared bounded deterministic sample reader for every quantizer fit
+    and query-block slice (never the full table)."""
+    pf = pq.ParquetFile(_pq(sf_dir))
+    batches, seen = [], 0
+    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        seen += rb.num_rows
+        if seen >= want:
+            break
+    tab = pa.Table.from_batches(batches).slice(0, want)
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pa.Table:
+    """Shared driver merge of per-batch partial top-k rows: global top-k
+    per query by (sim desc, neighbor_id asc), ranks 1..k."""
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), int(r["neighbor_id"]), rank))
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]),
+        preserve_index=False,
+    )
+
+
 def _pq_fit(sf_dir: str, m: int, k: int, fit_sample_rows: int) -> np.ndarray:
     """Fit m per-subspace codebooks on a BOUNDED deterministic sample (the
     first ``fit_sample_rows`` rows — the ann_ivf_topk sampled-fit pattern;
     PQ literature fits on ~thousands of points regardless of corpus size).
     Returns (m, k, d/m) float64 codebooks over NORMALIZED vectors."""
-    pf = pq.ParquetFile(_pq(sf_dir))
-    batches, seen = [], 0
-    for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
-        batches.append(rb)
-        seen += rb.num_rows
-        if seen >= fit_sample_rows:
-            break
-    tab = pa.Table.from_batches(batches).slice(0, fit_sample_rows)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    _, mat = _read_sample(sf_dir, fit_sample_rows)
     d = mat.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     sub = d // m
@@ -586,10 +626,7 @@ def ann_pq_topk(
     batch, not a pass over the corpus). Same output shape as
     ann_cosine_topk; pytest bounds recall."""
     books = _pq_fit(sf_dir, m, n_cents, fit_sample_rows)
-    qtab = pq.read_table(_pq(sf_dir)).slice(0, n_queries)
-    qids = np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64)
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qtab["embedding"].to_pylist()])
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids, qmat = _read_sample(sf_dir, n_queries)
     sub = qmat.shape[1] // m
     # ADC tables: adc[q, s, c] = q_s . books[s, c]
     adc = np.einsum("qsd,scd->qsc", qmat.reshape(len(qmat), m, sub), books)
@@ -621,15 +658,8 @@ def ann_pq_topk(
         .map_batches(local_topk, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
-    rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            rows.append((int(qid), int(r["neighbor_id"]), rank))
-    return pa.Table.from_pandas(
-        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]),
-        preserve_index=False,
-    )
+    return _merge_topk(partials, k)
+
 
 def lang_centroids(sf_dir: str) -> pa.Table:
     """Per-language embedding centroid — the doc-metadata x vector join a
@@ -703,19 +733,14 @@ def ann_ivfpq_topk(
     local ADC top-``rerank_r`` get exact dots (the batch still holds the
     original vectors). Both quantizers fit on one bounded sample and
     broadcast once. Same output shape as ann_cosine_topk; pytest bounds
-    recall against the exact baseline."""
-    pf = pq.ParquetFile(_pq(sf_dir))
-    batches, seen = [], 0
-    want = max(fit_sample_rows, n_queries)
-    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
-        batches.append(rb)
-        seen += rb.num_rows
-        if seen >= want:
-            break
-    tab = pa.Table.from_batches(batches).slice(0, want)
-    qids = np.asarray(tab["vec_id"].to_pylist()[:n_queries], dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    recall against the exact baseline.
+
+    At ``nprobe >= n_centroids`` the ADC preselection is BYPASSED and
+    every candidate gets an exact dot — STRUCTURALLY identical to the
+    exhaustive exact search (not merely empirically equal), which is why
+    the driver may pin that mode against the exact SQL oracle."""
+    all_ids, mat = _read_sample(sf_dir, max(fit_sample_rows, n_queries))
+    qids = all_ids[:n_queries]
     coarse = _kmeans(mat, n_centroids)
     books = np.stack(
         [
@@ -727,6 +752,7 @@ def ann_ivfpq_topk(
     probes = np.argsort(-(qmat @ coarse.T), axis=1)[:, :nprobe]
     sub = qmat.shape[1] // m
     adc = np.einsum("qsd,scd->qsc", qmat.reshape(len(qmat), m, sub), books)
+    exhaustive = nprobe >= n_centroids
     ref = ray.put((qids, qmat, coarse, probes, books, adc))
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -741,14 +767,22 @@ def ann_ivfpq_topk(
             cand = np.isin(assign, pr[j]) & (ids != qid)
             if not cand.any():
                 continue
-            c_codes = codes[cand]
-            adc_sims = tables[j][np.arange(c_codes.shape[1])[None, :], c_codes].sum(axis=1)
             c_ids = ids[cand]
-            order = np.lexsort((c_ids, -adc_sims))[: max(k, rerank_r)]
+            if exhaustive:
+                # bypass ADC: exact dots for every candidate, so the
+                # result is structurally the exact exhaustive search
+                order = np.arange(len(c_ids))
+            else:
+                c_codes = codes[cand]
+                adc_sims = tables[j][
+                    np.arange(c_codes.shape[1])[None, :], c_codes
+                ].sum(axis=1)
+                order = np.lexsort((c_ids, -adc_sims))[: max(k, rerank_r)]
             exact = x[cand][order] @ qm[j]
-            out["query_id"].extend([qid] * len(order))
-            out["neighbor_id"].extend(c_ids[order])
-            out["sim"].extend(exact)
+            keep = np.lexsort((c_ids[order], -exact))[: max(k, rerank_r)]
+            out["query_id"].extend([qid] * len(keep))
+            out["neighbor_id"].extend(c_ids[order][keep])
+            out["sim"].extend(exact[keep])
         return pd.DataFrame(out)
 
     partials = (
@@ -756,12 +790,4 @@ def ann_ivfpq_topk(
         .map_batches(local_topk, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
-    rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), 1):
-            rows.append((int(qid), int(r["neighbor_id"]), rank))
-    return pa.Table.from_pandas(
-        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]),
-        preserve_index=False,
-    )
+    return _merge_topk(partials, k)

@@ -55,25 +55,29 @@ def write_table_rdbms(
     semantics. Returns {rows_written, rows_dropped, table}."""
     bizdate = bizdate or time.strftime("%Y-%m-%d", time.localtime())
     if isinstance(ds, pa.Table):
+        names = ds.column_names
         batches = [ds]
     else:
+        names = ds.schema().names
         batches = ds.iter_batches(batch_format="pyarrow", batch_size=2048)
 
     con = sqlite3.connect(db_path)
     written = dropped = 0
-    cols: list[str] | None = None
+    # create the table from the schema BEFORE consuming batches: a 0-row
+    # input must still leave a queryable table behind (empty crawl tables
+    # are a supported case, see monitor._crawl_table_ds)
+    cols = [c for c in names if c not in _META_COLS]
+    col_defs = ", ".join(f'"{c}" TEXT' for c in cols)
+    con.execute(
+        f'CREATE TABLE IF NOT EXISTS "{tablename}" ('
+        f"keyid TEXT PRIMARY KEY, {col_defs}, "
+        f"bizdate TEXT, ctime TEXT, spider TEXT)"
+    )
+    con.commit()
     try:
         for batch in batches:
             if isinstance(batch, pa.RecordBatch):
                 batch = pa.Table.from_batches([batch])
-            if cols is None:
-                cols = [c for c in batch.column_names if c not in _META_COLS]
-                col_defs = ", ".join(f'"{c}" TEXT' for c in cols)
-                con.execute(
-                    f'CREATE TABLE IF NOT EXISTS "{tablename}" ('
-                    f"keyid TEXT PRIMARY KEY, {col_defs}, "
-                    f"bizdate TEXT, ctime TEXT, spider TEXT)"
-                )
             ctime = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
             data = [batch[c].to_pylist() for c in cols]
             rows = [
@@ -96,7 +100,7 @@ def write_table_rdbms(
                 # rows instead of failing the load (pipelines_rdbm.py:96-103)
                 for r in rows:
                     try:
-                        con.execute(sql, (r,) if len(cols) + 4 == 1 else r)
+                        con.execute(sql, r)
                         written += 1
                     except sqlite3.Error:
                         dropped += 1

@@ -1369,3 +1369,26 @@ def test_decontaminate_bloom_superset_no_false_negatives():
     # false-positive docs (flagged but not contaminated) bounded
     fp_docs = set(bloom.index) - set(exact.index)
     assert len(fp_docs) <= max(5, len(exact) // 2)
+
+def test_minhash_clusters_distributed_path_equal():
+    """Forcing driver_pair_cap=0 routes through the distributed label
+    propagation + node-sharded attach; labels equal the driver-UF path."""
+    from spiderman_ray.pipelines.text import minhash_clusters
+
+    sf = "/root/testdata/sf0.001"
+    a = minhash_clusters(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        minhash_clusters(sf, driver_pair_cap=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semantic_dedup_distributed_path_equal():
+    """Same survivors through the size-gated distributed CC path."""
+    from spiderman_ray.pipelines.vectors import semantic_dedup_survivors
+
+    sf = "/root/testdata/sf0.01"
+    a = set(semantic_dedup_survivors(sf).to_pandas()["vec_id"])
+    b = set(semantic_dedup_survivors(sf, driver_pair_cap=0).to_pandas()["vec_id"])
+    assert a == b

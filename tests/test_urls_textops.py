@@ -145,3 +145,20 @@ def test_rdbms_sink_roundtrip_idempotent_and_poison(tmp_path):
     res2 = write_table_rdbms(tbl, db2, "t", bizdate="2026-08-17")
     assert res2["rows_written"] == 2 and res2["rows_dropped"] == 1
     assert set(read_table_rdbms(db2, "t")["pkey"].to_pylist()) == {"a", "c"}
+
+
+def test_rdbms_sink_empty_table_still_created(tmp_path):
+    """A 0-row input must still leave a queryable (empty) table behind —
+    empty crawl tables are a supported case."""
+    import pyarrow as pa
+
+    from spiderman_ray.sources.rdbms import read_table_rdbms, write_table_rdbms
+
+    db = str(tmp_path / "empty.db")
+    tbl = pa.table({"pkey": pa.array([], type=pa.string()),
+                    "price": pa.array([], type=pa.int64())})
+    res = write_table_rdbms(tbl, db, "t", bizdate="2026-08-17")
+    assert res["rows_written"] == 0
+    back = read_table_rdbms(db, "t")
+    assert back.num_rows == 0
+    assert back.column_names == ["keyid", "pkey", "price", "bizdate", "ctime", "spider"]
