@@ -236,7 +236,9 @@ def image_dedup_exact(images_uri: str) -> rd.Dataset:
 
     def firsts(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_fp", "image_id"], kind="mergesort")
-        first = g["content_fp"].ne(g["content_fp"].shift())  # string: exact
+        # hex-STRING fps: shift-compare is exact (int64 fps would need
+        # text._mark_chunk_firsts — see its float-coercion note)
+        first = g["content_fp"].ne(g["content_fp"].shift())
         return pd.DataFrame(
             {
                 "image_id": g["image_id"].to_numpy(),

@@ -1560,7 +1560,10 @@ def curate(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10) -> rd.Dataset:
 
     def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["fp", "doc_id"], kind="mergesort")
-        keep = g["fp"].ne(g["fp"].shift())  # fp is a hex STRING: exact compare
+        # fp is a hex STRING so shift-compare is exact; INT64 fps must use
+        # _mark_chunk_firsts instead (shift() coerces int compares to
+        # float64 and collapses ulp-close values)
+        keep = g["fp"].ne(g["fp"].shift())
         return g.loc[keep, ["doc_id", "lang_pred", "n_tokens"]]
 
     survivors = (
