@@ -172,6 +172,13 @@ def cmd_query(args: argparse.Namespace) -> int:
             res.write_csv(args.dest)
         elif args.fmt == "jsonl":
             res.write_json(args.dest)
+        elif args.fmt == "sqlite":
+            from spiderman_ray.sources.rdbms import write_table_rdbms
+
+            out = write_table_rdbms(res, args.dest, args.name)
+            print(json.dumps({"query": args.name, **out}))
+            ray.shutdown()
+            return 0
         else:
             res.write_parquet(args.dest)
         n = rd.read_parquet(args.dest).count() if args.fmt == "parquet" else None
@@ -259,7 +266,8 @@ def main(argv=None) -> int:
     q.add_argument("name", nargs="?", default=None, help="query name (see --list)")
     q.add_argument("--sf", default="/root/testdata/sf0.01", help="input table dir")
     q.add_argument("--dest", default=None, help="sink dir (omit = count only)")
-    q.add_argument("--fmt", default="parquet", choices=["parquet", "csv", "jsonl"])
+    q.add_argument("--fmt", default="parquet",
+                   choices=["parquet", "csv", "jsonl", "sqlite"])
     q.add_argument("--list", action="store_true", help="list query names")
     q.set_defaults(fn=cmd_query)
 
