@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_quality": lambda sf: T.unigram_quality(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
+        # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
+        "quality_buckets": lambda sf: T.quality_buckets(sf),
         # PII scrub over documents with deterministically injected PII
         "pii_redaction": pii_redaction,
         # BPE-pretokenizer token counting (RE2 on both sides) over the
@@ -1113,6 +1115,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(tf.tf * (length(bin(ct.c)) - 1)) AS BIGINT) AS logcount2_sum, "
             "CAST(SUM(tf.tf) AS BIGINT) AS n_tokens "
             "FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id"
+        ),
+        "quality_buckets": (
+            # per-token integer score over the unigram_quality CTEs, then
+            # NTILE(3) over (score desc, doc_id) — identical rank contract
+            "WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok), "
+            "ct AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), "
+            "s AS (SELECT tf.doc_id, "
+            "SUM(tf.tf * (length(bin(ct.c)) - 1)) * 1000 // "
+            "GREATEST(SUM(tf.tf), 1) AS score FROM tf "
+            "JOIN ct USING (tok) GROUP BY tf.doc_id) "
+            "SELECT doc_id, CAST(score AS BIGINT) AS score_x1000, "
+            "CAST(NTILE(3) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bucket "
+            "FROM s"
         ),
         "hash_embed": (
             # bucket = the hash64 md5-prefix arithmetic mod 64; integer

@@ -2014,3 +2014,82 @@ def decontaminate_bloom(
         )
 
     return _read_docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+def quality_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style head/middle/tail corpus split: rank every document by
+    its per-token unigram quality (``unigram_quality`` score x1000 //
+    n_tokens, integer — common-word mass per token, the monotone inverse
+    of unigram perplexity) and NTILE(3) the global rank order. The global
+    rank is the ``shuffle_order`` distributed shape: one range sort on
+    (-score, doc_id) + the per-block-summary prefix sum — no corpus on
+    the driver. Bucket 1 = head (highest score / lowest perplexity).
+    Output: (doc_id, score_x1000, bucket)."""
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["logcount2_sum"] * 1000 // batch["n_tokens"].clip(lower=1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "score_x1000": s.astype("int64"),
+                "neg_score": (-s).astype("int64"),
+            }
+        )
+
+    sorted_ds = (
+        unigram_quality(sf_dir)
+        .map_batches(score, batch_format="pandas")
+        .sort(["neg_score", "doc_id"])
+        .materialize()
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "min_key": pa.array([], type=pa.int64()),
+                    "min_doc": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "min_key": pa.array([t["neg_score"][0].as_py()], type=pa.int64()),
+                "min_doc": pa.array([t["doc_id"][0].as_py()], type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    summary = (
+        sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["min_key", "min_doc"])
+    )
+    total = int(summary["n"].sum())
+    base = dict(
+        zip(
+            zip(summary["min_key"], summary["min_doc"]),
+            np.cumsum(summary["n"]) - summary["n"],
+        )
+    )
+
+    def assign(t: pa.Table, base=base, n=total) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score_x1000": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        b = int(base[(t["neg_score"][0].as_py(), t["doc_id"][0].as_py())])
+        rank0 = b + np.arange(t.num_rows, dtype=np.int64)  # 0-indexed
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score_x1000": t["score_x1000"],
+                # NTILE(3) semantics: remainder rows go to the FIRST tiles
+                "bucket": pa.array(rank0 * 3 // n + 1),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -1392,3 +1392,18 @@ def test_semantic_dedup_distributed_path_equal():
     a = set(semantic_dedup_survivors(sf).to_pandas()["vec_id"])
     b = set(semantic_dedup_survivors(sf, driver_pair_cap=0).to_pandas()["vec_id"])
     assert a == b
+
+def test_quality_buckets_ntile_sizes_and_order():
+    """NTILE(3) contract: tile sizes differ by <= 1 with remainder in the
+    head, and score ordering is monotone across buckets."""
+    from spiderman_ray.pipelines.text import quality_buckets
+
+    sf = "/root/testdata/sf0.01"
+    got = quality_buckets(sf).to_pandas()
+    n = len(got)
+    sizes = got["bucket"].value_counts().sort_index()
+    assert list(sizes.index) == [1, 2, 3]
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes[1] == -(-n // 3)  # remainder goes to the head tile
+    assert got[got.bucket == 1]["score_x1000"].min() >= got[got.bucket == 2]["score_x1000"].max() - 0
+    assert got[got.bucket == 2]["score_x1000"].min() >= got[got.bucket == 3]["score_x1000"].max() - 0
