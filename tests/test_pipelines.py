@@ -1407,3 +1407,45 @@ def test_quality_buckets_ntile_sizes_and_order():
     assert sizes[1] == -(-n // 3)  # remainder goes to the head tile
     assert got[got.bucket == 1]["score_x1000"].min() >= got[got.bucket == 2]["score_x1000"].max() - 0
     assert got[got.bucket == 2]["score_x1000"].min() >= got[got.bucket == 3]["score_x1000"].max() - 0
+
+def test_curate_randomized_table_conformance(tmp_path):
+    """curate over a RANDOMIZED table (shapes testdata never exercises:
+    heavy exact dups, dirty words everywhere, sub-threshold lengths,
+    empty-ish docs) still equals the independent pandas model."""
+    import hashlib
+
+    rng = np.random.default_rng(1234)
+    words = ["alpha", "beta", "drop", "null", "gamma", "delta", "the", "of"]
+    rows = []
+    for d in range(160):
+        n = int(rng.integers(0, 12))
+        text = " ".join(rng.choice(words, size=n)) if n else "x"
+        if d % 7 == 0 and d > 0:
+            text = rows[d - 1]["text"]  # planted exact dup
+        rows.append({"doc_id": d, "text": text, "lang": "en"})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), sf + "/documents.parquet")
+
+    from spiderman_ray.pipelines.text import curate, decontaminate
+
+    got = list(curate(sf).to_pandas().sort_values("doc_id")["doc_id"])
+
+    thr = (10 << 32) // 100
+    df = pd.DataFrame(rows)
+    df["n_tokens"] = df["text"].str.split(" ").str.len()
+    df["fp"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    df["bench"] = [
+        int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thr
+        for d in df["doc_id"]
+    ]
+    keep = (
+        (df["n_tokens"] >= 5)
+        & ~df["text"].str.contains("drop", regex=False)
+        & ~df["text"].str.contains("null", regex=False)
+        & ~df["bench"]
+    )
+    flt = df[keep].sort_values("doc_id")
+    ded = flt[~flt["fp"].duplicated()]
+    contam = set(decontaminate(sf).to_pandas()["doc_id"])
+    want = [d for d in ded["doc_id"] if d not in contam]
+    assert got == want
