@@ -324,15 +324,35 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
     drop_duplicates inside a second shard groupby (same reasoning)."""
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized all-pairs within each (band, band_hash) run: runs of
+        # EQUAL length batch into one (R, L) matrix and a single
+        # triu_indices gather — no per-bucket Python loop (was the
+        # dominant compute of the whole candidate pipeline)
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        b_ = g["band"].to_numpy()
+        h_ = g["band_hash"].to_numpy()
+        d_ = g["doc_id"].to_numpy(dtype=np.int64)
+        if not len(d_):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        new = np.ones(len(d_), dtype=bool)
+        new[1:] = (b_[1:] != b_[:-1]) | (h_[1:] != h_[:-1])
+        run = np.cumsum(new) - 1
+        counts = np.bincount(run)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_a, out_b = [], []
-        for (_, _), grp in g.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(grp["doc_id"].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+        for L in np.unique(counts):
+            if L < 2:
+                continue
+            sel = np.nonzero(counts == L)[0]
+            mat = d_[starts[sel][:, None] + np.arange(L)[None, :]]
+            iu0, iu1 = np.triu_indices(L, 1)
+            out_a.append(mat[:, iu0].ravel())
+            out_b.append(mat[:, iu1].ravel())
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
 
     def shard_on(col_fn, name):
         def add(batch: pa.Table) -> pa.Table:
