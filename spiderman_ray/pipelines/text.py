@@ -374,8 +374,13 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
         .groupby("_bshard")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(
-            shard_on(lambda b: [f"{x}|{y}" for x, y in zip(b["a"].to_pylist(), b["b"].to_pylist())],
-                     "_pshard"),
+            lambda b: b.append_column(
+                "_pshard",
+                pa.array(_pair_shard64(
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                )),
+            ),
             batch_format="pyarrow",
         )
         .groupby("_pshard")
@@ -387,6 +392,17 @@ def _shard64_of(keys: list) -> np.ndarray:
     from spiderman_ray.functions.hashing import hash64
 
     return (hash64([str(k) for k in keys]).view(np.uint64) % np.uint64(64)).astype(np.int64)
+
+
+def _pair_shard64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-way shard of (a, b) id pairs — pure uint64 mixing,
+    no per-pair Python strings. The shard value is internal partitioning
+    only (any same-pair -> same-shard map is correct)."""
+    with np.errstate(over="ignore"):
+        x = a.astype(np.uint64) * _SH_A ^ b.astype(np.uint64) * _SH_B
+        x ^= x >> np.uint64(33)
+        x *= _SH_C
+    return ((x >> np.uint64(7)) % np.uint64(64)).astype(np.int64)
 
 
 def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
@@ -451,8 +467,11 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         )
 
     def shard_pair(batch: pa.Table) -> pa.Table:
-        keys = [f"{x}|{y}" for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())]
-        return batch.append_column("_pshard", pa.array(_shard64_of(keys)))
+        sh = _pair_shard64(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+        return batch.append_column("_pshard", pa.array(sh))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -939,30 +958,47 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
         )
 
     def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby("h", sort=False):
-            if len(grp) < 2:
+        # vectorized co-occurrence pairs: runs of EQUAL posting length
+        # batch into one (R, L) matrix + a single triu gather — no
+        # per-shingle pandas groupby loop (same technique as the LSH
+        # bucket_pairs; was ~60s of remote wall at sf0.1)
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        h = g["h"].to_numpy()
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        szs = g["sz"].to_numpy(dtype=np.int64)
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("a", "b", "sa", "sb")}
+        )
+        if not len(ids):
+            return empty
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        out = {"a": [], "b": [], "sa": [], "sb": []}
+        for L in np.unique(counts):
+            if L < 2:
                 continue
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            szs = grp["sz"].to_numpy()
-            i, j = np.triu_indices(len(ids), k=1)
-            out.append(
-                pd.DataFrame(
-                    {"a": ids[i], "b": ids[j], "sa": szs[i], "sb": szs[j]}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("a", "b", "sa", "sb")}
-            )
-        return pd.concat(out, ignore_index=True)
+            sel = np.nonzero(counts == L)[0]
+            idxmat = starts[sel][:, None] + np.arange(L)[None, :]
+            mi, ms = ids[idxmat], szs[idxmat]
+            iu0, iu1 = np.triu_indices(L, 1)
+            out["a"].append(mi[:, iu0].ravel())
+            out["b"].append(mi[:, iu1].ravel())
+            out["sa"].append(ms[:, iu0].ravel())
+            out["sb"].append(ms[:, iu1].ravel())
+        if not out["a"]:
+            return empty
+        return pd.DataFrame(
+            {c: np.concatenate(v).astype("int64") for c, v in out.items()}
+        )
 
     def shard_pair(batch: pa.Table) -> pa.Table:
-        keys = [
-            f"{x}|{y}" for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
-        ]
-        return batch.append_column("_pshard", pa.array(_shard64_of(keys)))
+        sh = _pair_shard64(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+        return batch.append_column("_pshard", pa.array(sh))
 
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["a", "b"], sort=False).agg(
