@@ -394,6 +394,20 @@ def _shard64_of(keys: list) -> np.ndarray:
     return (hash64([str(k) for k in keys]).view(np.uint64) % np.uint64(64)).astype(np.int64)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy 1.x lacks
+    bitwise_count)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
+
+
 def _pair_shard64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized 64-way shard of (a, b) id pairs — pure uint64 mixing,
     no per-pair Python strings. The shard value is internal partitioning
@@ -895,19 +909,44 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pd.concat(frames)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: equal-length bucket runs batch into one (R, L)
+        # matrix, candidate pairs come from a single triu gather and the
+        # hamming verify is a SWAR popcount over the whole xor array —
+        # no per-bucket / per-row Python (the bucket_pairs technique)
+        g = g.drop_duplicates(["band", "band_val", "doc_id"])
+        g = g.sort_values(["band", "band_val", "doc_id"], kind="mergesort")
+        b_ = g["band"].to_numpy()
+        v_ = g["band_val"].to_numpy()
+        d_ = g["doc_id"].to_numpy(dtype=np.int64)
+        h_ = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+        if not len(d_):
+            return empty
+        new = np.ones(len(d_), dtype=bool)
+        new[1:] = (b_[1:] != b_[:-1]) | (v_[1:] != v_[:-1])
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_a, out_b = [], []
-        for (_, _), grp in g.groupby(["band", "band_val"], sort=False):
-            rows = grp.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = rows["doc_id"].tolist()
-            hs = rows["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-            for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1 :]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.nonzero(ham <= max_hamming)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + j])
+        for L in np.unique(counts):
+            if L < 2:
+                continue
+            sel = np.nonzero(counts == L)[0]
+            idxmat = starts[sel][:, None] + np.arange(L)[None, :]
+            mi, mh = d_[idxmat], h_[idxmat]
+            iu0, iu1 = np.triu_indices(L, 1)
+            x = mh[:, iu0] ^ mh[:, iu1]
+            keep = _popcount64(x) <= max_hamming
+            out_a.append(mi[:, iu0][keep])
+            out_b.append(mi[:, iu1][keep])
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+            {
+                "a": np.concatenate(out_a).astype("int64"),
+                "b": np.concatenate(out_b).astype("int64"),
+            }
         )
 
     cand = (
