@@ -529,25 +529,30 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
             "_dshard", pa.array(_shard64_of(batch["doc_id"].to_pylist()))
         )
 
-    def attach_sigs(g: pd.DataFrame) -> pa.Table:
-        # returns Arrow so ``sig`` stays a typed binary column (object-dtype
-        # pandas binaries confuse block size accounting)
-        reqs = g[g["a"] >= 0]
-        if reqs.empty:
+    def attach_sigs(g: pa.Table) -> pa.Table:
+        # Arrow-native group fn (round-2 verdict stretch #9): the group —
+        # including its text payloads — never converts to pandas; ``sig``
+        # stays a typed binary column (object-dtype pandas binaries confuse
+        # block size accounting)
+        is_req = pc.greater_equal(g["a"], 0)
+        reqs = g.filter(is_req)
+        if reqs.num_rows == 0:
             return pa.table(
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
                  "sig": pa.array([], type=pa.binary())}
             )
-        need = set(reqs["doc_id"])
-        texts = g[g["a"] < 0]
-        hit = texts[texts["doc_id"].isin(need)]
-        shs = _shingle_hashes_batch(list(hit["text"]))
-        sigs = {did: sh.tobytes() for did, sh in zip(hit["doc_id"], shs)}
+        texts = g.filter(pc.invert(is_req))
+        need = pc.unique(reqs["doc_id"])
+        hit = texts.filter(pc.is_in(texts["doc_id"], value_set=need))
+        shs = _shingle_hashes_batch(hit["text"].to_pylist())
+        sigs = {did: sh.tobytes() for did, sh in zip(hit["doc_id"].to_pylist(), shs)}
         return pa.table(
             {
-                "a": pa.array(reqs["a"].to_numpy(), type=pa.int64()),
-                "b": pa.array(reqs["b"].to_numpy(), type=pa.int64()),
-                "sig": pa.array([sigs[d] for d in reqs["doc_id"]], type=pa.binary()),
+                "a": pc.cast(reqs["a"], pa.int64()),
+                "b": pc.cast(reqs["b"], pa.int64()),
+                "sig": pa.array(
+                    [sigs[d] for d in reqs["doc_id"].to_pylist()], type=pa.binary()
+                ),
             }
         )
 
@@ -558,23 +563,47 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         )
         return batch.append_column("_pshard", pa.array(sh))
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for (a, b), grp in g.groupby(["a", "b"], sort=False):
-            sigs = grp["sig"].tolist()
-            j = _jaccard(
-                np.frombuffer(sigs[0], dtype=np.uint64),
-                np.frombuffer(sigs[1], dtype=np.uint64),
-            )
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(int(np.floor(j * 10000.0 + 0.5)))
-        return pd.DataFrame(
+    def verify(g: pa.Table) -> pa.Table:
+        # fully vectorized exact-Jaccard verify (round-2 verdict stretch
+        # #9): |A∩B| = |A| + |B| - |A∪B| over the concatenated hashed
+        # shingle sets — one lexsort + run-length distinct count for ALL
+        # pairs in the shard, no per-pair Python. inter/union stays the
+        # same IEEE double division as ``_jaccard`` / the DuckDB oracle.
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "jaccard_x10k": pa.array([], type=pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("a", "ascending"), ("b", "ascending")])
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = g["sig"].to_pylist()
+        # candidate pairs are unique (minhash_candidate_pairs dedups across
+        # bands), so each sorted (a, b) key is EXACTLY its two sides
+        if len(a) % 2 or not (
+            np.array_equal(a[0::2], a[1::2]) and np.array_equal(b[0::2], b[1::2])
+        ):
+            raise ValueError("verify shard is not exact (a, b) side pairs")
+        n_pairs = len(sigs) // 2
+        lens = np.fromiter((len(s) >> 3 for s in sigs), dtype=np.int64, count=len(sigs))
+        hashes = np.frombuffer(b"".join(sigs), dtype=np.uint64)
+        pair_idx = np.repeat(np.arange(len(sigs)) >> 1, lens)
+        order = np.lexsort((hashes, pair_idx))
+        pi, hs = pair_idx[order], hashes[order]
+        newv = np.ones(len(pi), dtype=bool)
+        newv[1:] = (pi[1:] != pi[:-1]) | (hs[1:] != hs[:-1])
+        union = np.bincount(pi[newv], minlength=n_pairs)
+        inter = np.bincount(pair_idx, minlength=n_pairs) - union
+        j = inter / union  # per-doc sets are non-empty -> union >= 1
+        keep = j >= threshold
+        return pa.table(
             {
-                "a": pd.Series(out_a, dtype="int64"),
-                "b": pd.Series(out_b, dtype="int64"),
-                "jaccard_x10k": pd.Series(out_j, dtype="int64"),
+                "a": pa.array(a[0::2][keep]),
+                "b": pa.array(b[0::2][keep]),
+                "jaccard_x10k": pa.array(
+                    np.floor(j[keep] * 10000.0 + 0.5).astype(np.int64)
+                ),
             }
         )
 
@@ -584,10 +613,10 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         docs.union(cand)
         .map_batches(shard_doc, batch_format="pyarrow")
         .groupby("_dshard")
-        .map_groups(attach_sigs, batch_format="pandas")
+        .map_groups(attach_sigs, batch_format="pyarrow")
         .map_batches(shard_pair, batch_format="pyarrow")
         .groupby("_pshard")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(verify, batch_format="pyarrow")
     )
 
 
