@@ -314,14 +314,17 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
+def minhash_candidate_pairs(sf_dir: str, dedup: bool = True) -> rd.Dataset:
     """LSH banding: docs sharing any (band, band_hash) bucket become
-    candidate pairs (a < b), deduplicated across bands.
+    candidate pairs (a < b), deduplicated across bands when ``dedup``.
 
     Grouping key = hash shard of band_hash (64 groups), NOT the bucket
     itself — per-bucket Ray dispatch is O(n_buckets) Python calls; inside a
     shard one pandas groupby enumerates its buckets. Pair dedup is a
-    drop_duplicates inside a second shard groupby (same reasoning)."""
+    drop_duplicates inside a second shard groupby (same reasoning);
+    ``dedup=False`` exposes the raw cross-band stream (diagnostics only —
+    fusing the dedup into the verify join was MEASURED WORSE, see
+    minhash_verified_pairs_ds)."""
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized all-pairs within each (band, band_hash) run: runs of
@@ -366,14 +369,18 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"]).drop(columns=["_pshard"])
 
-    return (
+    cand = (
         _read_docs(sf_dir)
         .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2))
         .map_batches(shard_on(lambda b: b["band_hash"].to_pylist(), "_bshard"),
                      batch_format="pyarrow")
         .groupby("_bshard")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(
+    )
+    if not dedup:
+        return cand
+    return (
+        cand.map_batches(
             lambda b: b.append_column(
                 "_pshard",
                 pa.array(_pair_shard64(
@@ -499,7 +506,14 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
        doc_id: each shard shingles its docs ONCE and attaches the shingle
        set (uint64 bytes) to every request row for that doc;
     2. group by hash shard of the pair key: both sides of a pair meet,
-       exact Jaccard is computed, pairs below threshold drop.
+       exact Jaccard is computed vectorized, pairs below threshold drop.
+
+    Candidates arrive DEDUPED: fusing the candidate pipeline's pair-dedup
+    exchange in here was measured 14x WORSE at sf0.1 (near-dups share most
+    of the 8 bands, so raw candidates are ~14x the unique pairs — every
+    duplicate would ship a full shingle-set sig through the doc-shard
+    exchange; the dedup exchange ships only int pairs). The verify still
+    collapses duplicate (a, b, side) runs defensively.
 
     Only docs that appear in candidate pairs ever ship shingles, and every
     per-group dispatch is O(64) regardless of corpus size."""
@@ -508,11 +522,15 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         doc = np.concatenate([a, b])
+        side = np.concatenate(
+            [np.zeros(len(a), dtype=np.int64), np.ones(len(b), dtype=np.int64)]
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc),
                 "a": pa.array(np.concatenate([a, a])),
                 "b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(side),
                 "text": pa.array([""] * len(doc), type=pa.string()),
             }
         )
@@ -521,7 +539,7 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         neg = pa.array(np.full(batch.num_rows, -1, dtype=np.int64))
         return pa.table(
             {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "a": neg, "b": neg,
-             "text": batch["text"]}
+             "side": neg, "text": batch["text"]}
         )
 
     def shard_doc(batch: pa.Table) -> pa.Table:
@@ -539,6 +557,7 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         if reqs.num_rows == 0:
             return pa.table(
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "side": pa.array([], type=pa.int64()),
                  "sig": pa.array([], type=pa.binary())}
             )
         texts = g.filter(pc.invert(is_req))
@@ -550,6 +569,7 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
             {
                 "a": pc.cast(reqs["a"], pa.int64()),
                 "b": pc.cast(reqs["b"], pa.int64()),
+                "side": pc.cast(reqs["side"], pa.int64()),
                 "sig": pa.array(
                     [sigs[d] for d in reqs["doc_id"].to_pylist()], type=pa.binary()
                 ),
@@ -575,12 +595,22 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
         )
         if g.num_rows == 0:
             return empty
-        g = g.sort_by([("a", "ascending"), ("b", "ascending")])
+        g = g.sort_by(
+            [("a", "ascending"), ("b", "ascending"), ("side", "ascending")]
+        )
         a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = g["sig"].to_pylist()
-        # candidate pairs are unique (minhash_candidate_pairs dedups across
-        # bands), so each sorted (a, b) key is EXACTLY its two sides
+        # defensive run-dedup: duplicate (a, b, side) rows are identical
+        # (sig is a function of the doc), so keep each run's first
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+        if not first.all():
+            idx = np.nonzero(first)[0]
+            a, b = a[idx], b[idx]
+            sigs = [sigs[i] for i in idx]
+        # after the dedup each (a, b) key is EXACTLY its two sides
         if len(a) % 2 or not (
             np.array_equal(a[0::2], a[1::2]) and np.array_equal(b[0::2], b[1::2])
         ):
@@ -607,7 +637,9 @@ def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset
             }
         )
 
-    cand = minhash_candidate_pairs(sf_dir).map_batches(requests, batch_format="pyarrow")
+    cand = minhash_candidate_pairs(sf_dir).map_batches(
+        requests, batch_format="pyarrow"
+    )
     docs = _read_docs(sf_dir).map_batches(docrows, batch_format="pyarrow")
     return (
         docs.union(cand)
