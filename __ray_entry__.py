@@ -337,7 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest vs the exact operator -> rows-only driver row)
         "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
         # composed flagship curation: gate -> lang-id -> exact dedup ->
-        # decontaminate, one streaming pass + two exchanges
+        # decontaminate (Dataset anti-join, no driver id collection)
         "curate": lambda sf: T.curate(sf),
         # full-strength flagship: curate + MinHash near-dup removal
         "curate_full": lambda sf: T.curate_full(sf),

@@ -456,15 +456,15 @@ def semantic_dedup_survivors(
 
     - edges from the exact chunk-pair block join (``cosine_pairs_ds``, a
       DATASET; ``cosine_dup_pairs_lsh`` is the drop-in sub-O(n^2) corpus
-      path). The gate probes with ``limit(cap+1).count()`` — early-stop
-      streaming, the pair set is never materialized just to count it
-      (round-2 verdict fix #5),
-    - components via the same SIZE-GATE as ``minhash_losers_ds``: below
-      ``driver_pair_cap`` the cap-bounded pair stream folds into a driver
-      UF batch by batch; above it the shard-grouped distributed label
-      propagation runs and the dominated ids stay a DATASET (edges
-      materialize once in the OBJECT STORE for per-round reuse — a
-      distributed, spillable materialization, not a driver one),
+      path). The gate is a STREAMING FOLD WITH BAILOUT (round-2 verdict
+      fix #5): the pair stream folds straight into a driver union-find
+      and bails out the moment ``driver_pair_cap`` rows have streamed —
+      the pair set is never materialized just to count it, and the common
+      below-cap case pays exactly ONE execution of the block join,
+    - above the cap the shard-grouped distributed label propagation runs
+      and the dominated ids stay a DATASET (edges materialize once in the
+      OBJECT STORE for per-round reuse — a distributed, spillable
+      materialization, not a driver one),
     - survivors = embeddings anti-joined against the dominated-id Dataset
       via the fp-shard bucketed join (``anti_join_ids``) — no O(losers)
       driver list on either path (round-2 verdict fix #1).
@@ -479,12 +479,18 @@ def semantic_dedup_survivors(
     )
 
     pairs = cosine_pairs_ds(sf_dir, threshold=threshold)
-    probe = pairs.limit(driver_pair_cap + 1).count() if driver_pair_cap > 0 else 1
-    if driver_pair_cap > 0 and probe <= driver_pair_cap:
+    bailed = driver_pair_cap <= 0
+    if not bailed:
         uf = _MinUnionFind()
+        n_seen = 0
         for batch in pairs.iter_batches(batch_format="pandas"):
+            n_seen += len(batch)
+            if n_seen > driver_pair_cap:
+                bailed = True  # breaking cancels the streaming execution
+                break
             for a, b in zip(batch["a"], batch["b"]):
                 uf.union(int(a), int(b))
+    if not bailed:
         loser_ids = sorted(n for n in uf.parent if uf.find(n) != n)  # <= 2*cap
         losers = rd.from_arrow(
             pa.table({"vec_id": pa.array(loser_ids, type=pa.int64())})
