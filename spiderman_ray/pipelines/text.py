@@ -1794,8 +1794,9 @@ def curate(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10) -> rd.Dataset:
        the contaminated-id exchange must be avoided.
 
     Output: (doc_id, lang_pred, n_tokens) — the curated-corpus manifest.
-    Three exchanges total beyond the reads; nothing corpus-sized ever
-    materializes on the driver."""
+    Four exchanges total beyond the reads (fp-shard dedup, decontaminate's
+    shingle- and doc-shards, the anti-join shard); nothing corpus-sized
+    ever materializes on the driver."""
     bench_thresh = (bench_pct << 32) // 100
 
     def shard(batch: pa.Table) -> pa.Table:
