@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": lambda sf: T.shuffle_order(sf),
         # benchmark decontamination: 8-gram overlap vs the hash-sample split
         "decontaminate": lambda sf: T.decontaminate(sf),
+        # exact-substring-dedup signal: per-doc repeated 8-gram spans
+        "repeated_ngrams": lambda sf: T.repeated_ngrams(sf),
         # constant-memory bloom screen (no false negatives; FP-bounded by
         # pytest vs the exact operator -> rows-only driver row)
         "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
@@ -1183,6 +1185,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM chunks"
         ),
         "decontaminate": _decon_sql(),
+        "repeated_ngrams": (
+            # cross-doc repeated 8-gram spans: string grams == the engine's
+            # 64-bit gram hashes up to ~2^-64 collisions (decon contract);
+            # positions keep multiplicity (NO list_distinct)
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) < 8 "
+            "THEN [array_to_string(ws, ' ')] "
+            "ELSE list_transform(range(1, len(ws) - 6), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] "
+            "|| ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || "
+            "ws[i+7]) END AS s FROM d), "
+            "pos AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "df AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY g) "
+            "SELECT pos.doc_id, COUNT(*) AS n_rep_positions, "
+            "COUNT(DISTINCT pos.g) AS n_rep_grams "
+            "FROM pos JOIN df ON pos.g = df.g WHERE df.nd >= 2 "
+            "GROUP BY pos.doc_id"
+        ),
         "curate": _curate_sql(),
         "curate_full": (
             # curate + near-dup removal: dominated nodes (lbl < node) of

@@ -1487,12 +1487,13 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _kgram_hashes_batch(texts, k: int = 8) -> list[np.ndarray]:
+def _kgram_hashes_batch(texts, k: int = 8, unique: bool = True) -> list[np.ndarray]:
     """Hashed k-word shingle SETS (uint64), split-on-space tokens, batch
     vocabulary md5-hashed once; a shingle's hash is the order-sensitive
     polynomial sum(h[j] * M^(k-1-j)) mod 2^64. Docs shorter than k words
     collapse to one whole-text shingle (same rule as _shingle_hashes_batch,
-    and as the SQL oracle's CASE)."""
+    and as the SQL oracle's CASE). ``unique=False`` keeps one hash PER
+    POSITION (multiplicity preserved — the repeated_ngrams span count)."""
     M = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
     weights = np.empty(k, dtype=np.uint64)
     w = np.uint64(1)
@@ -1525,7 +1526,7 @@ def _kgram_hashes_batch(texts, k: int = 8) -> list[np.ndarray]:
         with np.errstate(over="ignore"):
             for j in range(k):
                 sh += h[j : j + n] * weights[j]
-        out.append(np.unique(sh))
+        out.append(np.unique(sh) if unique else sh)
     return out
 
 
@@ -1592,6 +1593,72 @@ def decontaminate(sf_dir: str, bench_pct: int = 10, k: int = 8) -> rd.Dataset:
         .map_groups(hits, batch_format="pandas")
         .groupby("_dshard")
         .map_groups(total, batch_format="pandas")
+    )
+
+
+def repeated_ngrams(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Cross-document repeated k-gram spans — the exact-substring-dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public): for every doc, how many of its k-word gram
+    POSITIONS (and how many DISTINCT grams) also occur in at least one
+    OTHER document. Docs with boilerplate/duplicated passages score high
+    and get trimmed or dropped before training.
+
+    Ray-first shape (the ``decontaminate`` scan with multiplicity): each
+    doc emits per-(doc, gram) position counts sharded by gram hash —
+    repetition is decided WHERE the gram lives, no gram index broadcast;
+    in-shard a grouped size marks grams with >= 2 distinct docs; hits
+    re-shard by doc_id and sum. Two exchanges, both on O(64) shard keys.
+    Output: (doc_id, n_rep_positions, n_rep_grams) for docs with >= 1
+    repeated position; gram identity = distinct gram strings up to ~2^-64
+    hash collisions (the decontaminate contract)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        shs = _kgram_hashes_batch(batch["text"].to_pylist(), k=k, unique=False)
+        docs, grams, npos = [], [], []
+        for d, sh in zip(ids, shs):
+            u, c = np.unique(sh, return_counts=True)
+            docs.append(np.full(len(u), d, dtype=np.int64))
+            grams.append(u)
+            npos.append(c.astype(np.int64))
+        doc = np.concatenate(docs) if docs else np.array([], dtype=np.int64)
+        gh = np.concatenate(grams) if grams else np.array([], dtype=np.uint64)
+        nps = np.concatenate(npos) if npos else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "_gshard": pa.array((gh % np.uint64(64)).astype(np.int64)),
+                "gh": pa.array(gh.view(np.int64)),
+                "doc_id": pa.array(doc),
+                "n_pos": pa.array(nps),
+            }
+        )
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, gram) -> group size == distinct docs per gram
+        nd = g.groupby("gh", sort=False)["gh"].transform("size")
+        rep = g[nd.to_numpy() >= 2]
+        if rep.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_pos": pd.Series(dtype="int64"),
+                                 "_dshard": pd.Series(dtype="int64")})
+        out = rep[["doc_id", "n_pos"]].copy()
+        out["_dshard"] = _shard64_of(list(out["doc_id"]))
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("doc_id", sort=False).agg(
+            n_rep_positions=("n_pos", "sum"), n_rep_grams=("n_pos", "size")
+        ).reset_index()
+        return t.astype("int64")
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("_gshard")
+        .map_groups(per_gram, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
     )
 
 

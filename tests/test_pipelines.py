@@ -632,6 +632,40 @@ def test_top_docs_per_lang_equals_window_rank():
     )
 
 
+def test_repeated_ngrams_equals_bruteforce():
+    """Engine (doc_id, n_rep_positions, n_rep_grams) == a driver-side
+    string-gram recompute over the real table (positions keep multiplicity;
+    a gram is 'repeated' iff >= 2 DISTINCT docs contain it)."""
+    from collections import Counter, defaultdict
+
+    from spiderman_ray.pipelines.text import repeated_ngrams
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    per_doc: dict[int, Counter] = {}
+    doc_count: dict[str, set] = defaultdict(set)
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        grams = (
+            [" ".join(ws)]
+            if len(ws) < 8
+            else [" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)]
+        )
+        per_doc[r.doc_id] = Counter(grams)
+        for g in set(grams):
+            doc_count[g].add(r.doc_id)
+    want = {}
+    for did, cnt in per_doc.items():
+        rep = {g: n for g, n in cnt.items() if len(doc_count[g]) >= 2}
+        if rep:
+            want[did] = (sum(rep.values()), len(rep))
+    got = repeated_ngrams(sf).to_pandas()
+    assert {
+        int(r.doc_id): (int(r.n_rep_positions), int(r.n_rep_grams))
+        for r in got.itertuples()
+    } == want
+
+
 def test_stratified_sample_rates_and_layout_invariance():
     """Per-stratum keep decisions are the doc's own hash vs its language's
     cut — independent of block layout; realized rates track the targets."""
