@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_days": R.event_days,
         "top_orders": R.top_orders,
         "windowed_events": R.windowed_events,
+        # windowed aggregate x group-wise top-k composition (monitoring)
+        "trending_events": lambda sf: R.trending_events(sf),
         "sessionized_events": R.sessionized_events,
         "running_order_totals": R.running_order_totals,
         "asof_last_signup": R.asof_last_signup,
@@ -871,6 +873,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, hour"
+        ),
+        "trending_events": (
+            "WITH c AS (SELECT epoch_us(ts) // 21600000000 AS w, event_type, "
+            "COUNT(*) AS n FROM events GROUP BY w, event_type) "
+            "SELECT w, event_type, n, rk FROM ("
+            "SELECT w, event_type, n, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY w ORDER BY n DESC, event_type) AS BIGINT) AS rk "
+            "FROM c) WHERE rk <= 3"
         ),
         "sessionized_events": (
             "WITH e AS (SELECT user_id, ts, event_id, "

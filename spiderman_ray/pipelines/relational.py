@@ -214,6 +214,46 @@ def windowed_events(sf_dir: str) -> rd.Dataset:
     )
 
 
+def trending_events(sf_dir: str, hours: int = 6, k: int = 3) -> rd.Dataset:
+    """Trending event types: top-``k`` event types per tumbling ``hours``
+    window — the windowed-aggregate x group-wise-top-k COMPOSITION a
+    monitoring pipeline runs (SURVEY §2.8 + §2.6). Shape: per-batch
+    partial (window, event_type, count) combine (rows bounded by
+    windows x types per batch, not events), ONE exchange on a hash shard
+    of the window id, in-shard grouped total + vectorized rank. Window id
+    = epoch_us // (hours*3600e6), integer on both sides (DuckDB
+    ``epoch_us(ts) // N`` — no timezone/origin ambiguity).
+    Output: (w, event_type, n, rk), rank by (n DESC, event_type ASC)."""
+    import pandas as pd
+
+    div = np.int64(hours * 3600 * 1_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w = us // div
+        df = pd.DataFrame({"w": w, "event_type": batch["event_type"].to_pylist()})
+        t = df.groupby(["w", "event_type"], sort=False).size().reset_index(name="n")
+        t["_wshard"] = (t["w"].to_numpy() % 64).astype(np.int64)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["w", "event_type"], sort=False)["n"].sum().reset_index()
+        t = t.sort_values(["w", "n", "event_type"], ascending=[True, False, True],
+                          kind="mergesort")
+        t["rk"] = t.groupby("w", sort=False).cumcount() + 1
+        t = t[t["rk"] <= k]
+        return t[["w", "event_type", "n", "rk"]].astype(
+            {"w": "int64", "n": "int64", "rk": "int64"}
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_wshard")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def _add_key_shard(col: str, n: int = 64):
     """Append ``_kshard = hash64(str(key)) % n`` — groupby keys must be
     O(parallelism), never the raw high-cardinality key (CLAUDE.md
