@@ -632,6 +632,36 @@ def test_top_docs_per_lang_equals_window_rank():
     )
 
 
+def test_anti_join_ids_semantics_and_int64_stability():
+    """The shared bucketed anti-join: drops exactly the drop-side keys,
+    passes payload through, and int64 payloads survive the union+sort
+    machinery as int64 (the null-padding float64 regression: a null int64
+    transiting a pandas block widens the whole column)."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.text import anti_join_ids
+
+    left = rd.from_items(
+        [{"doc_id": i, "lang": f"l{i % 3}", "n": 10 * i} for i in range(100)]
+    )
+    drop = rd.from_items([{"doc_id": i} for i in range(0, 100, 7)] +
+                         [{"doc_id": 1_000_000}])  # unknown keys are no-ops
+    out = anti_join_ids(
+        left, drop, "doc_id", payload={"lang": pa.string(), "n": pa.int64()}
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = [i for i in range(100) if i % 7 != 0]
+    assert df["doc_id"].tolist() == want
+    assert df["n"].dtype == np.int64  # no float64 widening
+    assert df["n"].tolist() == [10 * i for i in want]
+    assert df["lang"].tolist() == [f"l{i % 3}" for i in want]
+    # empty drop side: identity
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+    out2 = anti_join_ids(left, empty, "doc_id",
+                         payload={"lang": pa.string(), "n": pa.int64()})
+    assert sorted(out2.to_pandas()["doc_id"]) == list(range(100))
+
+
 def test_repeated_ngrams_equals_bruteforce():
     """Engine (doc_id, n_rep_positions, n_rep_grams) == a driver-side
     string-gram recompute over the real table (positions keep multiplicity;
