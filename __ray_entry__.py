@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_image_survivors(sf_dir: str) -> Any:
+        return I.image_dedup_survivors(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -253,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage_stats": crawl_lineage_stats,
         # byte-level exact content dedup over the image store
         "crawl_image_dedup": crawl_image_dedup,
+        # image-axis dedup family: exact + pHash-component survivors
+        "crawl_image_survivors": crawl_image_survivors,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -761,6 +768,21 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     out["crawl_image_dedup"] = _values_sql(
         idrows,
         {"image_id": "VARCHAR", "content_fp": "VARCHAR", "is_first": "BIGINT"},
+    )
+    # exact + perceptual dedup SURVIVORS: drop exact-content losers
+    # (is_first == 0 above) and pHash-component-dominated ids (min image_id
+    # per hamming<=3 component, the pair_rows graph) — sequential
+    # recomputation of pipelines.images.image_dedup_survivors
+    from spiderman_ray.pipelines.text import _MinUnionFind
+
+    exact_losers = {r["image_id"] for r in idrows if not r["is_first"]}
+    uf = _MinUnionFind()
+    for r in pair_rows:
+        uf.union(r["a"], r["b"])
+    ph_losers = {n for n in uf.parent if uf.find(n) != n}
+    out["crawl_image_survivors"] = _values_sql(
+        [{"image_id": i} for i in ids if i not in exact_losers and i not in ph_losers],
+        {"image_id": "VARCHAR"},
     )
     out["crawl_lineage_stats"] = _values_sql(
         [

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from spiderman_ray.functions.imaging import decode_image, phash64
@@ -74,12 +75,77 @@ def decode_validate(images_uri: str, concurrency: int | None = None, batch_size:
     )
 
 
+def _enumerate_band_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    # vectorized like text.simhash_near_dups (round-2 verdict fix #2):
+    # equal-length bucket runs batch into one (R, L) matrix, candidate
+    # pairs come from a single triu gather, and the hamming verify is a
+    # SWAR popcount over the whole xor array — no per-bucket / per-pair
+    # Python loop, so a skewed pHash band bucket stays O(pairs) numpy.
+    # image_ids are STRINGS: pair on positional indices, gather ids last.
+    from spiderman_ray.pipelines.text import _popcount64
+
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+    )
+    g = g.drop_duplicates(["band", "band_val", "image_id"])
+    g = g.sort_values(["band", "band_val", "image_id"], kind="mergesort")
+    if g.empty:
+        return empty
+    b_ = g["band"].to_numpy()
+    v_ = g["band_val"].to_numpy()
+    ids = g["image_id"].to_numpy()
+    h_ = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    new = np.ones(len(ids), dtype=bool)
+    new[1:] = (b_[1:] != b_[:-1]) | (v_[1:] != v_[:-1])
+    counts = np.bincount(np.cumsum(new) - 1)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out_a, out_b = [], []
+    chunk = 1 << 20  # bound the (R, P) work arrays: a 100k-wide bucket
+    # has 5e9 pair slots — stream them in 1M-pair slices (small enough
+    # that the allocator reuses warm buffers across slices; fresh large
+    # allocations pay first-touch page faults on this host)
+    for L in np.unique(counts):
+        if L < 2:
+            continue
+        sel = np.nonzero(counts == L)[0]
+        idxmat = starts[sel][:, None] + np.arange(L)[None, :]
+        mh = h_[idxmat]
+        iu0, iu1 = np.triu_indices(L, 1)
+        for s in range(0, len(iu0), chunk):
+            i0, i1 = iu0[s : s + chunk], iu1[s : s + chunk]
+            keep = _popcount64(mh[:, i0] ^ mh[:, i1]) <= max_hamming
+            out_a.append(idxmat[:, i0][keep])
+            out_b.append(idxmat[:, i1][keep])
+    if not out_a:
+        return empty
+    ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+    # rows sort by image_id within a bucket, so index order == id order
+    return pd.DataFrame(
+        {"a": pd.Series(ids[ia], dtype=object), "b": pd.Series(ids[ib], dtype=object)}
+    )
+
+
 def phash_near_dups(images_uri: str, max_hamming: int = 3) -> pa.Table:
     """Image near-dup pairs by pHash hamming distance <= t. Bucketing: split
     the 64-bit hash into 4 x 16-bit bands; a pair within hamming 3 cannot
     differ in all 4 bands (pigeonhole), so banding is EXACT through
     hamming 3 — B bands are exact through B-1 -> band groupby -> verify
-    hamming exactly."""
+    hamming exactly. Driver-collected sorted view of ``_phash_pairs_ds``
+    (pair counts are LSH-bounded)."""
+    df = _phash_pairs_ds(images_uri, max_hamming).to_pandas()
+    if df.empty:  # zero near-dups: keep the (a, b) string schema
+        df = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+        return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())})
+    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def _phash_pairs_ds(images_uri: str, max_hamming: int = 3) -> rd.Dataset:
+    """The banded pHash pair pipeline as a DATASET (the collected
+    ``phash_near_dups`` view wraps this). Pairs may repeat across bands
+    (the per-shard enumeration cannot see other shards); consumers either
+    drop_duplicates (the pin query) or are duplicate-tolerant (union-find
+    / label propagation)."""
     ds = read_dataset(images_uri, columns=["image_id", "phash"])
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -94,79 +160,167 @@ def phash_near_dups(images_uri: str, max_hamming: int = 3) -> pa.Table:
                         "phash": batch["phash"],
                         "band": pa.array(np.full(len(ph), b, dtype=np.int64)),
                         "band_val": pa.array(band_val),
+                        "_bshard": pa.array((band_val % 64).astype(np.int64)),
                     }
                 )
             )
         return pa.concat_tables(out)
 
-    def shard(batch: pa.Table) -> pa.Table:
-        # group at SHARD granularity (band_val % 64), not per bucket —
-        # per-bucket Ray dispatch doesn't scale; buckets enumerate inside
-        bv = batch["band_val"].to_numpy(zero_copy_only=False)
-        sh = (bv.astype(np.int64) % 64).astype(np.int64)
-        return batch.append_column("_bshard", pa.array(sh))
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized like text.simhash_near_dups (round-2 verdict fix #2):
-        # equal-length bucket runs batch into one (R, L) matrix, candidate
-        # pairs come from a single triu gather, and the hamming verify is a
-        # SWAR popcount over the whole xor array — no per-bucket / per-pair
-        # Python loop, so a skewed pHash band bucket stays O(pairs) numpy.
-        # image_ids are STRINGS: pair on positional indices, gather ids last.
-        from spiderman_ray.pipelines.text import _popcount64
+        return _enumerate_band_pairs(g, max_hamming)
 
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
-        )
-        g = g.drop_duplicates(["band", "band_val", "image_id"])
-        g = g.sort_values(["band", "band_val", "image_id"], kind="mergesort")
-        if g.empty:
-            return empty
-        b_ = g["band"].to_numpy()
-        v_ = g["band_val"].to_numpy()
-        ids = g["image_id"].to_numpy()
-        h_ = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
-        new = np.ones(len(ids), dtype=bool)
-        new[1:] = (b_[1:] != b_[:-1]) | (v_[1:] != v_[:-1])
-        counts = np.bincount(np.cumsum(new) - 1)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        out_a, out_b = [], []
-        chunk = 1 << 20  # bound the (R, P) work arrays: a 100k-wide bucket
-        # has 5e9 pair slots — stream them in 1M-pair slices (small enough
-        # that the allocator reuses warm buffers across slices; fresh large
-        # allocations pay first-touch page faults on this host)
-        for L in np.unique(counts):
-            if L < 2:
-                continue
-            sel = np.nonzero(counts == L)[0]
-            idxmat = starts[sel][:, None] + np.arange(L)[None, :]
-            mh = h_[idxmat]
-            iu0, iu1 = np.triu_indices(L, 1)
-            for s in range(0, len(iu0), chunk):
-                i0, i1 = iu0[s : s + chunk], iu1[s : s + chunk]
-                keep = _popcount64(mh[:, i0] ^ mh[:, i1]) <= max_hamming
-                out_a.append(idxmat[:, i0][keep])
-                out_b.append(idxmat[:, i1][keep])
-        if not out_a:
-            return empty
-        ia, ib = np.concatenate(out_a), np.concatenate(out_b)
-        # rows sort by image_id within a bucket, so index order == id order
-        return pd.DataFrame(
-            {"a": pd.Series(ids[ia], dtype=object), "b": pd.Series(ids[ib], dtype=object)}
-        )
-
-    cand = (
+    return (
         ds.map_batches(bands, batch_format="pyarrow")
-        .map_batches(shard, batch_format="pyarrow")
         .groupby("_bshard")
         .map_groups(pairs, batch_format="pandas")
     )
-    df = cand.to_pandas()
-    if df.empty:  # zero near-dups: keep the (a, b) string schema
-        df = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
-        return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())})
-    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def image_dedup_survivors(
+    images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
+    """Images to KEEP after exact + perceptual dedup — the image-axis
+    sibling of text ``dedup_minhash_survivors``. Drops:
+
+    (a) exact byte duplicates (md5 content fp, first image_id wins —
+        ``image_dedup_exact``'s is_first == 0 rows, already a Dataset);
+    (b) pHash near-dups dominated in their hamming <= t connected
+        component (each component keeps its MIN image_id).
+
+    Size-gated like the text family: below ``driver_pair_cap`` PAIRS the
+    LSH-bounded pair stream folds into a driver union-find with bailout
+    (string ids order lexicographically in _MinUnionFind); above it the
+    shared label propagation runs over hash64(image_id) node ids
+    (~2^-64 collision contract, the gram-hash argument) and the component
+    MIN image_id resolves DISTRIBUTED: labels re-join their image_ids by
+    node-hash shard, per-component grouped MIN by label shard, members !=
+    min become losers — nothing pair- or corpus-sized on the driver.
+    Survivors anti-join via the string-keyed ``anti_join_ids``.
+    Output: (image_id)."""
+    import ray.data as rdm
+
+    from spiderman_ray.functions.hashing import hash64
+    from spiderman_ray.pipelines.text import (
+        _cc_labels_distributed,
+        _MinUnionFind,
+        anti_join_ids,
+    )
+
+    def _ids_ds(ids: list) -> rd.Dataset:
+        return rdm.from_arrow(
+            pa.table({"image_id": pa.array(sorted(ids), type=pa.string())})
+        )
+
+    pairs = _phash_pairs_ds(images_uri, max_hamming)
+    bailed = driver_pair_cap <= 0
+    if not bailed:
+        uf = _MinUnionFind()
+        n_seen = 0
+        for batch in pairs.iter_batches(batch_format="pandas"):
+            n_seen += len(batch)
+            if n_seen > driver_pair_cap:
+                bailed = True
+                break
+            for a, b in zip(batch["a"], batch["b"]):
+                uf.union(str(a), str(b))
+    if not bailed:
+        phash_losers = _ids_ds([n for n in uf.parent if uf.find(n) != n])
+    else:
+        def edges(batch: pa.Table) -> pa.Table:
+            ha = hash64([str(v) for v in batch["a"].to_pylist()])
+            hb = hash64([str(v) for v in batch["b"].to_pylist()])
+            return pa.table(
+                {
+                    "key": pa.array(np.concatenate([ha, hb]).view(np.int64)),
+                    "node": pa.array(np.concatenate([hb, ha]).view(np.int64)),
+                    "lbl": pa.array(np.full(2 * batch.num_rows, -1, dtype=np.int64)),
+                }
+            )
+
+        e = pairs.map_batches(edges, batch_format="pyarrow").materialize()
+        if e.count() == 0:
+            phash_losers = _ids_ds([])
+        else:
+            labels = _cc_labels_distributed(e)
+
+            def lbl_rows(batch: pa.Table) -> pa.Table:
+                # label rows join the id map below; ids pad with null
+                return pa.table(
+                    {
+                        "node": pc.cast(batch["node"], pa.int64()),
+                        "lbl": pc.cast(batch["lbl"], pa.int64()),
+                        "image_id": pa.nulls(batch.num_rows, type=pa.string()),
+                    }
+                )
+
+            def id_rows(batch: pa.Table) -> pa.Table:
+                ha = hash64([str(v) for v in batch["a"].to_pylist()])
+                hb = hash64([str(v) for v in batch["b"].to_pylist()])
+                ids = pa.concat_arrays(
+                    [
+                        pc.cast(batch["a"], pa.string()).combine_chunks(),
+                        pc.cast(batch["b"], pa.string()).combine_chunks(),
+                    ]
+                )
+                return pa.table(
+                    {
+                        "node": pa.array(np.concatenate([ha, hb]).view(np.int64)),
+                        "lbl": pa.array(np.full(2 * batch.num_rows, -1, dtype=np.int64)),
+                        "image_id": ids,
+                    }
+                )
+
+            def shard_node(batch: pa.Table) -> pa.Table:
+                n = batch["node"].to_numpy(zero_copy_only=False).view(np.uint64)
+                return batch.append_column(
+                    "_nshard", pa.array((n % np.uint64(64)).astype(np.int64))
+                )
+
+            def attach(g: pd.DataFrame) -> pd.DataFrame:
+                # per node: ONE label row (lbl >= 0 ... labels are int64
+                # hashes, may be negative as int64 — flag by image_id null)
+                lblr = g[g["image_id"].isna()]
+                idr = g[~g["image_id"].isna()]
+                lbl_of = dict(zip(lblr["node"], lblr["lbl"]))
+                out = idr.drop_duplicates(["node", "image_id"])
+                return pd.DataFrame(
+                    {
+                        "lbl": out["node"].map(lbl_of).astype("int64"),
+                        "image_id": out["image_id"].astype(str),
+                        "_lshard": (
+                            out["node"].map(lbl_of).astype("int64").to_numpy()
+                            .view(np.uint64) % np.uint64(64)
+                        ).astype("int64"),
+                    }
+                )
+
+            def losers_of(g: pd.DataFrame) -> pd.DataFrame:
+                g = g.drop_duplicates(["lbl", "image_id"])
+                mins = g.groupby("lbl", sort=False)["image_id"].transform("min")
+                out = g[g["image_id"] != mins]
+                return pd.DataFrame({"image_id": out["image_id"].astype(str)})
+
+            phash_losers = (
+                labels.map_batches(lbl_rows, batch_format="pyarrow")
+                .union(pairs.map_batches(id_rows, batch_format="pyarrow"))
+                .map_batches(shard_node, batch_format="pyarrow")
+                .groupby("_nshard")
+                .map_groups(attach, batch_format="pandas")
+                .groupby("_lshard")
+                .map_groups(losers_of, batch_format="pandas")
+            )
+
+    def exact_losers(batch: pa.Table) -> pa.Table:
+        dup = pc.equal(batch["is_first"], 0)
+        return pa.table(
+            {"image_id": pc.cast(batch.filter(dup)["image_id"], pa.string())}
+        )
+
+    drop = image_dedup_exact(images_uri).map_batches(
+        exact_losers, batch_format="pyarrow"
+    ).union(phash_losers)
+    imgs = read_dataset(images_uri, columns=["image_id"])
+    return anti_join_ids(imgs, drop, "image_id", key_type=pa.string())
 
 
 def validate_summary(images_uri: str) -> pa.Table:

@@ -109,6 +109,40 @@ def test_phash_near_dups_skewed_bucket_matches_brute_force(tmp_path):
     assert got_pairs == want_pairs
 
 
+def test_image_dedup_survivors_exact_and_phash(tmp_path):
+    """Survivors drop (a) exact byte dups (first image_id wins) and
+    (b) pHash-dominated near-dups (component keeps min image_id);
+    the cap=0 forced-distributed path (hashed-node CC + distributed
+    min-id resolution) returns the identical set."""
+    from spiderman_ray.pipelines.images import image_dedup_survivors
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base_ph = rng.integers(0, 1 << 62, size=20, dtype=np.uint64)
+    for i in range(20):
+        rows.append({"image_id": f"I{i:03d}", "bytes": f"payload-{i}".encode(),
+                     "phash": int(base_ph[i].astype(np.int64))})
+    # exact dup of I000 (same bytes AND phash) under a later id
+    rows.append({"image_id": "I900", "bytes": b"payload-0",
+                 "phash": int(base_ph[0].astype(np.int64))})
+    # pHash near-dups: 2 flipped bits off I001; a 2-member cluster off I002
+    for new_id, src, nbits in [("I901", 1, 2), ("I902", 2, 1), ("I903", 2, 3)]:
+        ph = base_ph[src]
+        for b in rng.choice(np.arange(64), size=nbits, replace=False):
+            ph = ph ^ (np.uint64(1) << np.uint64(b))
+        rows.append({"image_id": new_id, "bytes": f"body-{new_id}".encode(),
+                     "phash": int(ph.astype(np.int64))})
+    d = tmp_path / "imgsurv"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+
+    want = {f"I{i:03d}" for i in range(20)}  # all planted dups drop
+    got = set(image_dedup_survivors(str(d)).to_pandas()["image_id"])
+    assert got == want
+    dist = set(image_dedup_survivors(str(d), driver_pair_cap=0).to_pandas()["image_id"])
+    assert dist == want
+
+
 def test_thumbnails(images_table):
     from spiderman_ray.functions.imaging import decode_image
     from spiderman_ray.pipelines.multimodal import thumbnails
