@@ -306,9 +306,12 @@ class MinHasher:
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    """Exact Jaccard over hashed shingle sets. inter/union is the same IEEE
-    double division DuckDB evaluates (len(list_intersect)/(la+lb-inter)), so
-    floor(j*10000+0.5) hash-matches the SQL oracle."""
+    """Exact Jaccard over hashed shingle sets — the SCALAR REFERENCE SPEC
+    of the vectorized verify in ``minhash_verified_pairs_ds`` (which
+    computes the identical inter/union per pair via one run-length
+    distinct count). inter/union is the same IEEE double division DuckDB
+    evaluates (len(list_intersect)/(la+lb-inter)), so floor(j*10000+0.5)
+    hash-matches the SQL oracle."""
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
