@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_phash_clusters(sf_dir: str) -> Any:
+        return I.image_phash_clusters(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -260,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_image_dedup": crawl_image_dedup,
         # image-axis dedup family: exact + pHash-component survivors
         "crawl_image_survivors": crawl_image_survivors,
+        # audit view: pHash component label per image (minhash_clusters analog)
+        "crawl_phash_clusters": crawl_phash_clusters,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -783,6 +790,11 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     out["crawl_image_survivors"] = _values_sql(
         [{"image_id": i} for i in ids if i not in exact_losers and i not in ph_losers],
         {"image_id": "VARCHAR"},
+    )
+    out["crawl_phash_clusters"] = _values_sql(
+        [{"image_id": i, "cluster_id": uf.find(i) if i in uf.parent else i}
+         for i in ids],
+        {"image_id": "VARCHAR", "cluster_id": "VARCHAR"},
     )
     out["crawl_lineage_stats"] = _values_sql(
         [

@@ -176,39 +176,37 @@ def _phash_pairs_ds(images_uri: str, max_hamming: int = 3) -> rd.Dataset:
     )
 
 
-def image_dedup_survivors(
+def _phash_member_clusters_ds(
     images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
 ) -> rd.Dataset:
-    """Images to KEEP after exact + perceptual dedup — the image-axis
-    sibling of text ``dedup_minhash_survivors``. Drops:
-
-    (a) exact byte duplicates (md5 content fp, first image_id wins —
-        ``image_dedup_exact``'s is_first == 0 rows, already a Dataset);
-    (b) pHash near-dups dominated in their hamming <= t connected
-        component (each component keeps its MIN image_id).
+    """(image_id, cluster_id = MIN image_id of its hamming <= t component)
+    for every image that appears in at least one near-dup PAIR (singletons
+    are implicit — they label themselves downstream). The shared component
+    core of ``image_dedup_survivors`` and ``image_phash_clusters``.
 
     Size-gated like the text family: below ``driver_pair_cap`` PAIRS the
     LSH-bounded pair stream folds into a driver union-find with bailout
-    (string ids order lexicographically in _MinUnionFind); above it the
-    shared label propagation runs over hash64(image_id) node ids
-    (~2^-64 collision contract, the gram-hash argument) and the component
-    MIN image_id resolves DISTRIBUTED: labels re-join their image_ids by
-    node-hash shard, per-component grouped MIN by label shard, members !=
-    min become losers — nothing pair- or corpus-sized on the driver.
-    Survivors anti-join via the string-keyed ``anti_join_ids``.
-    Output: (image_id)."""
+    (string ids order lexicographically in _MinUnionFind) and the
+    pair-bounded member map becomes a Dataset; above it the shared label
+    propagation runs over hash64(image_id) node ids (~2^-64 collision
+    contract, the gram-hash argument) and the component MIN image_id
+    resolves DISTRIBUTED: labels re-join their image_ids by node-hash
+    shard, then a per-component grouped MIN by label shard — nothing
+    pair- or corpus-sized on the driver."""
     import ray.data as rdm
 
     from spiderman_ray.functions.hashing import hash64
-    from spiderman_ray.pipelines.text import (
-        _cc_labels_distributed,
-        _MinUnionFind,
-        anti_join_ids,
-    )
+    from spiderman_ray.pipelines.text import _cc_labels_distributed, _MinUnionFind
 
-    def _ids_ds(ids: list) -> rd.Dataset:
+    def _members_ds(rows: list[tuple]) -> rd.Dataset:
+        rows = sorted(rows)
         return rdm.from_arrow(
-            pa.table({"image_id": pa.array(sorted(ids), type=pa.string())})
+            pa.table(
+                {
+                    "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "cluster_id": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            )
         )
 
     pairs = _phash_pairs_ds(images_uri, max_hamming)
@@ -224,91 +222,116 @@ def image_dedup_survivors(
             for a, b in zip(batch["a"], batch["b"]):
                 uf.union(str(a), str(b))
     if not bailed:
-        phash_losers = _ids_ds([n for n in uf.parent if uf.find(n) != n])
-    else:
-        def edges(batch: pa.Table) -> pa.Table:
-            ha = hash64([str(v) for v in batch["a"].to_pylist()])
-            hb = hash64([str(v) for v in batch["b"].to_pylist()])
-            return pa.table(
-                {
-                    "key": pa.array(np.concatenate([ha, hb]).view(np.int64)),
-                    "node": pa.array(np.concatenate([hb, ha]).view(np.int64)),
-                    "lbl": pa.array(np.full(2 * batch.num_rows, -1, dtype=np.int64)),
-                }
-            )
+        return _members_ds([(n, uf.find(n)) for n in uf.parent])
 
-        e = pairs.map_batches(edges, batch_format="pyarrow").materialize()
-        if e.count() == 0:
-            phash_losers = _ids_ds([])
-        else:
-            labels = _cc_labels_distributed(e)
+    def edges(batch: pa.Table) -> pa.Table:
+        ha = hash64([str(v) for v in batch["a"].to_pylist()])
+        hb = hash64([str(v) for v in batch["b"].to_pylist()])
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([ha, hb]).view(np.int64)),
+                "node": pa.array(np.concatenate([hb, ha]).view(np.int64)),
+                "lbl": pa.array(np.full(2 * batch.num_rows, -1, dtype=np.int64)),
+            }
+        )
 
-            def lbl_rows(batch: pa.Table) -> pa.Table:
-                # label rows join the id map below; ids pad with null
-                return pa.table(
-                    {
-                        "node": pc.cast(batch["node"], pa.int64()),
-                        "lbl": pc.cast(batch["lbl"], pa.int64()),
-                        "image_id": pa.nulls(batch.num_rows, type=pa.string()),
-                    }
-                )
+    e = pairs.map_batches(edges, batch_format="pyarrow").materialize()
+    if e.count() == 0:
+        return _members_ds([])
+    labels = _cc_labels_distributed(e)
 
-            def id_rows(batch: pa.Table) -> pa.Table:
-                ha = hash64([str(v) for v in batch["a"].to_pylist()])
-                hb = hash64([str(v) for v in batch["b"].to_pylist()])
-                ids = pa.concat_arrays(
-                    [
-                        pc.cast(batch["a"], pa.string()).combine_chunks(),
-                        pc.cast(batch["b"], pa.string()).combine_chunks(),
-                    ]
-                )
-                return pa.table(
-                    {
-                        "node": pa.array(np.concatenate([ha, hb]).view(np.int64)),
-                        "lbl": pa.array(np.full(2 * batch.num_rows, -1, dtype=np.int64)),
-                        "image_id": ids,
-                    }
-                )
+    def lbl_rows(batch: pa.Table) -> pa.Table:
+        # label rows join the id map below; ids pad with null
+        return pa.table(
+            {
+                "node": pc.cast(batch["node"], pa.int64()),
+                "lbl": pc.cast(batch["lbl"], pa.int64()),
+                "image_id": pa.nulls(batch.num_rows, type=pa.string()),
+            }
+        )
 
-            def shard_node(batch: pa.Table) -> pa.Table:
-                n = batch["node"].to_numpy(zero_copy_only=False).view(np.uint64)
-                return batch.append_column(
-                    "_nshard", pa.array((n % np.uint64(64)).astype(np.int64))
-                )
+    def id_rows(batch: pa.Table) -> pa.Table:
+        ha = hash64([str(v) for v in batch["a"].to_pylist()])
+        hb = hash64([str(v) for v in batch["b"].to_pylist()])
+        ids = pa.concat_arrays(
+            [
+                pc.cast(batch["a"], pa.string()).combine_chunks(),
+                pc.cast(batch["b"], pa.string()).combine_chunks(),
+            ]
+        )
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([ha, hb]).view(np.int64)),
+                "lbl": pa.array(np.full(2 * batch.num_rows, -1, dtype=np.int64)),
+                "image_id": ids,
+            }
+        )
 
-            def attach(g: pd.DataFrame) -> pd.DataFrame:
-                # per node: ONE label row (lbl >= 0 ... labels are int64
-                # hashes, may be negative as int64 — flag by image_id null)
-                lblr = g[g["image_id"].isna()]
-                idr = g[~g["image_id"].isna()]
-                lbl_of = dict(zip(lblr["node"], lblr["lbl"]))
-                out = idr.drop_duplicates(["node", "image_id"])
-                return pd.DataFrame(
-                    {
-                        "lbl": out["node"].map(lbl_of).astype("int64"),
-                        "image_id": out["image_id"].astype(str),
-                        "_lshard": (
-                            out["node"].map(lbl_of).astype("int64").to_numpy()
-                            .view(np.uint64) % np.uint64(64)
-                        ).astype("int64"),
-                    }
-                )
+    def shard_node(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "_nshard", pa.array((n % np.uint64(64)).astype(np.int64))
+        )
 
-            def losers_of(g: pd.DataFrame) -> pd.DataFrame:
-                g = g.drop_duplicates(["lbl", "image_id"])
-                mins = g.groupby("lbl", sort=False)["image_id"].transform("min")
-                out = g[g["image_id"] != mins]
-                return pd.DataFrame({"image_id": out["image_id"].astype(str)})
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # per node: ONE label row (labels are int64 hashes, possibly
+        # negative as int64 — flag label rows by image_id null)
+        lblr = g[g["image_id"].isna()]
+        idr = g[~g["image_id"].isna()]
+        lbl_of = dict(zip(lblr["node"], lblr["lbl"]))
+        out = idr.drop_duplicates(["node", "image_id"])
+        return pd.DataFrame(
+            {
+                "lbl": out["node"].map(lbl_of).astype("int64"),
+                "image_id": out["image_id"].astype(str),
+                "_lshard": (
+                    out["node"].map(lbl_of).astype("int64").to_numpy()
+                    .view(np.uint64) % np.uint64(64)
+                ).astype("int64"),
+            }
+        )
 
-            phash_losers = (
-                labels.map_batches(lbl_rows, batch_format="pyarrow")
-                .union(pairs.map_batches(id_rows, batch_format="pyarrow"))
-                .map_batches(shard_node, batch_format="pyarrow")
-                .groupby("_nshard")
-                .map_groups(attach, batch_format="pandas")
-                .groupby("_lshard")
-                .map_groups(losers_of, batch_format="pandas")
-            )
+    def clusters_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["lbl", "image_id"])
+        mins = g.groupby("lbl", sort=False)["image_id"].transform("min")
+        return pd.DataFrame(
+            {"image_id": g["image_id"].astype(str), "cluster_id": mins.astype(str)}
+        )
+
+    return (
+        labels.map_batches(lbl_rows, batch_format="pyarrow")
+        .union(pairs.map_batches(id_rows, batch_format="pyarrow"))
+        .map_batches(shard_node, batch_format="pyarrow")
+        .groupby("_nshard")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_lshard")
+        .map_groups(clusters_of, batch_format="pandas")
+    )
+
+
+def image_dedup_survivors(
+    images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
+    """Images to KEEP after exact + perceptual dedup — the image-axis
+    sibling of text ``dedup_minhash_survivors``. Drops:
+
+    (a) exact byte duplicates (md5 content fp, first image_id wins —
+        ``image_dedup_exact``'s is_first == 0 rows, already a Dataset);
+    (b) pHash near-dups dominated in their hamming <= t connected
+        component (each component keeps its MIN image_id —
+        ``_phash_member_clusters_ds``, size-gated, see its docstring).
+
+    Survivors anti-join via the string-keyed ``anti_join_ids`` — no
+    loser set on the driver on either gate path. Output: (image_id)."""
+    from spiderman_ray.pipelines.text import anti_join_ids
+
+    members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+
+    def dominated(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["image_id"], batch["cluster_id"])
+        return pa.table(
+            {"image_id": pc.cast(batch.filter(m)["image_id"], pa.string())}
+        )
 
     def exact_losers(batch: pa.Table) -> pa.Table:
         dup = pc.equal(batch["is_first"], 0)
@@ -318,9 +341,51 @@ def image_dedup_survivors(
 
     drop = image_dedup_exact(images_uri).map_batches(
         exact_losers, batch_format="pyarrow"
-    ).union(phash_losers)
+    ).union(members.map_batches(dominated, batch_format="pyarrow"))
     imgs = read_dataset(images_uri, columns=["image_id"])
     return anti_join_ids(imgs, drop, "image_id", key_type=pa.string())
+
+
+def image_phash_clusters(
+    images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
+    """Cluster labels for EVERY image: cluster_id = min image_id of its
+    pHash hamming <= t component, singletons label themselves — the audit
+    view of ``image_dedup_survivors`` (the ``minhash_clusters`` analog on
+    the image axis). One string-shard exchange attaches the pair-bounded
+    member map to the full image table: union(all images as self-labeled
+    rows, member rows), group by a hash shard of image_id, per-image MIN
+    label (member labels are <= the own id by construction).
+    Output: (image_id, cluster_id)."""
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["image_id"], pa.string())
+        return pa.table({"image_id": ids, "cluster_id": ids})
+
+    def shard(batch: pa.Table) -> pa.Table:
+        from spiderman_ray.pipelines.text import _shard64_of
+
+        return batch.append_column(
+            "_ishard", pa.array(_shard64_of(batch["image_id"].to_pylist()))
+        )
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("image_id", sort=False)["cluster_id"].min().reset_index()
+        return pd.DataFrame(
+            {"image_id": t["image_id"].astype(str),
+             "cluster_id": t["cluster_id"].astype(str)}
+        )
+
+    members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+    imgs = read_dataset(images_uri, columns=["image_id"]).map_batches(
+        self_rows, batch_format="pyarrow"
+    )
+    return (
+        imgs.union(members)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_ishard")
+        .map_groups(min_label, batch_format="pandas")
+    )
 
 
 def validate_summary(images_uri: str) -> pa.Table:

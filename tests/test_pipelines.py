@@ -142,6 +142,19 @@ def test_image_dedup_survivors_exact_and_phash(tmp_path):
     dist = set(image_dedup_survivors(str(d), driver_pair_cap=0).to_pandas()["image_id"])
     assert dist == want
 
+    # audit view: every image labeled, components keep min image_id
+    from spiderman_ray.pipelines.images import image_phash_clusters
+
+    cl = image_phash_clusters(str(d)).to_pandas()
+    labels = dict(zip(cl["image_id"], cl["cluster_id"]))
+    assert len(labels) == len(rows)
+    want_labels = {r["image_id"]: r["image_id"] for r in rows}
+    want_labels.update({"I900": "I000", "I901": "I001",
+                        "I902": "I002", "I903": "I002"})
+    assert labels == want_labels
+    cl0 = image_phash_clusters(str(d), driver_pair_cap=0).to_pandas()
+    assert dict(zip(cl0["image_id"], cl0["cluster_id"])) == want_labels
+
 
 def test_thumbnails(images_table):
     from spiderman_ray.functions.imaging import decode_image
