@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_curate_images(sf_dir: str) -> Any:
+        return I.curate_images(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -267,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_image_survivors": crawl_image_survivors,
         # audit view: pHash component label per image (minhash_clusters analog)
         "crawl_phash_clusters": crawl_phash_clusters,
+        # multimodal curation flagship: decode gate + caption gates +
+        # exact + perceptual dedup in one streaming manifest
+        "crawl_curate_images": crawl_curate_images,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -795,6 +803,30 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         [{"image_id": i, "cluster_id": uf.find(i) if i in uf.parent else i}
          for i in ids],
         {"image_id": "VARCHAR", "cluster_id": "VARCHAR"},
+    )
+    # multimodal curation flagship: sequential recompute of
+    # pipelines.images.curate_images over the oracle's image rows
+    cur_rows, seen_cfp = [], set()
+    for r in sorted(o.images, key=lambda r: r["image_id"]):
+        px = decode_image(r["bytes"])
+        h, w = px.shape[:2]
+        if w != r["w"] or h != r["h"] or phash64(px) != r["phash"]:
+            continue
+        toks = r["caption"].split(" ")
+        if len(toks) < 2 or any(d in r["caption"] for d in ("drop", "null")):
+            continue
+        f = hashlib.md5(r["bytes"]).hexdigest()
+        if f in seen_cfp:
+            continue
+        seen_cfp.add(f)
+        if r["image_id"] in ph_losers:
+            continue
+        cur_rows.append({"image_id": r["image_id"], "w": w, "h": h,
+                         "n_caption_tokens": len(toks)})
+    out["crawl_curate_images"] = _values_sql(
+        cur_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "n_caption_tokens": "BIGINT"},
     )
     out["crawl_lineage_stats"] = _values_sql(
         [

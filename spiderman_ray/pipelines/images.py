@@ -463,6 +463,112 @@ def image_stats(images_uri: str, concurrency: int | None = None,
     )
 
 
+class _CurateImagesStage:
+    """Actor-pool stage of ``curate_images``: decode, validate stored
+    (w, h, phash) against recomputed values, gate captions (min tokens +
+    dirty words — the same ``url_check`` word list the text ``curate``
+    uses), and fingerprint content — ONE pass over the wide rows, fused
+    like text._CurateStage. Emits candidates only."""
+
+    def __init__(self, min_caption_tokens: int = 2):
+        self.min_tokens = min_caption_tokens
+        self.dirty = ("drop", "null")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        out = {"image_id": [], "w": [], "h": [], "n_caption_tokens": [], "fp": []}
+        for row in batch.to_pylist():
+            px = decode_image(row["bytes"])
+            h, w = px.shape[:2]
+            if w != row["w"] or h != row["h"] or phash64(px) != row["phash"]:
+                continue  # corrupt / mislabeled rows never enter the corpus
+            cap = row["caption"]
+            toks = cap.split(" ")
+            if len(toks) < self.min_tokens or any(d in cap for d in self.dirty):
+                continue
+            out["image_id"].append(row["image_id"])
+            out["w"].append(w)
+            out["h"].append(h)
+            out["n_caption_tokens"].append(len(toks))
+            out["fp"].append(hashlib.md5(row["bytes"]).hexdigest())
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], type=pa.string()),
+                "w": pa.array(out["w"], type=pa.int64()),
+                "h": pa.array(out["h"], type=pa.int64()),
+                "n_caption_tokens": pa.array(out["n_caption_tokens"], type=pa.int64()),
+                "fp": pa.array(out["fp"], type=pa.string()),
+            }
+        )
+
+
+def curate_images(
+    images_uri: str,
+    min_caption_tokens: int = 2,
+    max_hamming: int = 3,
+    driver_pair_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """The multimodal curation FLAGSHIP — the image-axis ``curate``: the
+    end-to-end pass a multimodal training-data user runs over a crawled
+    image+caption table, as one streaming Dataset:
+
+    1. decode + validate + caption gates + content fingerprint fused in
+       ONE actor-pool pass (``_CurateImagesStage`` — wide binary rows are
+       read once, small batches);
+    2. exact content dedup: first image_id per md5(bytes) wins, fp-shard
+       pattern (keys O(parallelism), one exchange);
+    3. perceptual near-dup removal: pHash-component-dominated ids
+       (``_phash_member_clusters_ds``, size-gated) anti-joined via the
+       string-keyed ``anti_join_ids``.
+
+    Output: (image_id, w, h, n_caption_tokens) — the curated-set manifest.
+    Nothing corpus-sized ever lands on the driver."""
+    from spiderman_ray.pipelines import pool_size
+    from spiderman_ray.pipelines.text import _shard64_of, anti_join_ids
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_fshard", pa.array(_shard64_of(batch["fp"].to_pylist()))
+        )
+
+    def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "image_id"], kind="mergesort")
+        keep = g["fp"].ne(g["fp"].shift())  # hex-string fps: exact compare
+        return g.loc[keep, ["image_id", "w", "h", "n_caption_tokens"]]
+
+    candidates = (
+        read_dataset(images_uri)
+        .map_batches(
+            _CurateImagesStage,
+            fn_constructor_args=(min_caption_tokens,),
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool_size(10**6),
+            num_cpus=1,
+        )
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(first_per_fp, batch_format="pandas")
+    )
+
+    members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+
+    def dominated(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["image_id"], batch["cluster_id"])
+        return pa.table(
+            {"image_id": pc.cast(batch.filter(m)["image_id"], pa.string())}
+        )
+
+    return anti_join_ids(
+        candidates,
+        members.map_batches(dominated, batch_format="pyarrow"),
+        "image_id",
+        payload={"w": pa.int64(), "h": pa.int64(), "n_caption_tokens": pa.int64()},
+        key_type=pa.string(),
+    )
+
+
 def image_dedup_exact(images_uri: str) -> rd.Dataset:
     """Exact CONTENT dedup over crawled images: md5 of the stored bytes,
     first occurrence per content fp in image_id order wins — the byte-

@@ -156,6 +156,44 @@ def test_image_dedup_survivors_exact_and_phash(tmp_path):
     assert dict(zip(cl0["image_id"], cl0["cluster_id"])) == want_labels
 
 
+def test_curate_images_gates_and_dedup(tmp_path):
+    """The multimodal curation flagship drops exactly: validation
+    failures (stored dims wrong), short captions, dirty-word captions,
+    exact byte dups (first image_id wins) and pHash-dominated near-dups
+    (jpeg re-encode of the same pixels)."""
+    from spiderman_ray.functions.imaging import (
+        decode_image,
+        encode_image,
+        generate_pixels,
+        phash64,
+    )
+    from spiderman_ray.pipelines.images import curate_images
+
+    def mk(iid, seedtag, caption, fmt="png"):
+        px = generate_pixels(seedtag, 64, 48)
+        data = encode_image(px, fmt)
+        return {"image_id": iid, "bytes": data, "w": 64, "h": 48, "fmt": fmt,
+                "caption": caption, "phash": phash64(decode_image(data))}
+
+    rows = [mk(f"C{i:03d}", f"cur-{i}", f"nice caption {i}") for i in range(8)]
+    rows.append(mk("C900", "cur-0", "same bytes as zero"))  # exact dup
+    rows.append(mk("C901", "cur-1x", "short"))              # 1-token caption
+    rows.append(mk("C902", "cur-2x", "please drop me now"))  # dirty word
+    bad = mk("C903", "cur-3x", "stored width is wrong")
+    bad["w"] = 999                                           # validation gate
+    rows.append(bad)
+    rows.append(mk("C904", "cur-4", "near dup of four", fmt="jpeg"))  # pHash dup
+    d = tmp_path / "curimg"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+
+    got = curate_images(str(d)).to_pandas().sort_values("image_id")
+    assert got["image_id"].tolist() == [f"C{i:03d}" for i in range(8)]
+    assert (got["w"] == 64).all() and (got["h"] == 48).all()
+    assert (got["n_caption_tokens"] == 3).all()
+    assert got["n_caption_tokens"].dtype == np.int64
+
+
 def test_thumbnails(images_table):
     from spiderman_ray.functions.imaging import decode_image
     from spiderman_ray.pipelines.multimodal import thumbnails
