@@ -372,6 +372,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": lambda sf: __import__(
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_distinct(sf),
+        # the HLL register STATE (reg_idx, max rank) — deterministic
+        # integers, hash-verified vs DuckDB (md5-prefix hash64 + bin-length
+        # rank); proves the sketch machinery exactly even though the
+        # estimate above stays approximate by design
+        "hll_registers": lambda sf: __import__(
+            "spiderman_ray.pipelines.sketches", fromlist=["x"]
+        ).hll_registers(sf),
+        # the merged Count-Min table cells — deterministic integers,
+        # hash-verified vs DuckDB (same idiom); the estimate query below
+        # stays rows-only
+        "cms_table": lambda sf: __import__(
+            "spiderman_ray.pipelines.sketches", fromlist=["x"]
+        ).cms_table(sf),
         # one-pass mergeable log-bucket quantile sketch (deterministic
         # integer bucketing -> exact SQL parity; error bounded per bucket)
         "approx_price_quantiles": lambda sf: __import__(
@@ -1003,6 +1016,33 @@ def oracle_sql() -> dict[str, str]:
             "ON l.l_shipdate >= o.o_orderdate "
             "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        "hll_registers": (
+            # the HLL register state in pure integer SQL: hash64 = first 16
+            # md5 hex chars (the repo-wide idiom), reg_idx = top 12 bits,
+            # rank = 53 - bit_length(low 52 bits) with the rest==0 -> 53
+            # sentinel; MAX per register == numpy's np.maximum.at fold
+            "WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) AS hv FROM events), "
+            "parts AS (SELECT CAST(hv >> 52 AS BIGINT) AS reg_idx, "
+            "CAST(hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS BIGINT) AS rest FROM h) "
+            "SELECT reg_idx, MAX(CASE WHEN rest = 0 THEN 53 "
+            "ELSE 53 - length(bin(rest)) END) AS reg_rank "
+            "FROM parts GROUP BY reg_idx"
+        ),
+        "cms_table": (
+            # the merged Count-Min table: col = hash64('cms{r}|' || token)
+            # % 4096 per salt row r, cnt = SUM of occurrences (CMS merge is
+            # addition -> COUNT(*) over the exploded tokens)
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "t AS (SELECT tok FROM toks WHERE tok <> ''), "
+            "cells AS (SELECT s.row_idx, "
+            "CAST(CAST(('0x' || substr(md5(s.salt || t.tok), 1, 16)) AS UBIGINT) "
+            "% 4096 AS BIGINT) AS col_idx "
+            "FROM t CROSS JOIN (VALUES (0, 'cms0|'), (1, 'cms1|'), (2, 'cms2|'), "
+            "(3, 'cms3|')) s(row_idx, salt)) "
+            "SELECT CAST(row_idx AS BIGINT) AS row_idx, col_idx, "
+            "COUNT(*) AS cnt FROM cells GROUP BY row_idx, col_idx"
         ),
         "approx_price_quantiles": (
             # identical integer bucketing: length(bin(c)) == bit_length,

@@ -74,6 +74,28 @@ def hll_estimate(register_rows: list[dict], p: int = 12) -> int:
     return int(round(est))
 
 
+def hll_registers(sf_dir: str, table: str = "events", column: str = "user_id",
+                  p: int = 12) -> pa.Table:
+    """The merged HLL register STATE as (reg_idx, reg_rank) rows — the
+    deterministic integer core of ``approx_distinct`` exposed for exact
+    SQL verification: reg_idx = hash64(v) >> (64-p), reg_rank = MAX over
+    the registered values of (64-p) - floor(log2(low bits)) (+1), which is
+    ``(64-p+1) - bit_length(rest)`` in pure integer arithmetic — the same
+    ``length(bin(x))`` contract DuckDB runs (see unigram_quality). Only
+    non-zero registers are emitted (= the GROUP BY result of the SQL)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=[column])
+    rows = hll_register_blocks(ds, column, p=p).take_all()
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        reg = np.maximum(reg, np.asarray(r["reg"], dtype=np.uint8))
+    nz = np.nonzero(reg)[0]
+    return pa.table({
+        "reg_idx": pa.array(nz.astype(np.int64)),
+        "reg_rank": pa.array(reg[nz].astype(np.int64)),
+    })
+
+
 def approx_distinct(sf_dir: str, table: str = "events", column: str = "user_id",
                     p: int = 12) -> pa.Table:
     """Approximate COUNT(DISTINCT column) via HyperLogLog (p=12 -> 4096
@@ -128,6 +150,23 @@ def cms_merge(rows: list[dict], width: int = 4096) -> np.ndarray:
     for r in rows:
         table += np.asarray(r["cms"], dtype=np.int64).reshape(len(_CMS_SALTS), width)
     return table
+
+
+def cms_table(sf_dir: str, width: int = 4096) -> pa.Table:
+    """The merged Count-Min table as (row_idx, col_idx, cnt) rows for
+    non-zero cells — the deterministic integer state behind
+    ``approx_token_counts`` exposed for exact SQL verification: for salt
+    row r, col = hash64('cms{r}|' + token) % width and cnt = total
+    occurrences hashed there (CMS merge = elementwise SUM, so the value is
+    layout/topology invariant). DuckDB reproduces it with the md5-prefix
+    hash64 idiom + GROUP BY."""
+    merged = cms_merge(cms_token_counts(sf_dir, width=width).take_all(), width=width)
+    r, c = np.nonzero(merged)
+    return pa.table({
+        "row_idx": pa.array(r.astype(np.int64)),
+        "col_idx": pa.array(c.astype(np.int64)),
+        "cnt": pa.array(merged[r, c].astype(np.int64)),
+    })
 
 
 def cms_estimate(table: np.ndarray, tokens: list[str]) -> np.ndarray:

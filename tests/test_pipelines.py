@@ -699,6 +699,56 @@ def test_hll_merge_associativity():
     assert hll_estimate(rows) == hll_estimate(list(reversed(rows)))
 
 
+def test_hll_registers_equal_direct_recompute():
+    """The exposed register state == a straight per-value recompute with
+    hashlib (idx = top 12 bits of the md5-prefix hash64, rank = 53 -
+    bit_length(low 52 bits), MAX per register)."""
+    import hashlib
+
+    from spiderman_ray.pipelines.sketches import hll_registers
+
+    sf = "/root/testdata/sf0.001"
+    want: dict[int, int] = {}
+    for v in pq.read_table(sf + "/events.parquet", columns=["user_id"])["user_id"].to_pylist():
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+        idx, rest = h >> 52, h & ((1 << 52) - 1)
+        rank = 53 - rest.bit_length() if rest else 53
+        want[idx] = max(want.get(idx, 0), rank)
+    got = hll_registers(sf).to_pandas()
+    assert dict(zip(got["reg_idx"], got["reg_rank"])) == want
+
+
+def test_cms_table_mass_and_point_query_consistency():
+    """Every salt row of the merged CMS table conserves total token mass,
+    and the point-query estimate is exactly the min over the table cells
+    the token hashes to (the published CMS read)."""
+    import hashlib
+
+    from spiderman_ray.pipelines.sketches import cms_table
+
+    sf = "/root/testdata/sf0.001"
+    total = sum(
+        len([w for w in t.split(" ") if w])
+        for t in pq.read_table(sf + "/documents.parquet", columns=["text"])["text"].to_pylist()
+    )
+    got = cms_table(sf).to_pandas()
+    assert (got.groupby("row_idx")["cnt"].sum() == total).all()
+    # point query for one known-present token: min over its 4 cells
+    tok = "the"
+    cells = []
+    for r in range(4):
+        col = int(hashlib.md5(f"cms{r}|{tok}".encode()).hexdigest()[:16], 16) % 4096
+        row = got[(got["row_idx"] == r) & (got["col_idx"] == col)]
+        cells.append(int(row["cnt"].iloc[0]) if len(row) else 0)
+    from collections import Counter as _C
+
+    exact = sum(
+        _C(w for w in t.split(" ") if w)[tok]
+        for t in pq.read_table(sf + "/documents.parquet", columns=["text"])["text"].to_pylist()
+    )
+    assert min(cells) >= exact  # CMS upper-bias guarantee
+
+
 def test_top_docs_per_lang_equals_window_rank():
     """Sharded group-wise top-k == pandas window rank with the
     (n_chars desc, doc_id asc) tie-break."""
