@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: T.decontaminate(sf),
         # exact-substring-dedup signal: per-doc repeated 8-gram spans
         "repeated_ngrams": lambda sf: T.repeated_ngrams(sf),
+        # ...and the transformation: drop every token covered by a
+        # cross-doc-repeated 8-gram, re-emit the cleaned text
+        "remove_repeated_spans": lambda sf: T.remove_repeated_spans(sf),
         # constant-memory bloom screen (no false negatives; FP-bounded by
         # pytest vs the exact operator -> rows-only driver row)
         "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
@@ -1319,6 +1322,36 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT pos.g) AS n_rep_grams "
             "FROM pos JOIN df ON pos.g = df.g WHERE df.nd >= 2 "
             "GROUP BY pos.doc_id"
+        ),
+        "remove_repeated_spans": (
+            # span REMOVAL: token j is covered iff a repeated gram starts
+            # at i with i <= j < i+8 (short docs carry one whole-text gram
+            # at i=1, k >= doc length -> full coverage); kept tokens
+            # re-join in position order. Zipped unnest aligns value/index.
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) < 8 "
+            "THEN [array_to_string(ws, ' ')] "
+            "ELSE list_transform(range(1, len(ws) - 6), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] "
+            "|| ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || "
+            "ws[i+7]) END AS s FROM d), "
+            "pos AS (SELECT doc_id, unnest(s) AS g, "
+            "unnest(range(1, len(s) + 1)) AS i FROM sh), "
+            "rep AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd "
+            "FROM pos GROUP BY g) WHERE nd >= 2), "
+            "starts AS (SELECT DISTINCT pos.doc_id, pos.i FROM pos "
+            "JOIN rep USING (g)), "
+            "toks AS (SELECT doc_id, unnest(ws) AS w, "
+            "unnest(range(1, len(ws) + 1)) AS j FROM d), "
+            "cov AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN starts s "
+            "ON t.doc_id = s.doc_id AND t.j >= s.i AND t.j < s.i + 8) "
+            "SELECT t.doc_id, "
+            "COALESCE(string_agg(CASE WHEN c.j IS NULL THEN t.w END, ' ' "
+            "ORDER BY t.j), '') AS clean_text, "
+            "COUNT(c.j) AS n_removed "
+            "FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j "
+            "GROUP BY t.doc_id"
         ),
         "curate": _curate_sql(),
         "curate_full": (

@@ -1668,6 +1668,133 @@ def repeated_ngrams(sf_dir: str, k: int = 8) -> rd.Dataset:
     )
 
 
+def remove_repeated_spans(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Exact-substring-dedup as a TRANSFORMATION (Lee et al. 2022 remove
+    the repeated spans, they don't just score them): every token position
+    covered by a cross-document-repeated k-gram is dropped and the doc is
+    re-emitted as (doc_id, clean_text, n_removed) — the writable output of
+    the ``repeated_ngrams`` signal. Docs shorter than k words carry one
+    whole-text gram (the family rule), so a short doc duplicated elsewhere
+    empties entirely.
+
+    Ray-first shape, two O(64)-key exchanges and one bucketed join:
+
+    1. gram pass (the ``repeated_ngrams`` exchange): per-doc DISTINCT gram
+       hashes shard by gram — repetition is decided WHERE the gram lives,
+       no gram index broadcast; shards emit (doc_id, gh) only for grams
+       seen in >= 2 distinct docs,
+    2. rebuild join (the ``anti_join_ids`` union shape): hits union the
+       full docs table under one schema, shard by hash64(doc_id) % 64;
+       in-shard each doc recomputes its positional gram hashes (cheaper
+       than shipping positions through the gram exchange), marks hit
+       starts with one ``np.isin``, expands spans with a difference-array
+       cumsum, and joins the surviving tokens. Nothing corpus-sized ever
+       leaves the workers; int pads are zeros (pandas-transit contract).
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        shs = _kgram_hashes_batch(batch["text"].to_pylist(), k=k)
+        did = (np.concatenate([np.full(len(s), d, dtype=np.int64)
+                               for d, s in zip(ids, shs)])
+               if shs else np.array([], dtype=np.int64))
+        gh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
+        return pa.table(
+            {
+                "_gshard": pa.array((gh % np.uint64(64)).astype(np.int64)),
+                "gh": pa.array(gh.view(np.int64)),
+                "doc_id": pa.array(did),
+            }
+        )
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, gram) -> group size == distinct docs
+        nd = g.groupby("gh", sort=False)["gh"].transform("size")
+        rep = g[nd.to_numpy() >= 2]
+        out = rep[["doc_id", "gh"]].copy()
+        out["_dshard"] = (
+            _shard64_of(list(out["doc_id"])) if len(out)
+            else pd.Series(dtype="int64")
+        )
+        return out.astype({"doc_id": "int64", "gh": "int64", "_dshard": "int64"})
+
+    hits = (
+        _read_docs(sf_dir)
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("_gshard")
+        .map_groups(per_gram, batch_format="pandas")
+    )
+
+    def mark_hits(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "gh": pc.cast(batch["gh"], pa.int64()),
+                "text": pa.array([""] * batch.num_rows, type=pa.string()),
+                "_is_hit": pa.array(np.ones(batch.num_rows, dtype=bool)),
+                "_dshard": pc.cast(batch["_dshard"], pa.int64()),
+            }
+        )
+
+    def mark_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "gh": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "text": batch["text"],
+                "_is_hit": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+                "_dshard": pa.array(_shard64_of(ids)),
+            }
+        )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        hit_rows = g[g["_is_hit"]]
+        docs_rows = g[~g["_is_hit"]]
+        repmap = {
+            d: sub.to_numpy(dtype=np.int64)
+            for d, sub in hit_rows.groupby("doc_id", sort=False)["gh"]
+        }
+        ids = docs_rows["doc_id"].astype("int64").tolist()
+        texts = docs_rows["text"].tolist()
+        shs = _kgram_hashes_batch(texts, k=k, unique=False)
+        clean, nrem = [], []
+        for d, t, sh in zip(ids, texts, shs):
+            rep = repmap.get(d)
+            if rep is None:
+                clean.append(t)
+                nrem.append(0)
+                continue
+            m = np.isin(sh.view(np.int64), rep)
+            ws = t.split(" ")
+            if len(ws) < k:
+                covered_all = bool(m[0])
+                clean.append("" if covered_all else t)
+                nrem.append(len(ws) if covered_all else 0)
+                continue
+            starts = np.nonzero(m)[0]
+            dif = np.zeros(len(ws) + 1, dtype=np.int64)
+            dif[starts] += 1
+            dif[starts + k] -= 1
+            cov = np.cumsum(dif[:-1]) > 0
+            clean.append(" ".join(w for w, c in zip(ws, cov) if not c))
+            nrem.append(int(cov.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "clean_text": pd.Series(clean, dtype="object"),
+                "n_removed": pd.Series(nrem, dtype="int64"),
+            }
+        )
+
+    docs = _read_docs(sf_dir).map_batches(mark_docs, batch_format="pyarrow")
+    return (
+        docs.union(hits.map_batches(mark_hits, batch_format="pyarrow"))
+        .groupby("_dshard")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition quality signals per document (the filters a
     training-data pipeline applies before anything else): duplicate-token

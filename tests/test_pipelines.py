@@ -831,6 +831,51 @@ def test_repeated_ngrams_equals_bruteforce():
     } == want
 
 
+def test_remove_repeated_spans_equals_bruteforce():
+    """Engine clean_text == a driver recompute: token j is dropped iff a
+    gram repeated across >= 2 distinct docs starts at i <= j < i+8; short
+    docs duplicated elsewhere empty entirely; untouched docs pass through
+    byte-identical with n_removed == 0."""
+    from collections import defaultdict
+
+    from spiderman_ray.pipelines.text import remove_repeated_spans
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    doc_count: dict[str, set] = defaultdict(set)
+    grams_of: dict[int, list] = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        grams = (
+            [" ".join(ws)]
+            if len(ws) < 8
+            else [" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)]
+        )
+        grams_of[r.doc_id] = grams
+        for g in set(grams):
+            doc_count[g].add(r.doc_id)
+    want = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        grams = grams_of[r.doc_id]
+        cov = [False] * len(ws)
+        for i, g in enumerate(grams):
+            if len(doc_count[g]) >= 2:
+                for j in range(i, min(i + 8, len(ws))):
+                    cov[j] = True
+        want[r.doc_id] = (
+            " ".join(w for w, c in zip(ws, cov) if not c),
+            sum(cov),
+        )
+    got = remove_repeated_spans(sf).to_pandas()
+    assert len(got) == len(docs)
+    assert {
+        int(r.doc_id): (r.clean_text, int(r.n_removed)) for r in got.itertuples()
+    } == want
+    # sanity: the operator actually fires on the real table
+    assert (got["n_removed"] > 0).any()
+
+
 def test_stratified_sample_rates_and_layout_invariance():
     """Per-stratum keep decisions are the doc's own hash vs its language's
     cut — independent of block layout; realized rates track the targets."""
