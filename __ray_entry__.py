@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # constant-memory bloom screen (no false negatives; FP-bounded by
         # pytest vs the exact operator -> rows-only driver row)
         "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
+        # the screen's bloom STATE (set-bit positions) — deterministic
+        # integers, hash-verified vs a pure-SQL recomputation of the gram
+        # polynomial + double-hash (the sketch-state contract)
+        "decontam_bloom_bits": lambda sf: T.decontam_bloom_bits(sf),
         # composed flagship curation: gate -> lang-id -> exact dedup ->
         # decontaminate (Dataset anti-join, no driver id collection)
         "curate": lambda sf: T.curate(sf),
@@ -593,6 +597,50 @@ def _decon_sql() -> str:
         "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_bench) "
         "SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr "
         "JOIN bench ON tr.g = bench.g GROUP BY tr.doc_id"
+    )
+
+
+def _bloom_bits_sql(k: int = 8, m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
+    """DuckDB recomputation of the decontamination bloom's set bits —
+    pipelines.text._bench_gram_bloom in pure integer SQL. The gram hash is
+    the engine's order-sensitive polynomial sum(md5prefix64(word) *
+    M^(k-1-j)) mod 2^64 (pipelines.text._kgram_hashes_batch), evaluated
+    with the 32-bit-split trick so every intermediate fits HUGEINT:
+    hv*W mod 2^64 == (lo(hv)*W mod 2^64 + (hi(hv)*lo(W) mod 2^32)*2^32)
+    mod 2^64. Bit indices are the double-hash (h1 + i*h2) % m_bits with
+    h1/h2 the gram hash's 32-bit halves (h2 |= 1)."""
+    M = 0x9E3779B97F4A7C15
+    P64, P32 = 1 << 64, 1 << 32
+    weights = [0] * k
+    w = 1
+    for j in range(k - 1, -1, -1):
+        weights[j] = w
+        w = (w * M) % P64
+    terms = []
+    for j in range(k):
+        W, WL = weights[j], weights[j] % P32
+        terms.append(
+            f"(((h[i+{j}] % {P32}) * {W}) % {P64} "
+            f"+ (((h[i+{j}] // {P32}) * {WL}) % {P32}) * {P32})"
+        )
+    gram = "(" + " + ".join(terms) + f") % {P64}"
+    salts = ", ".join(f"({i})" for i in range(n_hashes))
+    return (
+        "WITH d AS (SELECT text, string_split(text, ' ') AS ws FROM documents "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < "
+        f"{(10 << 32) // 100}), "
+        "hv AS (SELECT text, ws, list_transform(ws, w -> "
+        "CAST(CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS HUGEINT)) AS h "
+        "FROM d), "
+        f"gsel AS (SELECT CASE WHEN len(ws) < {k} "
+        "THEN [CAST(CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS HUGEINT)] "
+        f"ELSE list_transform(range(1, len(ws) - {k - 2}), i -> {gram}) END AS gs "
+        "FROM hv), "
+        "grams AS (SELECT DISTINCT unnest(gs) AS g FROM gsel) "
+        "SELECT DISTINCT CAST((CAST(g % " + str(P32) + " AS BIGINT) "
+        "+ s.i * (CAST(g // " + str(P32) + " AS BIGINT) | 1)) "
+        f"% {m_bits} AS BIGINT) AS bit_idx "
+        f"FROM grams CROSS JOIN (VALUES {salts}) s(i)"
     )
 
 
@@ -1304,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM chunks"
         ),
         "decontaminate": _decon_sql(),
+        "decontam_bloom_bits": _bloom_bits_sql(),
         "repeated_ngrams": (
             # cross-doc repeated 8-gram spans: string grams == the engine's
             # 64-bit gram hashes up to ~2^-64 collisions (decon contract);

@@ -2358,6 +2358,69 @@ def hash_embed(sf_dir: str, dim: int = 64) -> rd.Dataset:
 
     return _read_docs(sf_dir).map_batches(embed, batch_format="pandas")
 
+def _bloom_bit_idxs(h: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, n_hashes) bit indices via double hashing on the 64-bit gram
+    hash's two 32-bit halves (deterministic, vectorized)."""
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _bench_gram_bloom(sf_dir: str, bench_pct: int, k: int,
+                      m_bits: int, n_hashes: int) -> np.ndarray:
+    """The merged bench-gram bloom bitmap as uint64 words: every block
+    folds its bench docs' gram hashes into a local bitmap, the driver
+    OR-merges (associative/commutative — any reduction topology gives
+    identical bits). Shared by ``decontaminate_bloom`` (the probe) and
+    ``decontam_bloom_bits`` (the state-verification view)."""
+    thresh = (bench_pct << 32) // 100
+    words = m_bits // 64
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        bench = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thresh
+             for d in ids),
+            dtype=bool, count=len(ids),
+        )
+        bits = np.zeros(words, dtype=np.uint64)
+        shs = _kgram_hashes_batch(
+            [t for t, b in zip(batch["text"].to_pylist(), bench) if b], k=k
+        )
+        if shs:
+            h = np.concatenate(shs).astype(np.uint64)
+            if len(h):
+                idx = _bloom_bit_idxs(h, m_bits, n_hashes).ravel()
+                np.bitwise_or.at(bits, idx // 64, np.uint64(1) << (idx % 64).astype(np.uint64))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(block_bitmap, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    bloom = np.zeros(words, dtype=np.uint64)
+    for b in parts:
+        for raw in b["bitmap"].to_pylist():
+            bloom |= np.frombuffer(raw, dtype=np.uint64)
+    return bloom
+
+
+def decontam_bloom_bits(sf_dir: str, bench_pct: int = 10, k: int = 8,
+                        m_bits: int = 1 << 20, n_hashes: int = 4) -> pa.Table:
+    """The decontamination screen's bloom STATE as set-bit positions —
+    deterministic integers, hash-verified vs a DuckDB recomputation (the
+    sketch-family contract: estimators/probes stay approximate by design,
+    the state is exact). Bit order: index b of word w is global position
+    w*64 + b (little-endian unpack matches the ``1 << (idx % 64)`` set)."""
+    bloom = _bench_gram_bloom(sf_dir, bench_pct=bench_pct, k=k,
+                              m_bits=m_bits, n_hashes=n_hashes)
+    bits = np.unpackbits(bloom.view(np.uint8), bitorder="little")
+    return pa.table({"bit_idx": pa.array(np.nonzero(bits)[0].astype(np.int64))})
+
+
 def decontaminate_bloom(
     sf_dir: str, bench_pct: int = 10, k: int = 8,
     m_bits: int = 1 << 20, n_hashes: int = 4,
@@ -2376,7 +2439,6 @@ def decontaminate_bloom(
     import ray
 
     thresh = (bench_pct << 32) // 100
-    words = m_bits // 64
 
     def _is_bench(ids) -> np.ndarray:
         return np.fromiter(
@@ -2386,37 +2448,10 @@ def decontaminate_bloom(
         )
 
     def _idxs(h: np.ndarray) -> np.ndarray:
-        """(n, n_hashes) bit indices via double hashing on the 64-bit gram
-        hash's two 32-bit halves (deterministic, vectorized)."""
-        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-        h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
-        i = np.arange(n_hashes, dtype=np.uint64)
-        return ((h1[:, None] + i[None, :] * h2[:, None])
-                % np.uint64(m_bits)).astype(np.int64)
+        return _bloom_bit_idxs(h, m_bits, n_hashes)
 
-    def block_bitmap(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        bench = _is_bench(ids)
-        bits = np.zeros(words, dtype=np.uint64)
-        shs = _kgram_hashes_batch(
-            [t for t, b in zip(batch["text"].to_pylist(), bench) if b], k=k
-        )
-        if shs:
-            h = np.concatenate(shs).astype(np.uint64)
-            if len(h):
-                idx = _idxs(h).ravel()
-                np.bitwise_or.at(bits, idx // 64, np.uint64(1) << (idx % 64).astype(np.uint64))
-        return pa.table({"bitmap": pa.array([bits.tobytes()], type=pa.binary())})
-
-    parts = (
-        _read_docs(sf_dir)
-        .map_batches(block_bitmap, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    )
-    bloom = np.zeros(words, dtype=np.uint64)
-    for b in parts:
-        for raw in b["bitmap"].to_pylist():
-            bloom |= np.frombuffer(raw, dtype=np.uint64)
+    bloom = _bench_gram_bloom(sf_dir, bench_pct=bench_pct, k=k,
+                              m_bits=m_bits, n_hashes=n_hashes)
     bloom_ref = ray.put(bloom)
 
     def probe(batch: pa.Table) -> pa.Table:

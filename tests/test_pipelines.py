@@ -831,6 +831,34 @@ def test_repeated_ngrams_equals_bruteforce():
     } == want
 
 
+def test_decontam_bloom_bits_cover_every_bench_gram():
+    """State-level no-false-negative proof: every gram of every BENCH doc
+    maps to n_hashes positions that are ALL set in the exposed bitmap, and
+    the bitmap holds no more bits than 4x the distinct gram count."""
+    import hashlib as _hl
+
+    from spiderman_ray.pipelines.text import (
+        _bloom_bit_idxs,
+        _kgram_hashes_batch,
+        decontam_bloom_bits,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bits = set(decontam_bloom_bits(sf)["bit_idx"].to_pylist())
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    thresh = (10 << 32) // 100
+    bench = docs[
+        docs["doc_id"].map(
+            lambda d: int(_hl.md5(str(d).encode()).hexdigest()[:8], 16) < thresh
+        )
+    ]
+    assert len(bench)
+    grams = np.unique(np.concatenate(_kgram_hashes_batch(bench["text"].tolist())))
+    idxs = _bloom_bit_idxs(grams.astype(np.uint64), 1 << 20, 4)
+    assert set(idxs.ravel().tolist()) == bits  # exactly the bench bits
+    assert len(bits) <= 4 * len(grams)
+
+
 def test_remove_repeated_spans_equals_bruteforce():
     """Engine clean_text == a driver recompute: token j is dropped iff a
     gram repeated across >= 2 distinct docs starts at i <= j < i+8; short
