@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": lambda sf: T.repetition_stats(sf),
         # CCNet-shape unigram LM quality (integer log2 corpus counts)
         "unigram_quality": lambda sf: T.unigram_quality(sf),
+        # KenLM-shape bigram LM quality (integer pointwise log2 ratios,
+        # sharded by conditioning context w1 — no vocabulary broadcast)
+        "bigram_quality": lambda sf: T.bigram_quality(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1284,6 +1287,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(tf.tf * (length(bin(ct.c)) - 1)) AS BIGINT) AS logcount2_sum, "
             "CAST(SUM(tf.tf) AS BIGINT) AS n_tokens "
             "FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id"
+        ),
+        "bigram_quality": (
+            # pointwise integer log-ratio floor(log2 c(w1,w2)) -
+            # floor(log2 C(w1)); bigrams zipped over the FILTERED token
+            # list, so adjacency matches the engine's post-filter shift
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, unnest(list_zip(toks[1:length(toks)-1], "
+            "toks[2:length(toks)])) AS z FROM t), "
+            "bf AS (SELECT doc_id, z[1] AS w1, z[2] AS w2, COUNT(*) AS tf "
+            "FROM p GROUP BY ALL), "
+            "cw AS (SELECT w1, w2, SUM(tf) AS c12 FROM bf GROUP BY w1, w2), "
+            "c1 AS (SELECT w1, SUM(tf) AS c1 FROM bf GROUP BY w1) "
+            "SELECT bf.doc_id, "
+            "CAST(SUM(bf.tf * ((length(bin(cw.c12)) - 1) - "
+            "(length(bin(c1.c1)) - 1))) AS BIGINT) AS logratio2_sum, "
+            "CAST(SUM(bf.tf) AS BIGINT) AS n_bigrams "
+            "FROM bf JOIN cw USING (w1, w2) JOIN c1 USING (w1) "
+            "GROUP BY bf.doc_id"
         ),
         "quality_buckets": (
             # per-token integer score over the unigram_quality CTEs, then

@@ -176,6 +176,7 @@ def run_bench() -> dict:
         ("cdc_dedup", lambda: T.cdc_dedup(SF_DIR).count()),
         ("repeated_ngrams", lambda: T.repeated_ngrams(SF_DIR).count()),
         ("trending_events", lambda: R.trending_events(SF_DIR).count()),
+        ("bigram_quality", lambda: T.bigram_quality(SF_DIR).count()),
         ("curate", lambda: T.curate(SF_DIR).count()),
         ("knn_graph", lambda: V.knn_graph(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),

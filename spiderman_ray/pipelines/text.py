@@ -2290,6 +2290,81 @@ def unigram_quality(sf_dir: str) -> rd.Dataset:
         .map_groups(per_doc, batch_format="pandas")
     )
 
+def bigram_quality(sf_dir: str) -> rd.Dataset:
+    """KenLM-shape bigram LM quality signal per document: the sum over the
+    doc's bigram occurrences of the integer pointwise log-ratio
+    floor(log2 c(w1,w2)) - floor(log2 C(w1)), where c(w1,w2) is the corpus
+    bigram count and C(w1) = sum_w c(w1,w) is the bigram-context count —
+    the exact-integer stand-in for sum log2 P(w2|w1) under a bigram MLE
+    (a real system loads a KenLM here; the distributed shape is
+    identical). Sharding is by **w1** (the conditioning context): inside a
+    w1-shard BOTH c(w1,w2) and C(w1) are complete, so one exchange prices
+    every bigram where its context lives — no vocabulary broadcast, the
+    ``unigram_quality``/tf-idf token-space pattern. Contributions re-shard
+    by doc_id and sum. floor(log2) = bit_length - 1 on both sides (numpy
+    frexp / DuckDB length(bin(c))), so the driver gate hash-verifies the
+    scores exactly. Docs with < 2 tokens have no bigrams and emit no row
+    (matching the SQL's empty zip). Output:
+    (doc_id, logratio2_sum, n_bigrams)."""
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), index=batch["doc_id"].to_pylist())
+        toks = s.str.split(" ").explode()
+        toks = toks[toks != ""]
+        df = pd.DataFrame({"w1": toks})
+        # adjacency over the FILTERED token list (the SQL zips after
+        # list_filter): next token within the same doc, last token drops
+        df["w2"] = df.groupby(level=0)["w1"].shift(-1)
+        df = df[df["w2"].notna()]
+        tc = df.groupby([df.index, "w1", "w2"], sort=False).size()
+        dids = tc.index.get_level_values(0).to_numpy(dtype=np.int64)
+        w1 = tc.index.get_level_values(1).to_numpy(dtype=object)
+        w2 = tc.index.get_level_values(2).to_numpy(dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string()),
+                "tf": pa.array(tc.to_numpy().astype(np.int64)),
+                "_w1shard": pa.array(_shard64_of(list(w1))),
+            }
+        )
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        c12 = g.groupby(["w1", "w2"], sort=False)["tf"].transform("sum").to_numpy()
+        c1 = g.groupby("w1", sort=False)["tf"].transform("sum").to_numpy()
+        _, e12 = np.frexp(c12.astype(np.float64))  # bit_length, exact < 2^53
+        _, e1 = np.frexp(c1.astype(np.float64))
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "c": tf * (e12.astype(np.int64) - e1.astype(np.int64)),
+                "n": tf,
+            }
+        )
+        out["_dshard"] = _shard64_of(list(out["doc_id"]))
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False)[["c", "n"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "logratio2_sum": agg["c"].astype("int64"),
+                "n_bigrams": agg["n"].astype("int64"),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("_w1shard")
+        .map_groups(contrib, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
 def curate_full(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10,
                 threshold: float = 0.6,
                 driver_pair_cap: int = 2_000_000) -> rd.Dataset:

@@ -1631,6 +1631,39 @@ def test_unigram_quality_equals_direct_recompute():
     want = pd.DataFrame(rows, columns=["doc_id", "logcount2_sum", "n_tokens"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+def test_bigram_quality_equals_direct_recompute():
+    """Bigram-LM quality: per-doc sum of tf * (floor(log2 c(w1,w2)) -
+    floor(log2 C(w1))) matches a single-process Counter recompute, and
+    docs with < 2 tokens emit no row."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.text import bigram_quality
+
+    sf = "/root/testdata/sf0.001"
+    got = bigram_quality(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    c12 = Counter()
+    c1 = Counter()
+    per_doc = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = [w for w in t.split(" ") if w]
+        bgs = list(zip(toks[:-1], toks[1:]))
+        if bgs:
+            per_doc[d] = Counter(bgs)
+            c12.update(bgs)
+            c1.update(w1 for w1, _ in bgs)
+    rows = []
+    for d in sorted(per_doc):
+        s = sum(
+            tf * ((c12[bg].bit_length() - 1) - (c1[bg[0]].bit_length() - 1))
+            for bg, tf in per_doc[d].items()
+        )
+        n = sum(per_doc[d].values())
+        rows.append((d, s, n))
+    want = pd.DataFrame(rows, columns=["doc_id", "logratio2_sum", "n_bigrams"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
 def test_curate_full_removes_exactly_the_dominated_near_dups():
     from spiderman_ray.pipelines.text import curate, curate_full, minhash_loser_ids
 
