@@ -145,6 +145,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_caption_align(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.multimodal import caption_align
+
+        return caption_align(os.path.join(_crawl_out("t1"), "tables", "images"))
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -275,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal curation flagship: decode gate + caption gates +
         # exact + perceptual dedup in one streaming manifest
         "crawl_curate_images": crawl_curate_images,
+        # CLIP-stub caption<->image alignment scores (actor-pool dual
+        # encoder; deterministic feature-hash/grid-mean stub model)
+        "crawl_caption_align": crawl_caption_align,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -792,6 +800,20 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
          "mean_r_x1000": "BIGINT", "mean_g_x1000": "BIGINT",
          "mean_b_x1000": "BIGINT"},
+    )
+    # caption<->image alignment: sequential recompute with the SHARED
+    # CLIP-stub encoders over the ORACLE's image rows (same independence
+    # argument as crawl_thumbnails — the distributed actor pool must
+    # deliver exactly what a single-process loop over the oracle does)
+    from spiderman_ray.functions.alignment import align_score_x1e6
+
+    align_rows = [
+        {"image_id": r["image_id"],
+         "align_x1e6": align_score_x1e6(decode_image(r["bytes"]), r["caption"])}
+        for r in o.images
+    ]
+    out["crawl_caption_align"] = _values_sql(
+        align_rows, {"image_id": "VARCHAR", "align_x1e6": "BIGINT"}
     )
     # phash near-dup pairs, brute force over the oracle's image table
     uniq: dict[str, int] = {}

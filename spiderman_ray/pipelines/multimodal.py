@@ -174,6 +174,62 @@ def thumbnails(images_uri: str, size: int = 32, concurrency: int = 4) -> rd.Data
     )
 
 
+#: Contract for caption<->image alignment scoring.
+CAPTION_ALIGN = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("align_x1e6", pa.int64()),
+    ]
+)
+
+
+class CaptionAlign:
+    """Actor-pool stage: CLIP-stub dual-encoder alignment scoring over
+    input_hint-shaped rows (bytes + caption in the same row — the
+    image+caption-pairs table the north rule names). The encoder pair is
+    bound once per actor here; a REAL dual encoder (CLIP et al.) is a
+    one-line swap of ``self._score`` plus a weights load — the schema,
+    batching and integerization contract stay identical
+    (functions/alignment.py)."""
+
+    def __init__(self):
+        from spiderman_ray.functions.alignment import align_score_x1e6
+
+        self._score = align_score_x1e6
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        scores = [
+            self._score(decode_image(data), cap)
+            for data, cap in zip(
+                batch["bytes"].to_pylist(), batch["caption"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "align_x1e6": pa.array(scores, pa.int64()),
+            },
+        ).cast(CAPTION_ALIGN)
+
+
+def caption_align(images_uri: str, concurrency: int = 4) -> rd.Dataset:
+    """Caption<->image alignment score per image row — the filter signal a
+    multimodal curation pass thresholds on (LAION-style cosine gating).
+    Columns pruned at the read; wide binary rows -> small batches."""
+    from spiderman_ray.pipelines import pool_size
+
+    return read_dataset(
+        images_uri, columns=["image_id", "bytes", "caption"]
+    ).map_batches(
+        CaptionAlign,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
 class AudioFeatures:
     """Actor-pool stage: per-clip features (duration, rms, frame count).
 

@@ -64,6 +64,36 @@ def test_decode_validate_all_ok(images_table):
     assert out["n_w_bad"] == [0] and out["n_h_bad"] == [0] and out["n_phash_bad"] == [0]
 
 
+def test_caption_align_matches_sequential_and_embed_contract(images_table):
+    """CLIP-stub alignment: the actor-pool stage equals a single-process
+    recompute with the shared scoring function; embeddings are unit-norm
+    float32 (or exactly zero for empty captions, scoring floor(0)=0)."""
+    import numpy as np
+
+    from spiderman_ray.functions.alignment import (
+        align_score_x1e6,
+        caption_embed,
+        image_embed,
+    )
+    from spiderman_ray.functions.imaging import decode_image, generate_pixels
+    from spiderman_ray.pipelines.multimodal import caption_align
+
+    got = caption_align(images_table).to_pandas().set_index("image_id")["align_x1e6"]
+    src = pq.read_table(images_table).to_pylist()
+    assert len(got) == len(src)
+    for r in src:
+        assert got[r["image_id"]] == align_score_x1e6(
+            decode_image(r["bytes"]), r["caption"]
+        )
+
+    px = generate_pixels("align-unit", 32, 32)
+    for v in (image_embed(px), caption_embed("some caption words")):
+        assert v.dtype == np.float32 and abs(float(np.dot(v, v)) - 1.0) < 1e-5
+    z = caption_embed("")
+    assert z.dtype == np.float32 and not z.any()
+    assert align_score_x1e6(px, "") == 0
+
+
 def test_phash_near_dups_finds_planted_pair(images_table):
     from spiderman_ray.pipelines.images import phash_near_dups
 
