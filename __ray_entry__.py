@@ -353,6 +353,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KenLM-shape bigram LM quality (integer pointwise log2 ratios,
         # sharded by conditioning context w1 — no vocabulary broadcast)
         "bigram_quality": lambda sf: T.bigram_quality(sf),
+        # iterative link analysis: integer fixed-point PageRank, 5
+        # synchronous supersteps of 2 bounded exchanges each (ranks
+        # materialized per superstep; edges materialized once)
+        "pagerank": lambda sf: __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).pagerank(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1310,6 +1316,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(tf.tf) AS BIGINT) AS n_tokens "
             "FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id"
         ),
+        "pagerank": __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).pagerank_oracle_sql(),
         "bigram_quality": (
             # pointwise integer log-ratio floor(log2 c(w1,w2)) -
             # floor(log2 C(w1)); bigrams zipped over the FILTERED token

@@ -177,6 +177,9 @@ def run_bench() -> dict:
         ("repeated_ngrams", lambda: T.repeated_ngrams(SF_DIR).count()),
         ("trending_events", lambda: R.trending_events(SF_DIR).count()),
         ("bigram_quality", lambda: T.bigram_quality(SF_DIR).count()),
+        ("pagerank", lambda: __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).pagerank(SF_DIR).count()),
         ("curate", lambda: T.curate(SF_DIR).count()),
         ("knn_graph", lambda: V.knn_graph(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),

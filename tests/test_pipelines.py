@@ -1661,6 +1661,38 @@ def test_unigram_quality_equals_direct_recompute():
     want = pd.DataFrame(rows, columns=["doc_id", "logcount2_sum", "n_tokens"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+def test_pagerank_equals_python_power_iteration():
+    """Integer fixed-point PageRank: the distributed supersteps equal a
+    single-process power iteration exactly (integer ops are associative,
+    so any partitioning gives the identical vector), and the total mass
+    stays within floor-loss of 1.0."""
+    from spiderman_ray.pipelines.graph import PR_MULT, PR_SCALE, pagerank
+
+    sf = "/root/testdata/sf0.001"
+    got = pagerank(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    n = len(pq.read_table(sf + "/documents.parquet", columns=["doc_id"]))
+    edges: dict[int, list[int]] = {}
+    for src in range(n):
+        outs = []
+        for s in range(1, 2 + src % 4):
+            d = (src * PR_MULT + s) % n
+            outs.append((d + 1) % n if d == src else d)
+        edges[src] = outs
+    r = [PR_SCALE // n] * n
+    teleport = 15 * (PR_SCALE // n)
+    for _ in range(5):
+        acc = [0] * n
+        for src, outs in edges.items():
+            c = r[src] // len(outs)
+            for d in outs:
+                acc[d] += c
+        r = [(teleport + 85 * a) // 100 for a in acc]
+    assert got["doc_id"].tolist() == list(range(n))
+    assert got["rank_x1e12"].tolist() == r
+    assert 0 <= PR_SCALE - got["rank_x1e12"].sum() < 100 * n
+
+
 def test_bigram_quality_equals_direct_recompute():
     """Bigram-LM quality: per-doc sum of tf * (floor(log2 c(w1,w2)) -
     floor(log2 C(w1))) matches a single-process Counter recompute, and
