@@ -359,6 +359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).pagerank(sf),
+        # multi-way self-join family: per-vertex triangle participation
+        # (wedge enumeration + edge-pair-shard close, 4 bounded exchanges)
+        "triangle_counts": lambda sf: __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).triangle_counts(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1319,6 +1324,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).pagerank_oracle_sql(),
+        "triangle_counts": __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).triangle_counts_oracle_sql(),
         "bigram_quality": (
             # pointwise integer log-ratio floor(log2 c(w1,w2)) -
             # floor(log2 C(w1)); bigrams zipped over the FILTERED token

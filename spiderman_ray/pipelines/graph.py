@@ -182,6 +182,158 @@ def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
     return ranks.map_batches(rename, batch_format="pyarrow")
 
 
+def triangle_counts(sf_dir: str) -> rd.Dataset:
+    """Per-vertex triangle participation over the undirected synthetic
+    graph — the multi-way self-join family. Four bounded exchanges:
+
+    1. canonicalize + dedup edges (a = min, b = max) by edge-pair shard,
+    2. group the adjacency by shard(a) and enumerate each vertex's
+       out-neighbor pairs (b < c) — wedges, vectorized via the triu
+       machinery's run-length shape (per-vertex pandas enumeration here;
+       id-ordering matches the SQL oracle's a < b < c contract; the
+       degree-orientation variant bounds hub fan-out at real scale),
+    3. close wedges against the edge set: co-partition wedges with edges
+       by hash of the (b, c) pair (the union-shard bucketed-join shape),
+    4. explode each triangle's three ids and fold per-vertex counts.
+
+    Output (doc_id, n_triangles), only vertices in >= 1 triangle —
+    exactly the SQL's three-way self-join + unnest + group count."""
+    n = _read_docs(sf_dir, columns=("doc_id",)).count()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy().astype(np.int64)
+        dst = batch["dst"].to_numpy().astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "_eshard": pa.array(_shard64_of((a * n + b).tolist())),
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]].assign(
+            _ashard=lambda d: _shard64_of(d["a"].tolist())
+        )
+
+    edges = (
+        pagerank_edges(sf_dir, n)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("_eshard")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for a, grp in g.groupby("a", sort=False):
+            nb = np.sort(grp["b"].to_numpy(dtype=np.int64))
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            out_a.append(np.full(len(i), a, dtype=np.int64))
+            out_b.append(nb[i])
+            out_c.append(nb[j])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": [], "b": [], "c": [], "_pshard": []}, dtype=np.int64
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        return pd.DataFrame(
+            {"a": a, "b": b, "c": c, "_pshard": _shard64_of((b * n + c).tolist())}
+        )
+
+    def edges_as_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # pandas out, to match the wedge stage's block type (a union of
+        # mixed arrow/pandas blocks breaks the sort's boundary sampling)
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        z = np.zeros(len(a), dtype=np.int64) - 1  # edge-marker apex
+        return pd.DataFrame(
+            {"a": z, "b": a, "c": b, "_pshard": _shard64_of((a * n + b).tolist())}
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["a"].to_numpy() == -1
+        ew = g[is_edge]
+        wd = g[~is_edge]
+        if not len(wd) or not len(ew):
+            return pd.DataFrame({"v": []}, dtype=np.int64)
+        ekeys = set(
+            (ew["b"].to_numpy(dtype=np.int64) * n + ew["c"].to_numpy(dtype=np.int64)).tolist()
+        )
+        wkeys = wd["b"].to_numpy(dtype=np.int64) * n + wd["c"].to_numpy(dtype=np.int64)
+        hit = np.isin(wkeys, np.fromiter(ekeys, dtype=np.int64, count=len(ekeys)))
+        tri = wd[hit]
+        v = np.concatenate(
+            [
+                tri["a"].to_numpy(dtype=np.int64),
+                tri["b"].to_numpy(dtype=np.int64),
+                tri["c"].to_numpy(dtype=np.int64),
+            ]
+        )
+        return pd.DataFrame({"v": v})
+
+    def per_vertex(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("v", sort=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": agg.index.to_numpy(dtype=np.int64),
+                "n_triangles": agg.to_numpy().astype(np.int64),
+            }
+        )
+
+    tri_members = (
+        edges.groupby("_ashard")
+        .map_groups(wedges, batch_format="pandas")
+        .union(edges.map_batches(edges_as_pairs, batch_format="pandas"))
+        .groupby("_pshard")
+        .map_groups(close, batch_format="pandas")
+    )
+
+    def vshard(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy().astype(np.int64)
+        if not len(v):  # hash64 on an empty key list has no defined shape
+            return pa.table(
+                {"v": pa.array([], pa.int64()), "_vshard": pa.array([], pa.int64())}
+            )
+        return pa.table({"v": pa.array(v), "_vshard": pa.array(_shard64_of(v.tolist()))})
+
+    return (
+        tri_members.map_batches(vshard, batch_format="pyarrow")
+        .groupby("_vshard")
+        .map_groups(per_vertex, batch_format="pandas")
+    )
+
+
+def triangle_counts_oracle_sql() -> str:
+    """Exact three-way self-join over the canonical undirected edges of
+    the identical synthetic graph, then unnest the three member ids."""
+    return (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents), "
+        "nd AS (SELECT doc_id FROM documents), "
+        "ed AS (SELECT doc_id AS src, "
+        "unnest(range(1, CAST(2 + doc_id % 4 AS INT))) AS s FROM nd), "
+        "e0 AS (SELECT src, CASE WHEN (src * 2654435761 + s) % nn.n = src "
+        "THEN ((src * 2654435761 + s) % nn.n + 1) % nn.n "
+        "ELSE (src * 2654435761 + s) % nn.n END AS dst FROM ed, nn), "
+        "ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e0 WHERE src <> dst), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ue e1 "
+        "JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "m AS (SELECT unnest([x, y, z]) AS doc_id FROM tri) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM m GROUP BY doc_id"
+    )
+
+
 def pagerank_oracle_sql(iters: int = 5) -> str:
     """The identical integer supersteps unrolled as DuckDB CTEs."""
     s = PR_SCALE

@@ -1693,6 +1693,44 @@ def test_pagerank_equals_python_power_iteration():
     assert 0 <= PR_SCALE - got["rank_x1e12"].sum() < 100 * n
 
 
+def test_triangle_counts_equals_bruteforce():
+    """Per-vertex triangle participation equals a single-process
+    brute-force enumeration over the same canonical undirected graph."""
+    from collections import Counter
+    from itertools import combinations
+
+    from spiderman_ray.pipelines.graph import PR_MULT, triangle_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        triangle_counts(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    n = len(pq.read_table(sf + "/documents.parquet", columns=["doc_id"]))
+    ue = set()
+    for src in range(n):
+        for s in range(1, 2 + src % 4):
+            d = (src * PR_MULT + s) % n
+            d = (d + 1) % n if d == src else d
+            ue.add((min(src, d), max(src, d)))
+    adj: dict[int, set] = {}
+    for a, b in ue:
+        adj.setdefault(a, set()).add(b)
+    members = Counter()
+    for a, nbrs in adj.items():
+        for b, c in combinations(sorted(nbrs), 2):
+            if (b, c) in ue:
+                members.update((a, b, c))
+    want = pd.DataFrame(
+        sorted(members.items()), columns=["doc_id", "n_triangles"]
+    )
+    assert len(want) > 0  # the synthetic graph must actually close triangles
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_bigram_quality_equals_direct_recompute():
     """Bigram-LM quality: per-doc sum of tf * (floor(log2 c(w1,w2)) -
     floor(log2 C(w1))) matches a single-process Counter recompute, and
