@@ -102,6 +102,27 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Compact a table's small per-task parts (one content-keyed part per
+    gen= partition; idempotent; crash-repairing). See compact.py."""
+    ray = _ray_session()
+    from spiderman_ray.compact import compact_table
+
+    tables = (
+        [args.table]
+        if args.table != "all"
+        else sorted(os.listdir(os.path.join(args.out, "tables")))
+    )
+    out = {t: compact_table(args.out, t) for t in tables}
+    print(json.dumps({
+        t: {"compacted": sum(r["action"] == "compacted" for r in res),
+            "skipped": sum(r["action"] == "skip" for r in res)}
+        for t, res in out.items()
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """Datafile-sink parity (SP/pipelines/pipelines_datafile.py): dump a
     crawled table as csv/parquet for debugging."""
@@ -269,6 +290,13 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate", help="decode/validate an images table")
     v.add_argument("--images", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    cp = sub.add_parser(
+        "compact", help="merge small per-task parts (one part per gen= dir)"
+    )
+    cp.add_argument("--out", required=True, help="crawl output dir")
+    cp.add_argument("--table", default="all")
+    cp.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("export", help="export a crawled table to csv/parquet")
     e.add_argument("--out", required=True, help="crawl output dir")

@@ -1,0 +1,115 @@
+"""Small-file compaction: content preservation, idempotency, crash repair."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _make_store(tmp_path, n_parts=4, rows_per_part=100):
+    """A tables/pages store with one gen= partition split into small parts
+    (what a many-task generation leaves behind)."""
+    gen_dir = os.path.join(str(tmp_path), "tables", "pages", "gen=0")
+    os.makedirs(gen_dir)
+    for p in range(n_parts):
+        t = pa.table(
+            {
+                "seq": pa.array(range(p * rows_per_part, (p + 1) * rows_per_part), pa.int64()),
+                "title": pa.array([f"row-{p}-{i}" for i in range(rows_per_part)]),
+            }
+        )
+        pq.write_table(t, os.path.join(gen_dir, f"part-g0-{p:016x}.parquet"))
+    return str(tmp_path), gen_dir
+
+
+def _read_all(gen_dir):
+    parts = sorted(f for f in os.listdir(gen_dir) if f.endswith(".parquet"))
+    t = pa.concat_tables([pq.read_table(os.path.join(gen_dir, f)) for f in parts])
+    return t.sort_by("seq")
+
+
+def test_compact_preserves_rows_and_is_idempotent(tmp_path):
+    from spiderman_ray.compact import compact_table
+
+    out, gen_dir = _make_store(tmp_path)
+    before = _read_all(gen_dir)
+    res = compact_table(out, "pages")
+    assert [r["action"] for r in res] == ["compacted"]
+    parts = [f for f in os.listdir(gen_dir) if f.endswith(".parquet")]
+    assert len(parts) == 1 and "compact" in parts[0]
+    assert _read_all(gen_dir).equals(before)
+
+    # second run: single-part partitions are skipped untouched
+    res2 = compact_table(out, "pages")
+    assert [r["action"] for r in res2] == ["skip"]
+    assert _read_all(gen_dir).equals(before)
+
+
+def test_compact_repair_rolls_forward_and_back(tmp_path):
+    from spiderman_ray.compact import compact_partition, repair_partitions
+
+    out, gen_dir = _make_store(tmp_path)
+    before = _read_all(gen_dir)
+    table_dir = os.path.dirname(gen_dir)
+
+    # crash BEFORE the swap: complete stage, live dir intact -> stage dropped
+    stage = gen_dir + ".compact"
+    os.makedirs(stage)
+    pq.write_table(_read_all(gen_dir), os.path.join(stage, "part-g0-compact-x.parquet"))
+    assert repair_partitions(table_dir) == ["gen=0.compact"]
+    assert not os.path.isdir(stage) and _read_all(gen_dir).equals(before)
+
+    # crash MID-swap: live moved aside, stage complete -> rolled forward
+    os.makedirs(stage)
+    pq.write_table(before, os.path.join(stage, "part-g0-compact-x.parquet"))
+    os.replace(gen_dir, gen_dir + ".old")
+    repair_partitions(table_dir)
+    assert not os.path.isdir(stage) and not os.path.isdir(gen_dir + ".old")
+    assert _read_all(gen_dir).equals(before)
+    assert len([f for f in os.listdir(gen_dir) if f.endswith(".parquet")]) == 1
+
+    # crash AFTER the swap (backup not yet deleted) -> backup dropped
+    shutil.copytree(gen_dir, gen_dir + ".old")
+    repair_partitions(table_dir)
+    assert not os.path.isdir(gen_dir + ".old") and _read_all(gen_dir).equals(before)
+
+    # empty stage (crashed while writing) + live intact -> rolled back
+    os.makedirs(stage)
+    open(os.path.join(stage, "part-g0-compact-y.parquet.tmp"), "wb").close()
+    repair_partitions(table_dir)
+    assert not os.path.isdir(stage) and _read_all(gen_dir).equals(before)
+
+    # compact_partition on the repaired single-part partition: skip
+    assert compact_partition(gen_dir)["action"] == "skip"
+
+
+def test_compact_crawl_store_roundtrip(tmp_path):
+    """Split a real t1 crawl's pages partition into many parts, compact via
+    the CLI path, and assert the resume readers see identical content."""
+    import ray
+
+    from spiderman_ray.compact import compact_table
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.simweb import SimParams
+
+    assert ray.is_initialized()
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(SimParams.for_scale("t1"), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+
+    before = read_table_all_gens(out, "pages").sort_by("seq")
+    gen_dir = os.path.join(out, "tables", "pages", "gen=0")
+    parts = [f for f in os.listdir(gen_dir) if f.endswith(".parquet")]
+    full = pq.read_table(os.path.join(gen_dir, parts[0]))
+    for f in parts:
+        os.remove(os.path.join(gen_dir, f))
+    for i in range(0, full.num_rows):  # one row per part: worst case
+        pq.write_table(full.slice(i, 1), os.path.join(gen_dir, f"part-g0-{i:016x}.parquet"))
+
+    res = compact_table(out, "pages")
+    by_dir = {os.path.basename(r["dir"]): r["action"] for r in res}
+    assert by_dir["gen=0"] == "compacted"
+    after = read_table_all_gens(out, "pages").sort_by("seq")
+    assert after.equals(before)
