@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).triangle_counts(sf),
+        # generic min-label connected components (label propagation to the
+        # fixpoint, O(1) driver convergence probe — no label-map broadcast)
+        "connected_components": lambda sf: __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).connected_components(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1327,6 +1332,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).triangle_counts_oracle_sql(),
+        "connected_components": __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).connected_components_oracle_sql(),
         "bigram_quality": (
             # pointwise integer log-ratio floor(log2 c(w1,w2)) -
             # floor(log2 C(w1)); bigrams zipped over the FILTERED token

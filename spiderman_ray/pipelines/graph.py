@@ -312,6 +312,142 @@ def triangle_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
+def connected_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
+    """Min-label connected components over the undirected synthetic graph
+    — the generic sibling of the dedup family's component machinery
+    (text._cc_losers / images._phash_member_clusters_ds label the
+    MinHash/pHash pair graphs; this labels an explicit edge table).
+
+    Synchronous label propagation: every vertex starts as its own label;
+    each superstep co-partitions edges with current labels by shard(src)
+    (labels priced where the vertex lives — no label-map broadcast),
+    sends each vertex's label across its edges both ways, and folds
+    min(own, incoming) per vertex. Converges in O(component diameter)
+    supersteps; the loop stops when a superstep changes nothing (the
+    change count is an O(1) driver aggregate, not a collect). Integer
+    min is associative — bit-identical for any partitioning. Output:
+    (doc_id, component) with component = min doc_id reachable."""
+    n = _read_docs(sf_dir, columns=("doc_id",)).count()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy().astype(np.int64)
+        dst = batch["dst"].to_numpy().astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # both directions: label flows each way along an undirected edge
+        a = np.concatenate([src, dst])
+        b = np.concatenate([dst, src])
+        return pa.table(
+            {
+                "key": pa.array(a),
+                "dst": pa.array(b),
+                "lbl": pa.array(np.zeros(len(a), dtype=np.int64)),
+                "_is_lbl": pa.array(np.zeros(len(a), dtype=bool)),
+                "_shard": pa.array(_shard64_of(a.tolist())),
+            }
+        )
+
+    edges = pagerank_edges(sf_dir, n).map_batches(
+        canon, batch_format="pyarrow"
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        v = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(v), "lbl": pa.array(v)})
+
+    labels = (
+        _read_docs(sf_dir, columns=("doc_id",))
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def labels_marked(batch: pa.Table) -> pa.Table:
+        v = batch["node"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(v),
+                "dst": pa.array(v),  # self-message keeps the own label
+                "lbl": batch["lbl"],
+                "_is_lbl": pa.array(np.ones(len(v), dtype=bool)),
+                "_shard": pa.array(_shard64_of(v.tolist())),
+            }
+        )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        is_lbl = g["_is_lbl"].to_numpy()
+        lb = g[is_lbl]
+        ed = g[~is_lbl]
+        out_dst = [lb["dst"].to_numpy(dtype=np.int64)]
+        out_lbl = [lb["lbl"].to_numpy(dtype=np.int64)]
+        if len(ed):
+            m = ed.drop(columns=["lbl"]).merge(
+                lb[["key", "lbl"]], on="key", how="left", sort=False
+            )
+            out_dst.append(m["dst"].to_numpy(dtype=np.int64))
+            out_lbl.append(m["lbl"].to_numpy(dtype=np.int64))
+        dst = np.concatenate(out_dst)
+        lbl = np.concatenate(out_lbl)
+        return pd.DataFrame(
+            {"dst": dst, "lbl": lbl, "_dshard": _shard64_of(dst.tolist())}
+        )
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("dst", sort=False)["lbl"].min()
+        return pd.DataFrame(
+            {
+                "node": agg.index.to_numpy(dtype=np.int64),
+                "lbl": agg.to_numpy(dtype=np.int64),
+            }
+        )
+
+    for _ in range(max_iters):
+        nxt = (
+            edges.union(labels.map_batches(labels_marked, batch_format="pyarrow"))
+            .groupby("_shard")
+            .map_groups(send, batch_format="pandas")
+            .groupby("_dshard")
+            .map_groups(fold_min, batch_format="pandas")
+            .materialize()
+        )
+        # O(1) convergence probe: total label mass strictly decreases
+        # until the fixpoint (labels only ever move down to the min)
+        if nxt.sum("lbl") == labels.sum("lbl"):
+            labels = nxt
+            break
+        labels = nxt
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["node"], pa.int64()),
+                "component": pa.compute.cast(batch["lbl"], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def connected_components_oracle_sql() -> str:
+    """Recursive min-label reachability over the identical synthetic
+    undirected edges (component = min reachable doc_id)."""
+    return (
+        "WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents), "
+        "nd AS (SELECT doc_id FROM documents), "
+        "ed AS (SELECT doc_id AS src, "
+        "unnest(range(1, CAST(2 + doc_id % 4 AS INT))) AS s FROM nd), "
+        "e0 AS (SELECT src, CASE WHEN (src * 2654435761 + s) % nn.n = src "
+        "THEN ((src * 2654435761 + s) % nn.n + 1) % nn.n "
+        "ELSE (src * 2654435761 + s) % nn.n END AS dst FROM ed, nn), "
+        "ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src <> dst "
+        "UNION SELECT dst, src FROM e0 WHERE src <> dst), "
+        "reach AS (SELECT doc_id AS node, doc_id AS m FROM nd "
+        "UNION SELECT ue.b AS node, reach.m FROM reach JOIN ue ON ue.a = reach.node "
+        "WHERE reach.m < ue.b) "
+        "SELECT node AS doc_id, CAST(MIN(m) AS BIGINT) AS component "
+        "FROM reach GROUP BY node"
+    )
+
+
 def triangle_counts_oracle_sql() -> str:
     """Exact three-way self-join over the canonical undirected edges of
     the identical synthetic graph, then unnest the three member ids."""

@@ -1693,6 +1693,40 @@ def test_pagerank_equals_python_power_iteration():
     assert 0 <= PR_SCALE - got["rank_x1e12"].sum() < 100 * n
 
 
+def test_connected_components_equals_union_find():
+    """Generic min-label CC: the label-propagation fixpoint equals a
+    single-process union-find over the same undirected synthetic graph."""
+    from spiderman_ray.pipelines.graph import PR_MULT, connected_components
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        connected_components(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    n = len(pq.read_table(sf + "/documents.parquet", columns=["doc_id"]))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for src in range(n):
+        for s in range(1, 2 + src % 4):
+            d = (src * PR_MULT + s) % n
+            d = (d + 1) % n if d == src else d
+            ra, rb = find(src), find(d)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = [find(v) for v in range(n)]
+    assert got["doc_id"].tolist() == list(range(n))
+    assert got["component"].tolist() == want
+
+
 def test_triangle_counts_equals_bruteforce():
     """Per-vertex triangle participation equals a single-process
     brute-force enumeration over the same canonical undirected graph."""
