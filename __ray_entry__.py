@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returns_rollup": R.returns_rollup,
         # range (interval) join via bucket-overlap co-partitioning
         "range_join_shipments": R.range_join_shipments,
+        # string-similarity join: deletion-neighborhood (FastSS) candidate
+        # keys + in-bucket exact <=1-edit verify, pair-shard distinct
+        "name_edit_dups": R.name_edit_dups,
         # exact quantiles, two-pass histogram (no full sort)
         "price_quantiles": R.price_quantiles,
         # per-group exact quantiles, shard-grouped vectorized rank gather
@@ -1100,6 +1103,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"
         ),
         "distinct_brands": "SELECT DISTINCT p_brand FROM part",
+        "name_edit_dups": (
+            # brute-force oracle for the deletion-neighborhood join: any
+            # correct edit-distance agrees with the <=1 check
+            "SELECT DISTINCT a.p_name AS a, b.p_name AS b FROM part a "
+            "JOIN part b ON a.p_name < b.p_name "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 1"
+        ),
         "range_join_shipments": (
             # pure date-range join: per order, lineitems (any order) shipped
             # within the 7-day window after the order date

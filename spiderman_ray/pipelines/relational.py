@@ -678,3 +678,85 @@ def distinct_brands(sf_dir: str) -> pa.Table:
     SP_JOBS/zhifang_job_patch.py:31-34)."""
     vals = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_brand"]).unique("p_brand")
     return pa.table({"p_brand": pa.array(sorted(vals), type=pa.string())})
+
+
+def name_edit_dups(sf_dir: str) -> rd.Dataset:
+    """String-similarity join: distinct part-name pairs within Levenshtein
+    distance 1, via DELETION-NEIGHBORHOOD keys (the FastSS construction):
+    every name emits itself plus each single-character deletion as a
+    candidate key; two names at edit distance <= 1 ALWAYS share a key
+    (substitution -> same-position deletions match; indel -> the longer
+    side's deletion equals the shorter side), so bucketing by key is a
+    complete candidate generator — no all-pairs pass. Three bounded
+    exchanges: name-shard distinct, key-shard in-bucket verify, pair-shard
+    distinct (a pair can co-occur in several buckets). The in-bucket
+    verify is an exact <=1 edit check, so false candidates die where the
+    key lives. Output (a, b) with a < b."""
+    import pandas as pd
+
+    from spiderman_ray.functions.hashing import hash64
+
+    def distinct_names(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["p_name"])[["p_name"]]
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        names, keys = [], []
+        for nm in batch["p_name"].to_pylist():
+            variants = [nm] + [nm[:i] + nm[i + 1 :] for i in range(len(nm))]
+            for v in variants:
+                names.append(nm)
+                keys.append(v)
+        sh = hash64(keys).view(np.uint64) % np.uint64(64)
+        return pa.table(
+            {
+                "p_name": pa.array(names, pa.string()),
+                "k": pa.array(keys, pa.string()),
+                "_bshard": pa.array(sh.astype(np.int64)),
+            }
+        )
+
+    def _edit_le1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # exactly one substitution
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, t = (a, b) if la < lb else (b, a)  # t is one char longer
+        i = 0
+        while i < len(s) and s[i] == t[i]:
+            i += 1
+        return s[i:] == t[i + 1 :]
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("k", sort=False):
+            nms = sorted(set(grp["p_name"]))
+            for i in range(len(nms)):
+                for j in range(i + 1, len(nms)):
+                    if _edit_le1(nms[i], nms[j]):
+                        out_a.append(nms[i])
+                        out_b.append(nms[j])
+        sh = (
+            hash64([x + "|" + y for x, y in zip(out_a, out_b)]).view(np.uint64)
+            % np.uint64(64)
+        ) if out_a else np.array([], dtype=np.uint64)
+        return pd.DataFrame(
+            {"a": out_a, "b": out_b, "_pshard": sh.astype(np.int64)}
+        )
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        rd.read_parquet(_pq(sf_dir, "part"), columns=["p_name"])
+        .map_batches(_add_key_shard("p_name"), batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(distinct_names, batch_format="pandas")
+        .map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("_bshard")
+        .map_groups(verify, batch_format="pandas")
+        .groupby("_pshard")
+        .map_groups(distinct_pairs, batch_format="pandas")
+    )

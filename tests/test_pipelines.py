@@ -1693,6 +1693,50 @@ def test_pagerank_equals_python_power_iteration():
     assert 0 <= PR_SCALE - got["rank_x1e12"].sum() < 100 * n
 
 
+def test_name_edit_dups_planted_variants(tmp_path):
+    """Deletion-neighborhood similarity join finds exactly the planted
+    <=1-edit pairs: substitution, insertion, deletion — and rejects the
+    distance-2 decoy and duplicate rows."""
+    from spiderman_ray.pipelines.relational import name_edit_dups
+
+    names = [
+        "widget",  # base
+        "widget",  # duplicate row: must not self-pair
+        "widgex",  # substitution (dist 1)
+        "widgets",  # insertion (dist 1)
+        "widge",  # deletion (dist 1)
+        "wadgex",  # dist 2 from widget: only pairs with widgex
+        "bolt",  # unrelated
+    ]
+    pq.write_table(
+        pa.table({"p_name": pa.array(names, pa.string())}),
+        str(tmp_path / "part.parquet"),
+    )
+    got = sorted(
+        map(tuple, name_edit_dups(str(tmp_path)).to_pandas()[["a", "b"]].values)
+    )
+    # expected = reference Levenshtein over all distinct pairs
+    def lev(a, b):
+        import numpy as _np
+
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[-1])
+
+    uniq = sorted(set(names))
+    want = sorted(
+        (x, y)
+        for i, x in enumerate(uniq)
+        for y in uniq[i + 1 :]
+        if lev(x, y) <= 1
+    )
+    assert got == want
+    assert ("widget", "widgex") in got and ("wadgex", "widget") not in got
+
+
 def test_connected_components_equals_union_find():
     """Generic min-label CC: the label-propagation fixpoint equals a
     single-process union-find over the same undirected synthetic graph."""
