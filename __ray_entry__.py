@@ -356,12 +356,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KenLM-shape bigram LM quality (integer pointwise log2 ratios,
         # sharded by conditioning context w1 — no vocabulary broadcast)
         "bigram_quality": lambda sf: T.bigram_quality(sf),
-        # iterative link analysis: integer fixed-point PageRank, 5
-        # synchronous supersteps of 2 bounded exchanges each (ranks
-        # materialized per superstep; edges materialized once)
+        # iterative link analysis: integer fixed-point PageRank on the
+        # actor-held-shard BSP path (edges shard once; supersteps are
+        # pre-combined point-to-point messages) — bit-identical to the
+        # Dataset-exchange reference path graph.pagerank (tested equal)
         "pagerank": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
-        ).pagerank(sf),
+        ).pagerank_bsp(sf),
         # multi-way self-join family: per-vertex triangle participation
         # (wedge enumeration + edge-pair-shard close, 4 bounded exchanges)
         "triangle_counts": lambda sf: __import__(

@@ -179,7 +179,7 @@ def run_bench() -> dict:
         ("bigram_quality", lambda: T.bigram_quality(SF_DIR).count()),
         ("pagerank", lambda: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
-        ).pagerank(SF_DIR).count()),
+        ).pagerank_bsp(SF_DIR).count()),
         ("curate", lambda: T.curate(SF_DIR).count()),
         ("knn_graph", lambda: V.knn_graph(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),

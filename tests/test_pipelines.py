@@ -1692,6 +1692,12 @@ def test_pagerank_equals_python_power_iteration():
     assert got["rank_x1e12"].tolist() == r
     assert 0 <= PR_SCALE - got["rank_x1e12"].sum() < 100 * n
 
+    # the actor-held-shard BSP path is bit-identical (associative ints)
+    from spiderman_ray.pipelines.graph import pagerank_bsp
+
+    bsp = pagerank_bsp(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert bsp["rank_x1e12"].tolist() == r
+
 
 def test_name_edit_dups_planted_variants(tmp_path):
     """Deletion-neighborhood similarity join finds exactly the planted
