@@ -368,11 +368,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).triangle_counts(sf),
-        # generic min-label connected components (label propagation to the
-        # fixpoint, O(1) driver convergence probe — no label-map broadcast)
+        # generic min-label connected components on the BSP actor path
+        # (bit-equal to the Dataset-exchange reference; O(k) convergence)
         "connected_components": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
-        ).connected_components(sf),
+        ).connected_components_bsp(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank

@@ -437,6 +437,122 @@ def pagerank_bsp(sf_dir: str, iters: int = 5, k: int | None = None) -> rd.Datase
     return rd.from_arrow_refs(tables)
 
 
+class _CCShard:
+    """BSP shard for min-label connected components: same construction as
+    ``_PRShard`` but messages carry labels, the per-run pre-combine is a
+    ``minimum.reduceat``, and ``apply`` reports how many of this shard's
+    labels moved (the O(k) convergence probe)."""
+
+    def __init__(self, idx: int, k: int, n: int):
+        self.idx, self.k, self.n = idx, k, n
+
+    def load(self, *tables) -> int:
+        from spiderman_ray.functions.hashing import hash64
+
+        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        allv = np.arange(self.n, dtype=np.int64)
+        mine = (hash64([str(v) for v in allv]).view(np.uint64) % np.uint64(self.k)).astype(np.int64) == self.idx
+        self.nodes = allv[mine]
+        self.lbl = self.nodes.copy()
+        dsh = (hash64([str(v) for v in dst]).view(np.uint64) % np.uint64(self.k)).astype(np.int64)
+        order = np.lexsort((dst, dsh))
+        self.src_pos = np.searchsorted(self.nodes, src[order])
+        d_sorted, dsh_sorted = dst[order], dsh[order]
+        runs = np.flatnonzero(
+            np.diff(d_sorted, prepend=d_sorted[0] - 1)
+            | np.diff(dsh_sorted, prepend=dsh_sorted[0] - 1)
+        ) if len(d_sorted) else np.array([], dtype=np.int64)
+        self.run_starts = runs
+        self.run_dst = d_sorted[runs] if len(runs) else d_sorted[:0]
+        run_shard = dsh_sorted[runs] if len(runs) else dsh_sorted[:0]
+        self.shard_ranges = [
+            (np.searchsorted(run_shard, j), np.searchsorted(run_shard, j + 1))
+            for j in range(self.k)
+        ]
+        return len(self.nodes)
+
+    def messages(self):
+        m = self.lbl[self.src_pos]
+        mins = np.minimum.reduceat(m, self.run_starts) if len(self.run_starts) else m[:0]
+        out = [(self.run_dst[lo:hi], mins[lo:hi]) for lo, hi in self.shard_ranges]
+        return tuple(out) if self.k > 1 else out[0]
+
+    def apply(self, *inbox) -> int:
+        new = self.lbl.copy()
+        for dst, m in inbox:
+            if len(dst):
+                pos = np.searchsorted(self.nodes, dst)
+                np.minimum.at(new, pos, m)
+        changed = int((new != self.lbl).sum())
+        self.lbl = new
+        return changed
+
+    def labels(self) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array(self.nodes), "component": pa.array(self.lbl)}
+        )
+
+
+def connected_components_bsp(
+    sf_dir: str, max_iters: int = 256, k: int | None = None
+) -> rd.Dataset:
+    """Actor-held-shard BSP connected components — bit-identical to the
+    Dataset-exchange ``connected_components`` (min is associative), with
+    the per-superstep exchange constant removed and convergence decided
+    from the k per-shard changed-counts (O(k) ints to the driver)."""
+    import ray
+
+    from spiderman_ray.functions.hashing import hash64
+    from spiderman_ray.pipelines import pool_size
+
+    n = _read_docs(sf_dir, columns=("doc_id",)).count()
+    k = k or pool_size(8)
+
+    def canon_both(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy().astype(np.int64)
+        dst = batch["dst"].to_numpy().astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.concatenate([src, dst])
+        b = np.concatenate([dst, src])
+        sh = (hash64([str(v) for v in a]).view(np.uint64) % np.uint64(k)).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(a), "dst": pa.array(b), "_bshard": pa.array(sh)}
+        )
+
+    ed = (
+        pagerank_edges(sf_dir, n)
+        .drop_columns(["_sshard"])
+        .map_batches(canon_both, batch_format="pyarrow")
+        .sort("_bshard")
+        .materialize()
+    )
+    counts = {r["_bshard"]: r["count()"] for r in ed.groupby("_bshard").count().take_all()}
+    cuts = np.cumsum([counts.get(j, 0) for j in range(k)])[:-1].tolist()
+    splits = ed.split_at_indices(cuts)
+
+    Shard = ray.remote(_CCShard)
+    actors = [Shard.remote(i, k, n) for i in range(k)]
+    ray.get([
+        a.load.remote(*splits[i].to_arrow_refs()) for i, a in enumerate(actors)
+    ])
+    for _ in range(max_iters):
+        if k > 1:
+            outs = [a.messages.options(num_returns=k).remote() for a in actors]
+            changed = ray.get([
+                actors[j].apply.remote(*[outs[i][j] for i in range(k)])
+                for j in range(k)
+            ])
+        else:
+            out = actors[0].messages.remote()
+            changed = [ray.get(actors[0].apply.remote(out))]
+        if sum(changed) == 0:
+            break
+    return rd.from_arrow_refs([a.labels.remote() for a in actors])
+
+
 def connected_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
     """Min-label connected components over the undirected synthetic graph
     — the generic sibling of the dedup family's component machinery

@@ -1776,6 +1776,17 @@ def test_connected_components_equals_union_find():
     assert got["doc_id"].tolist() == list(range(n))
     assert got["component"].tolist() == want
 
+    # the actor-held-shard BSP path is bit-identical (min is associative)
+    from spiderman_ray.pipelines.graph import connected_components_bsp
+
+    bsp = (
+        connected_components_bsp(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bsp["component"].tolist() == want
+
 
 def test_triangle_counts_equals_bruteforce():
     """Per-vertex triangle participation equals a single-process
