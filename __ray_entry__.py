@@ -150,6 +150,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return caption_align(os.path.join(_crawl_out("t1"), "tables", "images"))
 
+    def crawl_curate_images_aligned(sf_dir: str) -> Any:
+        return I.curate_images(
+            os.path.join(_crawl_out("t1"), "tables", "images"),
+            align_min_x1e6=100_000,
+        )
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -283,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CLIP-stub caption<->image alignment scores (actor-pool dual
         # encoder; deterministic feature-hash/grid-mean stub model)
         "crawl_caption_align": crawl_caption_align,
+        # the flagship with the LAION-style alignment gate composed in
+        # (gate BEFORE dedup: a low-alignment copy must not shadow a
+        # well-captioned duplicate)
+        "crawl_curate_images_aligned": crawl_curate_images_aligned,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -934,6 +944,34 @@ def _crawl_oracle_sqls() -> dict[str, str]:
                          "n_caption_tokens": len(toks)})
     out["crawl_curate_images"] = _values_sql(
         cur_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "n_caption_tokens": "BIGINT"},
+    )
+    # aligned flagship: identical sequential recompute with the alignment
+    # gate inserted between the caption gates and the exact dedup (the
+    # engine gates in the candidate stage, so the gate decides which
+    # duplicate survives — mirrored here)
+    alr_rows, seen_afp = [], set()
+    for r in sorted(o.images, key=lambda r: r["image_id"]):
+        px = decode_image(r["bytes"])
+        h, w = px.shape[:2]
+        if w != r["w"] or h != r["h"] or phash64(px) != r["phash"]:
+            continue
+        toks = r["caption"].split(" ")
+        if len(toks) < 2 or any(d in r["caption"] for d in ("drop", "null")):
+            continue
+        if align_score_x1e6(px, r["caption"]) < 100_000:
+            continue
+        f = hashlib.md5(r["bytes"]).hexdigest()
+        if f in seen_afp:
+            continue
+        seen_afp.add(f)
+        if r["image_id"] in ph_losers:
+            continue
+        alr_rows.append({"image_id": r["image_id"], "w": w, "h": h,
+                         "n_caption_tokens": len(toks)})
+    out["crawl_curate_images_aligned"] = _values_sql(
+        alr_rows,
         {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
          "n_caption_tokens": "BIGINT"},
     )

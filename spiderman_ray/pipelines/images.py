@@ -470,9 +470,17 @@ class _CurateImagesStage:
     uses), and fingerprint content — ONE pass over the wide rows, fused
     like text._CurateStage. Emits candidates only."""
 
-    def __init__(self, min_caption_tokens: int = 2):
+    def __init__(self, min_caption_tokens: int = 2,
+                 align_min_x1e6: int | None = None):
         self.min_tokens = min_caption_tokens
         self.dirty = ("drop", "null")
+        self.align_min = align_min_x1e6
+        if align_min_x1e6 is not None:
+            # the dual-encoder "model" binds once per actor (a real CLIP
+            # gate loads its weights here; functions/alignment.py)
+            from spiderman_ray.functions.alignment import align_score_x1e6
+
+            self._align = align_score_x1e6
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -486,6 +494,10 @@ class _CurateImagesStage:
             cap = row["caption"]
             toks = cap.split(" ")
             if len(toks) < self.min_tokens or any(d in cap for d in self.dirty):
+                continue
+            # LAION-style alignment gate BEFORE dedup: a low-alignment
+            # copy must not shadow a well-captioned duplicate
+            if self.align_min is not None and self._align(px, cap) < self.align_min:
                 continue
             out["image_id"].append(row["image_id"])
             out["w"].append(w)
@@ -508,6 +520,7 @@ def curate_images(
     min_caption_tokens: int = 2,
     max_hamming: int = 3,
     driver_pair_cap: int = 2_000_000,
+    align_min_x1e6: int | None = None,
 ) -> rd.Dataset:
     """The multimodal curation FLAGSHIP — the image-axis ``curate``: the
     end-to-end pass a multimodal training-data user runs over a crawled
@@ -541,7 +554,7 @@ def curate_images(
         read_dataset(images_uri)
         .map_batches(
             _CurateImagesStage,
-            fn_constructor_args=(min_caption_tokens,),
+            fn_constructor_args=(min_caption_tokens, align_min_x1e6),
             batch_format="pyarrow",
             batch_size=64,
             concurrency=pool_size(10**6),

@@ -223,6 +223,21 @@ def test_curate_images_gates_and_dedup(tmp_path):
     assert (got["n_caption_tokens"] == 3).all()
     assert got["n_caption_tokens"].dtype == np.int64
 
+    # the LAION-style alignment gate composes in BEFORE dedup and keeps
+    # exactly the survivors whose score clears the threshold
+    from spiderman_ray.functions.alignment import align_score_x1e6
+
+    scores = {
+        r["image_id"]: align_score_x1e6(decode_image(r["bytes"]), r["caption"])
+        for r in rows
+    }
+    thr = sorted(scores[f"C{i:03d}"] for i in range(8))[4]  # keeps 4 of 8
+    gated = curate_images(str(d), align_min_x1e6=thr).to_pandas()
+    want = sorted(
+        iid for iid in (f"C{i:03d}" for i in range(8)) if scores[iid] >= thr
+    )
+    assert sorted(gated["image_id"]) == want and len(want) == 4
+
 
 def test_thumbnails(images_table):
     from spiderman_ray.functions.imaging import decode_image
