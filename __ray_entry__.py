@@ -383,6 +383,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).connected_components_bsp(sf),
+        # single-source shortest paths: distributed Bellman-Ford (min-plus
+        # BSP supersteps) over the weighted undirected synthetic graph
+        "sssp": lambda sf: __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).sssp(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1384,6 +1389,9 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).connected_components_oracle_sql(),
+        "sssp": __import__(
+            "spiderman_ray.pipelines.graph", fromlist=["x"]
+        ).sssp_oracle_sql(),
         "bigram_quality": (
             # pointwise integer log-ratio floor(log2 c(w1,w2)) -
             # floor(log2 C(w1)); bigrams zipped over the FILTERED token

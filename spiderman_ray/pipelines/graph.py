@@ -553,6 +553,171 @@ def connected_components_bsp(
     return rd.from_arrow_refs([a.labels.remote() for a in actors])
 
 
+#: Unreachable sentinel for SSSP (2^62: INF + max weight stays in int64).
+_SSSP_INF = 1 << 62
+
+
+class _SSSPShard:
+    """BSP shard for single-source shortest paths: the min-plus sibling of
+    ``_CCShard`` — messages carry dist(src) + w(edge), pre-combined per
+    destination run by ``minimum.reduceat``; ``apply`` folds min and
+    reports changed counts."""
+
+    def __init__(self, idx: int, k: int, n: int, source: int):
+        self.idx, self.k, self.n, self.source = idx, k, n, source
+
+    def load(self, *tables) -> int:
+        from spiderman_ray.functions.hashing import hash64
+
+        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        w = t["w"].to_numpy().astype(np.int64)
+        allv = np.arange(self.n, dtype=np.int64)
+        mine = (hash64([str(v) for v in allv]).view(np.uint64) % np.uint64(self.k)).astype(np.int64) == self.idx
+        self.nodes = allv[mine]
+        self.dist = np.full(len(self.nodes), _SSSP_INF, dtype=np.int64)
+        at = np.searchsorted(self.nodes, self.source)
+        if at < len(self.nodes) and self.nodes[at] == self.source:
+            self.dist[at] = 0
+        dsh = (hash64([str(v) for v in dst]).view(np.uint64) % np.uint64(self.k)).astype(np.int64)
+        order = np.lexsort((dst, dsh))
+        self.src_pos = np.searchsorted(self.nodes, src[order])
+        self.w = w[order]
+        d_sorted, dsh_sorted = dst[order], dsh[order]
+        runs = np.flatnonzero(
+            np.diff(d_sorted, prepend=d_sorted[0] - 1)
+            | np.diff(dsh_sorted, prepend=dsh_sorted[0] - 1)
+        ) if len(d_sorted) else np.array([], dtype=np.int64)
+        self.run_starts = runs
+        self.run_dst = d_sorted[runs] if len(runs) else d_sorted[:0]
+        run_shard = dsh_sorted[runs] if len(runs) else dsh_sorted[:0]
+        self.shard_ranges = [
+            (np.searchsorted(run_shard, j), np.searchsorted(run_shard, j + 1))
+            for j in range(self.k)
+        ]
+        return len(self.nodes)
+
+    def messages(self):
+        m = self.dist[self.src_pos] + self.w
+        mins = np.minimum.reduceat(m, self.run_starts) if len(self.run_starts) else m[:0]
+        out = [(self.run_dst[lo:hi], mins[lo:hi]) for lo, hi in self.shard_ranges]
+        return tuple(out) if self.k > 1 else out[0]
+
+    def apply(self, *inbox) -> int:
+        new = self.dist.copy()
+        for dst, m in inbox:
+            if len(dst):
+                np.minimum.at(new, np.searchsorted(self.nodes, dst), m)
+        changed = int((new != self.dist).sum())
+        self.dist = new
+        return changed
+
+    def dists(self) -> pa.Table:
+        d = np.where(self.dist >= _SSSP_INF, np.int64(-1), self.dist)
+        return pa.table({"doc_id": pa.array(self.nodes), "dist": pa.array(d)})
+
+
+def sssp(sf_dir: str, source: int = 0, max_iters: int = 256,
+         k: int | None = None) -> rd.Dataset:
+    """Single-source shortest paths over the weighted undirected synthetic
+    graph (w(u,v) = 1 + (u+v) % 5): distributed Bellman-Ford on the BSP
+    actor shards — each superstep relaxes every edge once via min-plus
+    messages, converging in O(shortest-path-tree depth) supersteps
+    (measured 10-14 on this graph). Integer min-plus is associative, so
+    the distance vector is bit-identical under any partitioning; the
+    DuckDB oracle unrolls 24 relaxation rounds (> the measured depth) as
+    CTEs. Unreachable nodes report -1. Output (doc_id, dist)."""
+    import ray
+
+    from spiderman_ray.functions.hashing import hash64
+    from spiderman_ray.pipelines import pool_size
+
+    n = _read_docs(sf_dir, columns=("doc_id",)).count()
+    k = k or pool_size(8)
+
+    def weighted_both(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy().astype(np.int64)
+        dst = batch["dst"].to_numpy().astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        w = 1 + (src + dst) % 5
+        a = np.concatenate([src, dst])
+        b = np.concatenate([dst, src])
+        ww = np.concatenate([w, w])
+        sh = (hash64([str(v) for v in a]).view(np.uint64) % np.uint64(k)).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(a), "dst": pa.array(b), "w": pa.array(ww),
+             "_bshard": pa.array(sh)}
+        )
+
+    ed = (
+        pagerank_edges(sf_dir, n)
+        .drop_columns(["_sshard"])
+        .map_batches(weighted_both, batch_format="pyarrow")
+        .sort("_bshard")
+        .materialize()
+    )
+    counts = {r["_bshard"]: r["count()"] for r in ed.groupby("_bshard").count().take_all()}
+    cuts = np.cumsum([counts.get(j, 0) for j in range(k)])[:-1].tolist()
+    splits = ed.split_at_indices(cuts)
+
+    Shard = ray.remote(_SSSPShard)
+    actors = [Shard.remote(i, k, n, source) for i in range(k)]
+    ray.get([
+        a.load.remote(*splits[i].to_arrow_refs()) for i, a in enumerate(actors)
+    ])
+    for _ in range(max_iters):
+        if k > 1:
+            outs = [a.messages.options(num_returns=k).remote() for a in actors]
+            changed = ray.get([
+                actors[j].apply.remote(*[outs[i][j] for i in range(k)])
+                for j in range(k)
+            ])
+        else:
+            out = actors[0].messages.remote()
+            changed = [ray.get(actors[0].apply.remote(out))]
+        if sum(changed) == 0:
+            break
+    return rd.from_arrow_refs([a.dists.remote() for a in actors])
+
+
+def sssp_oracle_sql(rounds: int = 24) -> str:
+    """Bellman-Ford unrolled as CTEs over the identical weighted edges."""
+    inf = _SSSP_INF
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents), "
+        "nd AS (SELECT doc_id FROM documents), "
+        "ed AS (SELECT doc_id AS src, "
+        "unnest(range(1, CAST(2 + doc_id % 4 AS INT))) AS s FROM nd), "
+        "e0 AS (SELECT src, CASE WHEN (src * 2654435761 + s) % nn.n = src "
+        "THEN ((src * 2654435761 + s) % nn.n + 1) % nn.n "
+        "ELSE (src * 2654435761 + s) % nn.n END AS dst FROM ed, nn), "
+        "w0 AS (SELECT DISTINCT src, dst, 1 + (src + dst) % 5 AS w "
+        "FROM e0 WHERE src <> dst), "
+        "ue AS (SELECT src AS u, dst AS v, w FROM w0 "
+        "UNION SELECT dst, src, w FROM w0), "
+        f"d0 AS (SELECT doc_id AS node, CASE WHEN doc_id = 0 THEN 0 "
+        f"ELSE {inf} END AS d FROM nd), ",
+    ]
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: each round references its predecessor twice, and
+        # DuckDB inlines plain CTEs — without the hint the plan is 2^rounds
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT x.node, "
+            f"LEAST(x.d, COALESCE(m.md, x.d)) AS d "
+            f"FROM d{r - 1} x LEFT JOIN (SELECT ue.v AS node, "
+            f"MIN(dp.d + ue.w) AS md FROM d{r - 1} dp JOIN ue ON ue.u = dp.node "
+            f"WHERE dp.d < {inf} GROUP BY ue.v) m ON x.node = m.node), "
+        )
+    parts.append(
+        f"fin AS (SELECT node, CASE WHEN d >= {inf} THEN -1 ELSE d END AS d "
+        f"FROM d{rounds}) "
+        "SELECT node AS doc_id, CAST(d AS BIGINT) AS dist FROM fin"
+    )
+    return "".join(parts)
+
+
 def connected_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
     """Min-label connected components over the undirected synthetic graph
     — the generic sibling of the dedup family's component machinery

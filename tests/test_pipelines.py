@@ -1803,6 +1803,42 @@ def test_connected_components_equals_union_find():
     assert bsp["component"].tolist() == want
 
 
+def test_sssp_equals_dijkstra():
+    """Distributed Bellman-Ford (min-plus BSP supersteps) equals a
+    single-process Dijkstra over the same weighted undirected graph."""
+    import heapq
+
+    from spiderman_ray.pipelines.graph import PR_MULT, sssp
+
+    sf = "/root/testdata/sf0.001"
+    got = sssp(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    n = len(pq.read_table(sf + "/documents.parquet", columns=["doc_id"]))
+    adj: dict[int, list] = {}
+    for src in range(n):
+        for s in range(1, 2 + src % 4):
+            d = (src * PR_MULT + s) % n
+            d = (d + 1) % n if d == src else d
+            w = 1 + (src + d) % 5
+            adj.setdefault(src, []).append((d, w))
+            adj.setdefault(d, []).append((src, w))
+    INF = float("inf")
+    dist = [INF] * n
+    dist[0] = 0
+    pq_ = [(0, 0)]
+    while pq_:
+        du, u = heapq.heappop(pq_)
+        if du > dist[u]:
+            continue
+        for v, w in adj.get(u, []):
+            if du + w < dist[v]:
+                dist[v] = du + w
+                heapq.heappush(pq_, (dist[v], v))
+    want = [int(d) if d < INF else -1 for d in dist]
+    assert got["doc_id"].tolist() == list(range(n))
+    assert got["dist"].tolist() == want
+
+
 def test_triangle_counts_equals_bruteforce():
     """Per-vertex triangle participation equals a single-process
     brute-force enumeration over the same canonical undirected graph."""
