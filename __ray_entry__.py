@@ -388,6 +388,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": lambda sf: __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).sssp(sf),
+        # BPE tokenizer TRAINING: one corpus exchange to word-freqs, then
+        # BSP merge rounds over vocabulary shards (iterative argmax is
+        # not SQL-expressible -> rows-only; pinned by the single-process
+        # reference implementation in pytest)
+        "bpe_train": lambda sf: __import__(
+            "spiderman_ray.pipelines.bpe", fromlist=["x"]
+        ).bpe_train(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank

@@ -1803,6 +1803,33 @@ def test_connected_components_equals_union_find():
     assert bsp["component"].tolist() == want
 
 
+def test_bpe_train_equals_reference():
+    """Distributed BPE training learns the identical merge sequence (same
+    counts, same lexicographic tie-break) as the single-process Sennrich
+    reference, for any sharding."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.bpe import bpe_reference, bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (int(r), l, rt, int(c))
+        for r, l, rt, c in bpe_train(sf, n_merges=12)
+        .to_pandas()[["rank", "left", "right", "pair_count"]]
+        .values
+    ]
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    wf = Counter()
+    for s in t["text"].to_pylist():
+        wf.update(w for w in s.split(" ") if w)
+    want = bpe_reference(dict(wf), 12)
+    assert got == want and len(got) == 12
+    # counts are corpus-scale positives and ranks are the merge order
+    assert [m[0] for m in got] == list(range(12))
+    assert all(m[3] > 0 for m in got)
+
+
 def test_sssp_equals_dijkstra():
     """Distributed Bellman-Ford (min-plus BSP supersteps) equals a
     single-process Dijkstra over the same weighted undirected graph."""
