@@ -395,6 +395,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": lambda sf: __import__(
             "spiderman_ray.pipelines.bpe", fromlist=["x"]
         ).bpe_train(sf),
+        # ...and tokenize the corpus with the learned merges (merge table
+        # broadcast into actor constructors; per-actor Zipfian word cache)
+        "bpe_encode": lambda sf: __import__(
+            "spiderman_ray.pipelines.bpe", fromlist=["x"]
+        ).bpe_encode(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank

@@ -173,3 +173,77 @@ def bpe_train(sf_dir: str, n_merges: int = 20, k: int | None = None) -> rd.Datas
             }
         )
     )
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Encode one word with a learned merge table (standard BPE encode:
+    repeatedly merge the lowest-rank adjacent pair). Shared by the
+    distributed stage and the pytest reference — parity is structural."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best, at = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, at = r, i
+        if best is None:
+            break
+        syms[at : at + 2] = [syms[at] + syms[at + 1]]
+    return syms
+
+
+class _BPEEncode:
+    """Actor-pool stage: the merge table (the 'model') binds once per
+    actor; per batch, words tokenize through a per-actor cache (corpus
+    word frequency is Zipfian — the cache hit rate is the win)."""
+
+    def __init__(self, merges: list[tuple]):
+        self.ranks = {(l, r): rank for rank, l, r, _ in merges}
+        self.cache: dict[str, list[str]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spiderman_ray.functions.hashing import hash64
+
+        ids, n_toks, sums = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks: list[str] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                enc = self.cache.get(w)
+                if enc is None:
+                    enc = bpe_encode_word(w, self.ranks)
+                    self.cache[w] = enc
+                toks.extend(enc)
+            ids.append(did)
+            n_toks.append(len(toks))
+            # order-insensitive integer checksum of the token multiset
+            s = int(hash64(toks).view(np.uint64).sum() % np.uint64(2**63)) if toks else 0
+            sums.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bpe_tokens": pa.array(n_toks, pa.int64()),
+                "token_checksum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 20) -> rd.Dataset:
+    """Tokenize the corpus with merges learned by ``bpe_train``: the
+    merge table is tiny (O(n_merges)) and broadcast into each actor's
+    constructor — the classic small-side broadcast, never a join."""
+    from spiderman_ray.pipelines import pool_size
+
+    merges = [
+        (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+        for r in bpe_train(sf_dir, n_merges).take_all()  # O(n_merges) rows
+    ]
+    return _read_docs(sf_dir).map_batches(
+        _BPEEncode,
+        fn_constructor_args=(merges,),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(4),
+        num_cpus=1,
+    )

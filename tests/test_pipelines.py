@@ -1830,6 +1830,47 @@ def test_bpe_train_equals_reference():
     assert all(m[3] > 0 for m in got)
 
 
+def test_bpe_encode_equals_reference():
+    """Corpus tokenization with the learned merges matches a
+    single-process encode (token counts + order-insensitive checksums)."""
+    from collections import Counter
+
+    from spiderman_ray.functions.hashing import hash64
+    from spiderman_ray.pipelines.bpe import (
+        bpe_encode,
+        bpe_encode_word,
+        bpe_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        bpe_encode(sf, n_merges=12)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    wf = Counter()
+    for s in texts.values():
+        wf.update(w for w in s.split(" ") if w)
+    ranks = {(l, r): rank for rank, l, r, _ in bpe_reference(dict(wf), 12)}
+    rows = []
+    for did in sorted(texts):
+        toks = []
+        for w in texts[did].split(" "):
+            if w:
+                toks.extend(bpe_encode_word(w, ranks))
+        s = int(hash64(toks).view(np.uint64).sum() % np.uint64(2**63)) if toks else 0
+        rows.append((did, len(toks), s))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_bpe_tokens", "token_checksum"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # merges actually compress: fewer BPE tokens than raw characters
+    n_chars = sum(len(w) + 1 for s in texts.values() for w in s.split(" ") if w)
+    assert got["n_bpe_tokens"].sum() < n_chars
+
+
 def test_sssp_equals_dijkstra():
     """Distributed Bellman-Ford (min-plus BSP supersteps) equals a
     single-process Dijkstra over the same weighted undirected graph."""
