@@ -206,7 +206,15 @@ def cmd_query(args: argparse.Namespace) -> int:
         print(json.dumps({"query": args.name, "dest": args.dest,
                           "rows_written": n}))
     else:
-        print(json.dumps({"query": args.name, "rows": res.count()}))
+        if getattr(args, "stats", False):
+            # execute through THIS plan (count() plans separately), then
+            # print the per-stage wall/CPU/rows audit — the "where did
+            # the time go" surface for operator tuning
+            res = res.materialize()
+            print(json.dumps({"query": args.name, "rows": res.count()}))
+            print(res.stats())
+        else:
+            print(json.dumps({"query": args.name, "rows": res.count()}))
     ray.shutdown()
     return 0
 
@@ -317,6 +325,8 @@ def main(argv=None) -> int:
     q.add_argument("--fmt", default="parquet",
                    choices=["parquet", "csv", "jsonl", "sqlite"])
     q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument("--stats", action="store_true",
+                   help="print per-stage Dataset.stats() after running")
     q.set_defaults(fn=cmd_query)
 
     n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")
