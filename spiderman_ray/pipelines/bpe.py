@@ -48,7 +48,11 @@ class _BPEShard:
         self.freqs: np.ndarray | None = None
 
     def load(self, *tables) -> int:
-        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        tabs = [tb for tb in tables if tb.num_rows]
+        if not tabs:  # a shard can legally receive zero words at high k
+            self.words, self.freqs = [], np.array([], dtype=np.int64)
+            return 0
+        t = pa.concat_tables(tabs)
         self.words = [list(w) + [EOW] for w in t["word"].to_pylist()]
         self.freqs = t["freq"].to_numpy().astype(np.int64)
         return len(self.words)

@@ -326,7 +326,7 @@ class _PRShard:
     def load(self, *tables) -> int:
         from spiderman_ray.functions.hashing import hash64
 
-        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        t = _concat_or_empty(tables, ("src", "dst", "outdeg"))
         src = t["src"].to_numpy().astype(np.int64)
         dst = t["dst"].to_numpy().astype(np.int64)
         outdeg = t["outdeg"].to_numpy().astype(np.int64)
@@ -449,7 +449,7 @@ class _CCShard:
     def load(self, *tables) -> int:
         from spiderman_ray.functions.hashing import hash64
 
-        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        t = _concat_or_empty(tables, ("src", "dst"))
         src = t["src"].to_numpy().astype(np.int64)
         dst = t["dst"].to_numpy().astype(np.int64)
         allv = np.arange(self.n, dtype=np.int64)
@@ -557,6 +557,15 @@ def connected_components_bsp(
 _SSSP_INF = 1 << 62
 
 
+def _concat_or_empty(tables, cols: tuple) -> pa.Table:
+    """Concat an actor's split blocks; a shard can legally receive ZERO
+    rows (sparse graph / high k) and pa.concat_tables([]) raises."""
+    tabs = [tb for tb in tables if tb.num_rows]
+    if tabs:
+        return pa.concat_tables(tabs)
+    return pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+
 class _SSSPShard:
     """BSP shard for single-source shortest paths: the min-plus sibling of
     ``_CCShard`` — messages carry dist(src) + w(edge), pre-combined per
@@ -569,7 +578,7 @@ class _SSSPShard:
     def load(self, *tables) -> int:
         from spiderman_ray.functions.hashing import hash64
 
-        t = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        t = _concat_or_empty(tables, ("src", "dst", "w"))
         src = t["src"].to_numpy().astype(np.int64)
         dst = t["dst"].to_numpy().astype(np.int64)
         w = t["w"].to_numpy().astype(np.int64)
