@@ -680,6 +680,23 @@ def distinct_brands(sf_dir: str) -> pa.Table:
     return pa.table({"p_brand": pa.array(sorted(vals), type=pa.string())})
 
 
+def _edit_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein <= 1 check (the in-bucket verifier of
+    ``name_edit_dups``; hypothesis-tested against a full DP)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    s, t = (a, b) if la < lb else (b, a)  # t is one char longer
+    i = 0
+    while i < len(s) and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1 :]
+
+
 def name_edit_dups(sf_dir: str) -> rd.Dataset:
     """String-similarity join: distinct part-name pairs within Levenshtein
     distance 1, via DELETION-NEIGHBORHOOD keys (the FastSS construction):
@@ -714,20 +731,6 @@ def name_edit_dups(sf_dir: str) -> rd.Dataset:
                 "_bshard": pa.array(sh.astype(np.int64)),
             }
         )
-
-    def _edit_le1(a: str, b: str) -> bool:
-        if a == b:
-            return True
-        la, lb = len(a), len(b)
-        if abs(la - lb) > 1:
-            return False
-        if la == lb:  # exactly one substitution
-            return sum(x != y for x, y in zip(a, b)) <= 1
-        s, t = (a, b) if la < lb else (b, a)  # t is one char longer
-        i = 0
-        while i < len(s) and s[i] == t[i]:
-            i += 1
-        return s[i:] == t[i + 1 :]
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []

@@ -95,3 +95,37 @@ def test_aes_roundtrip_arbitrary_text(msg):
 def test_str2dict_roundtrip(d):
     block = "\n".join(f"{k}: {v}" for k, v in d.items())
     assert str2dict(block) == {k: v.strip() for k, v in d.items()}
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=1, max_size=12),
+    st.text(alphabet="abcdef", min_size=1, max_size=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_edit_le1_matches_levenshtein(a, b):
+    """The deletion-neighborhood join's fast <=1 verifier agrees with a
+    full Levenshtein DP on arbitrary string pairs."""
+    from spiderman_ray.pipelines.relational import _edit_le1
+
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    assert _edit_le1(a, b) == (d[-1] <= 1)
+
+
+@given(st.text(alphabet="abcdexyz", min_size=1, max_size=16), st.integers(0, 30))
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_word_reconstructs_and_respects_merges(word, n_merges):
+    """BPE encoding of any word reconstructs the word exactly (tokens
+    concatenate back, modulo the </w> sentinel) and never produces a pair
+    that a learned merge should have merged."""
+    from spiderman_ray.pipelines.bpe import EOW, bpe_encode_word, bpe_reference
+
+    merges = bpe_reference({word: 3, "the": 5, "thexy": 2}, n_merges)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    toks = bpe_encode_word(word, ranks)
+    assert "".join(toks) == word + EOW
+    for i in range(len(toks) - 1):
+        assert (toks[i], toks[i + 1]) not in ranks
