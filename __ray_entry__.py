@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # string-similarity join: deletion-neighborhood (FastSS) candidate
         # keys + in-bucket exact <=1-edit verify, pair-shard distinct
         "name_edit_dups": R.name_edit_dups,
+        # snapshot diff via native FULL OUTER hash join (added/removed/
+        # changed vs a deterministically perturbed copy)
+        "table_diff": R.table_diff,
         # exact quantiles, two-pass histogram (no full sort)
         "price_quantiles": R.price_quantiles,
         # per-group exact quantiles, shard-grouped vectorized rank gather
@@ -1165,6 +1168,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.p_name AS a, b.p_name AS b FROM part a "
             "JOIN part b ON a.p_name < b.p_name "
             "WHERE levenshtein(a.p_name, b.p_name) <= 1"
+        ),
+        "table_diff": (
+            # the identical perturbation + FULL OUTER JOIN in SQL;
+            # COALESCE(-1) mirrors the engine's int64 null padding
+            "WITH o AS (SELECT o_orderkey AS okey, "
+            "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), "
+            "n AS (SELECT okey, cents + CASE WHEN okey % 7 = 0 THEN 1 ELSE 0 END "
+            "AS cents2 FROM o WHERE okey % 13 != 0 "
+            "UNION ALL SELECT okey + 10000000, cents + 5 FROM o WHERE okey % 11 = 0), "
+            "j AS (SELECT COALESCE(o.okey, n.okey) AS okey, o.cents AS oldc, "
+            "n.cents2 AS newc FROM o FULL OUTER JOIN n ON o.okey = n.okey) "
+            "SELECT okey, CASE WHEN oldc IS NULL THEN 'added' "
+            "WHEN newc IS NULL THEN 'removed' ELSE 'changed' END AS status, "
+            "COALESCE(oldc, -1) AS old_cents, COALESCE(newc, -1) AS new_cents "
+            "FROM j WHERE oldc IS NULL OR newc IS NULL OR oldc != newc"
         ),
         "range_join_shipments": (
             # pure date-range join: per order, lineitems (any order) shipped

@@ -763,3 +763,69 @@ def name_edit_dups(sf_dir: str) -> rd.Dataset:
         .groupby("_pshard")
         .map_groups(distinct_pairs, batch_format="pandas")
     )
+
+
+def table_diff(sf_dir: str) -> rd.Dataset:
+    """Snapshot diff between two versions of a table — the ops tool a
+    recrawl/compaction pipeline validates with — via a native FULL OUTER
+    hash join (Dataset.join): rows only in the old version are
+    ``removed``, only in the new are ``added``, present in both with a
+    different payload are ``changed``; unchanged rows drop. The 'new'
+    version is a deterministic perturbation of ``orders`` (the
+    inject-then-verify pattern): every 13th key dropped, every 7th
+    repriced +1 cent, every 11th spawns a fresh key offset by 10^7.
+    Null-bearing sides COALESCE to -1 BEFORE leaving the join (int64
+    stability — the anti_join_ids zero-padding rule). Output:
+    (okey, status, old_cents, new_cents)."""
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table({"okey": pc.cast(batch["o_orderkey"], pa.int64()), "cents": c})
+
+    old = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        k = batch["okey"].to_numpy().astype(np.int64)
+        c = batch["cents"].to_numpy().astype(np.int64)
+        keep = k % 13 != 0
+        k2, c2 = k[keep], c[keep].copy()
+        c2[k2 % 7 == 0] += 1
+        spawn = k[k % 11 == 0]
+        nk = np.concatenate([k2, spawn + 10_000_000])
+        nc = np.concatenate([c2, c[k % 11 == 0] + 5])
+        return pa.table({"okey2": pa.array(nk), "cents2": pa.array(nc)})
+
+    new = old.map_batches(perturb, batch_format="pyarrow")
+    joined = old.join(
+        new, join_type="full_outer", num_partitions=16,
+        on=("okey",), right_on=("okey2",),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        # the join coalesces the key into ``okey``; null payloads mark
+        # which side a row came from
+        c_old = batch["cents"].to_pandas()
+        c_new = batch["cents2"].to_pandas()
+        status = np.where(
+            c_old.isna(), "added", np.where(c_new.isna(), "removed", "changed")
+        )
+        oldc = c_old.fillna(-1).astype(np.int64).to_numpy()
+        newc = c_new.fillna(-1).astype(np.int64).to_numpy()
+        keep = (status != "changed") | (oldc != newc)
+        return pa.table(
+            {
+                "okey": pa.array(
+                    batch["okey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+                ),
+                "status": pa.array(status[keep], pa.string()),
+                "old_cents": pa.array(oldc[keep]),
+                "new_cents": pa.array(newc[keep]),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -1714,6 +1714,31 @@ def test_pagerank_equals_python_power_iteration():
     assert bsp["rank_x1e12"].tolist() == r
 
 
+def test_table_diff_statuses_partition_the_perturbation():
+    """Snapshot diff via FULL OUTER join: removed = keys % 13, added =
+    spawned keys (offset 1e7), changed = repriced survivors (% 7 and not
+    % 13); unchanged rows never appear."""
+    from spiderman_ray.pipelines.relational import table_diff
+
+    sf = "/root/testdata/sf0.001"
+    got = table_diff(sf).to_pandas()
+    keys = pq.read_table(sf + "/orders.parquet", columns=["o_orderkey"])[
+        "o_orderkey"
+    ].to_numpy()
+    removed = sorted(got.loc[got.status == "removed", "okey"])
+    added = sorted(got.loc[got.status == "added", "okey"])
+    changed = sorted(got.loc[got.status == "changed", "okey"])
+    assert removed == sorted(int(k) for k in keys if k % 13 == 0)
+    assert added == sorted(int(k) + 10_000_000 for k in keys if k % 11 == 0)
+    assert changed == sorted(
+        int(k) for k in keys if k % 13 != 0 and k % 7 == 0
+    )
+    assert (got.loc[got.status == "removed", "new_cents"] == -1).all()
+    assert (got.loc[got.status == "added", "old_cents"] == -1).all()
+    ch = got[got.status == "changed"]
+    assert (ch["new_cents"] - ch["old_cents"] == 1).all()
+
+
 def test_name_edit_dups_planted_variants(tmp_path):
     """Deletion-neighborhood similarity join finds exactly the planted
     <=1-edit pairs: substitution, insertion, deletion — and rejects the
