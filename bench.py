@@ -276,6 +276,17 @@ def run_scaling() -> None:
                 "eff_cores_hi": hi["host_canary"].get("effective_cores"),
             }
         )
+        p = pair_results[-1]
+        # the host-quota CEILING on this epoch: a session requesting
+        # cpus_hi on a host delivering eff_cores_hi cannot exceed
+        # eff_cores_hi / cpus_hi efficiency even with perfect scaling.
+        # ceiling_ratio ~= 1.0 means the pipeline used every core the
+        # host actually gave it (rounds 2-3: every canary-equal pair
+        # measured AT its epoch's ceiling — see BASELINE.md).
+        if p["eff_cores_hi"]:
+            ceiling = min(1.0, p["eff_cores_hi"] / p["cpus_hi"])
+            p["quota_ceiling_eff"] = round(ceiling, 3)
+            p["ceiling_ratio"] = round(p["efficiency"] / ceiling, 3)
     p0 = pair_results[0]
     print(
         json.dumps(
