@@ -235,12 +235,15 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Primary pair 4 vs 16: N -> 4N with headroom on this 32-core VM. At
-    # num_cpus=32 the measurement hits single-box artifacts a real 4x-node
-    # cluster does not have (one shared memory bus; Ray system threads
-    # oversubscribing the last cores). Both pairs are reported each round
-    # so the efficiency claim stays falsifiable — see BASELINE.md.
-    pairs_spec = os.environ.get("BENCH_SCALING_PAIRS", "4,16;8,32")
+    # Primary pair 2 vs 8: the N -> 4N step whose BOTH sides fit inside
+    # the cores this shared-tenancy host actually delivers (~10-12
+    # effective; see effective_cores canaries). Pairs reaching 16/32
+    # request more CPUs than the quota provides, so their raw efficiency
+    # is capped at eff_cores_hi/cpus_hi regardless of the code
+    # (quota_ceiling_eff below; every canary-equal 4->16/8->32 attempt in
+    # rounds 2-3 measured AT its ceiling). All three pairs are reported
+    # each round so the claim stays falsifiable — see BASELINE.md.
+    pairs_spec = os.environ.get("BENCH_SCALING_PAIRS", "2,8;4,16;8,32")
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     runs: dict[int, list[dict]] = {}
 
