@@ -125,6 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cls_(_crawl_out("t1"))
 
+    def crawl_host_authority(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.monitor import crawl_host_authority as cha
+
+        return cha(_crawl_out("t1"))
+
     def crawl_image_dedup(sf_dir: str) -> Any:
         return I.image_dedup_exact(
             os.path.join(_crawl_out("t1"), "tables", "images")
@@ -277,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": crawl_host_stats,
         # per-seed lineage (closed-form roots from the seq encoding)
         "crawl_lineage_stats": crawl_lineage_stats,
+        # host authority: PageRank over the real fetch-lineage host graph
+        # (graph family applied to the crawl's own data)
+        "crawl_host_authority": crawl_host_authority,
         # byte-level exact content dedup over the image store
         "crawl_image_dedup": crawl_image_dedup,
         # image-axis dedup family: exact + pHash-component survivors
@@ -1001,6 +1009,30 @@ def _crawl_oracle_sqls() -> dict[str, str]:
             for root, s in sorted(ls.items())
         ],
         {"seed_url": "VARCHAR", "n_urls": "BIGINT", "max_depth": "BIGINT"},
+    )
+    # host authority: sequential edge recompute from the oracle's
+    # crawl_order (the same parent-key derivation), fed through the SAME
+    # _host_pagerank power iteration the engine uses — parity structural
+    from collections import Counter as _Counter
+
+    import pandas as _pd
+
+    from spiderman_ray.pipelines.monitor import _host_pagerank
+
+    pmap = {(r["generation"], r["seq"]): r["host"] for r in o.crawl_order}
+    ec: dict = _Counter()
+    for r in o.crawl_order:
+        if r["generation"] >= 1:
+            p = pmap.get((r["generation"] - 1, r["seq"] >> 20))
+            if p is not None:
+                ec[(p, r["host"])] += 1
+    hosts = sorted({r["host"] for r in o.crawl_order})
+    pair_df = _pd.DataFrame(
+        [(s, d, n) for (s, d), n in ec.items()], columns=["src", "dst", "n"]
+    )
+    out["crawl_host_authority"] = _values_sql(
+        _host_pagerank(pair_df, hosts, 5).to_pylist(),
+        {"host": "VARCHAR", "rank_x1e12": "BIGINT"},
     )
     return out
 

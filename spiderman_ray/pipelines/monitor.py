@@ -160,3 +160,99 @@ def crawl_lineage_stats(out_dir: str) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n"), Max("depth", alias_name="depth"))
         .map_batches(label, batch_format="pyarrow")
     )
+
+
+def crawl_host_authority(out_dir: str, iters: int = 5) -> pa.Table:
+    """Host authority: integer fixed-point PageRank over the crawl's REAL
+    fetch-lineage graph — the crawl-side use of the graph family
+    (pipelines/graph.py). Edges come straight from the frontier's seq
+    encoding (child seq = parent_seq * 2^20 + idx, schemas.FRONTIER): a
+    child fetched in generation g links its parent fetch (g-1,
+    seq >> 20) — so host(parent) -> host(child) edges fall out of ONE
+    co-partitioned self-join of crawl_order by parent-fetch key, no URL
+    parsing, no link re-extraction. The per-pair multiplicities reduce
+    shard-side to an O(hosts^2) aggregate (hosts, not URLs, are the
+    nodes — aggregate-sized by nature), and the power iteration runs on
+    that tiny weighted graph with the same integer contract as
+    graph.pagerank: r'(v) = (15*(S//H) + 85 * sum_u r(u)*c(u,v)//C(u))
+    // 100, S = 1e12. Output: (host, rank_x1e12), hostless when the
+    crawl had a single generation."""
+    import numpy as np
+    import pandas as pd
+
+    from spiderman_ray.functions.hashing import hash64
+
+    order = _crawl_table_ds(out_dir, "crawl_order")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        gen = batch["generation"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        host = batch["host"].to_pylist()
+        # every fetch is a potential PARENT under key (gen, seq); every
+        # gen>=1 fetch is also a CHILD under key (gen-1, seq >> 20)
+        pk = [f"{g}|{s}" for g, s in zip(gen, seq)]
+        ck = [f"{g - 1}|{s >> 20}" for g, s in zip(gen, seq)]
+        keys = pk + [k for k, g in zip(ck, gen) if g >= 1]
+        hosts = host + [h for h, g in zip(host, gen) if g >= 1]
+        is_child = [False] * len(pk) + [True] * (len(keys) - len(pk))
+        sh = (hash64(keys).view(_np.uint64) % _np.uint64(64)).astype(_np.int64)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "_is_child": pa.array(is_child),
+                "_kshard": pa.array(sh),
+            }
+        )
+
+    def edges(g: "pd.DataFrame") -> "pd.DataFrame":
+        ch = g[g["_is_child"].to_numpy()]
+        pr = g[~g["_is_child"].to_numpy()]
+        if not len(ch) or not len(pr):
+            return pd.DataFrame({"src": [], "dst": [], "n": []})
+        m = ch.merge(
+            pr[["k", "host"]].rename(columns={"host": "src"}), on="k", sort=False
+        )
+        agg = m.groupby(["src", "host"], sort=False).size().reset_index(name="n")
+        return pd.DataFrame(
+            {"src": agg["src"], "dst": agg["host"], "n": agg["n"].astype(np.int64)}
+        )
+
+    pairs = (
+        order.map_batches(mark, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(edges, batch_format="pandas")
+        .to_pandas()  # O(hosts^2) rows by construction
+    )
+    pairs = pairs.groupby(["src", "dst"], sort=False)["n"].sum().reset_index()
+    hosts = sorted(set(order.unique("host")))
+    return _host_pagerank(pairs, hosts, iters)
+
+
+def _host_pagerank(pairs, hosts: list, iters: int) -> pa.Table:
+    """Shared integer power iteration over the (tiny) weighted host graph
+    — engine and the VALUES-pin oracle recompute both call THIS."""
+    import numpy as np
+
+    scale = 10**12
+    h = len(hosts)
+    idx = {x: i for i, x in enumerate(hosts)}
+    c = np.zeros((h, h), dtype=np.int64)
+    for s, d, n in zip(pairs["src"], pairs["dst"], pairs["n"]):
+        c[idx[s], idx[d]] += int(n)
+    out_tot = c.sum(axis=1)
+    r = np.full(h, scale // h, dtype=np.int64)
+    teleport = 15 * (scale // h)
+    for _ in range(iters):
+        acc = np.zeros(h, dtype=np.int64)
+        for u in range(h):
+            if out_tot[u]:
+                acc += r[u] * c[u] // out_tot[u]
+            else:
+                pass  # dangling hosts keep only teleport mass (leaf CDNs)
+        r = (teleport + 85 * acc) // 100
+    return pa.table(
+        {"host": pa.array(hosts, pa.string()), "rank_x1e12": pa.array(r)}
+    )

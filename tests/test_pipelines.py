@@ -1714,6 +1714,55 @@ def test_pagerank_equals_python_power_iteration():
     assert bsp["rank_x1e12"].tolist() == r
 
 
+def test_crawl_host_authority_matches_sequential_lineage_recompute(tmp_path):
+    """Host PageRank over the fetch-lineage graph: the distributed
+    parent-key self-join equals a sequential edge recompute fed through
+    the same power iteration; mass is conserved within floor loss."""
+    from collections import Counter
+
+    import ray
+
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.pipelines.monitor import _host_pagerank, crawl_host_authority
+    from spiderman_ray.simweb import SimParams
+
+    assert ray.is_initialized()
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(SimParams.for_scale("t1"), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+
+    got = crawl_host_authority(out).to_pandas()
+
+    co = read_table_all_gens(out, "crawl_order").to_pylist()
+    pmap = {(r["generation"], r["seq"]): r["host"] for r in co}
+    ec = Counter()
+    for r in co:
+        if r["generation"] >= 1:
+            p = pmap.get((r["generation"] - 1, r["seq"] >> 20))
+            if p is not None:
+                ec[(p, r["host"])] += 1
+    hosts = sorted({r["host"] for r in co})
+    pair_df = pd.DataFrame(
+        [(s, d, n) for (s, d), n in ec.items()], columns=["src", "dst", "n"]
+    )
+    want = _host_pagerank(pair_df, hosts, 5).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("host").reset_index(drop=True),
+        want.sort_values("host").reset_index(drop=True),
+    )
+    # dangling hosts (leaf CDNs) LEAK mass by design (no dangling
+    # redistribution): total stays below scale but every host keeps at
+    # least its teleport floor
+    teleport_floor = 15 * ((10**12) // len(hosts)) // 100
+    assert got["rank_x1e12"].sum() <= 10**12
+    assert (got["rank_x1e12"] >= teleport_floor).all()
+    # image CDN hosts are pure sinks fed by every detail host: they must
+    # carry MORE than teleport-only mass
+    img = got[got["host"].str.contains("cdn")]["rank_x1e12"]
+    assert len(img) and (img > teleport_floor).all()
+
+
 def test_table_diff_statuses_partition_the_perturbation():
     """Snapshot diff via FULL OUTER join: removed = keys % 13, added =
     spawned keys (offset 1e7), changed = repriced survivors (% 7 and not
