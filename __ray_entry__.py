@@ -377,6 +377,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KenLM-shape bigram LM quality (integer pointwise log2 ratios,
         # sharded by conditioning context w1 — no vocabulary broadcast)
         "bigram_quality": lambda sf: T.bigram_quality(sf),
+        # Naive-Bayes train+apply: weak labels from LangId, the model IS
+        # the token-sharded count table (nothing broadcast), exact
+        # integer log2 scores — distributed model training, hash-verified
+        "nb_classify": lambda sf: T.nb_classify(sf),
         # iterative link analysis: integer fixed-point PageRank on the
         # actor-held-shard BSP path (edges shard once; supersteps are
         # pre-combined point-to-point messages) — bit-identical to the
@@ -533,6 +537,41 @@ def _lang_id_sql() -> str:
         "WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en' "
         "WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es' "
         "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s"
+    )
+
+
+def _nb_sql() -> str:
+    """Naive-Bayes train+apply: labels = the lang_id CTE, per-(token,
+    class) counts by conditional aggregation, per-doc class sums with
+    the zero-count -1 convention (CASE c=0 THEN -1 ELSE
+    length(bin(c))-1 == numpy frexp bit_length-1 with the explicit zero
+    branch), argmax with the alphabetical tie-break."""
+    classes = ("de", "en", "es", "fr", "und", "zh")
+    cts = ", ".join(
+        f"SUM(CASE WHEN l.lang_pred = '{c}' THEN tf.tf ELSE 0 END) AS c_{c}"
+        for c in classes
+    )
+    sums = ", ".join(
+        f"CAST(SUM(tf.tf * (CASE WHEN ct.c_{c} = 0 THEN -1 "
+        f"ELSE length(bin(ct.c_{c})) - 1 END)) AS BIGINT) AS s_{c}"
+        for c in classes
+    )
+    return (
+        f"WITH labels AS ({_lang_id_sql()}), "
+        "t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "x -> x != '')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok), "
+        f"ct AS (SELECT tf.tok, {cts} FROM tf JOIN labels l USING (doc_id) "
+        "GROUP BY tf.tok), "
+        f"s AS (SELECT tf.doc_id, {sums} FROM tf JOIN ct USING (tok) "
+        "GROUP BY tf.doc_id) "
+        "SELECT doc_id, CASE "
+        "WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_und, s_zh) THEN 'de' "
+        "WHEN s_en >= GREATEST(s_es, s_fr, s_und, s_zh) THEN 'en' "
+        "WHEN s_es >= GREATEST(s_fr, s_und, s_zh) THEN 'es' "
+        "WHEN s_fr >= GREATEST(s_und, s_zh) THEN 'fr' "
+        "WHEN s_und >= s_zh THEN 'und' ELSE 'zh' END AS nb_pred, "
+        "GREATEST(s_de, s_en, s_es, s_fr, s_und, s_zh) AS best_score FROM s"
     )
 
 
@@ -1454,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp": __import__(
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).sssp_oracle_sql(),
+        "nb_classify": _nb_sql(),
         "bigram_quality": (
             # pointwise integer log-ratio floor(log2 c(w1,w2)) -
             # floor(log2 C(w1)); bigrams zipped over the FILTERED token

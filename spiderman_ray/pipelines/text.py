@@ -2635,3 +2635,91 @@ def quality_buckets(sf_dir: str) -> rd.Dataset:
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+_NB_CLASSES = ("de", "en", "es", "fr", "und", "zh")  # sorted: tie-break order
+
+
+def nb_classify(sf_dir: str) -> rd.Dataset:
+    """Distributed Naive-Bayes language classifier — model TRAINING as
+    aggregation, exactly verified end to end. Weak labels come from the
+    shared ``LangId`` heuristic (computed inline per batch, no join);
+    per-(token, class) counts are complete where the token lives (the
+    ``unigram_quality`` shard shape, so the 'model' IS the sharded count
+    table — nothing broadcast); each (doc, token, tf) row picks up its
+    six per-class integer contributions
+    ``tf * floor(log2 c(token, class))`` (a zero count contributes -1
+    per occurrence) and per-doc class sums PRE-COMBINE inside the token
+    shard; a doc-shard fold then argmaxes with the alphabetical
+    tie-break. Two exchanges total. bit_length-1 arithmetic is shared
+    with the DuckDB oracle (CASE c=0 THEN -1 ELSE length(bin(c))-1), so
+    the driver gate hash-verifies train AND apply exactly.
+    Output (doc_id, nb_pred, best_score)."""
+    labeler = LangId()
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_pylist(), "text": batch["text"].to_pylist()}
+        )
+        labels = labeler(df).set_index("doc_id")["lang_pred"]
+        s = pd.Series(df["text"].values, index=df["doc_id"].values)
+        toks = s.str.split(" ").explode()
+        toks = toks[toks != ""]
+        tc = toks.groupby([toks.index, toks]).size()
+        dids = tc.index.get_level_values(0).to_numpy(dtype=np.int64)
+        tokens = tc.index.get_level_values(1).to_numpy(dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "token": pa.array(tokens, type=pa.string()),
+                "tf": pa.array(tc.to_numpy().astype(np.int64)),
+                "label": pa.array(labels.loc[dids].to_numpy(), type=pa.string()),
+                "_tshard": pa.array(_shard64_of(list(tokens))),
+            }
+        )
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        # class-count table for every token in this shard (complete here)
+        ct = g.pivot_table(
+            index="token", columns="label", values="tf", aggfunc="sum", fill_value=0
+        )
+        cols = {}
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        for c in _NB_CLASSES:
+            cnt = (
+                ct[c].reindex(g["token"]).to_numpy(dtype=np.int64)
+                if c in ct.columns
+                else np.zeros(len(g), dtype=np.int64)
+            )
+            _, e = np.frexp(cnt.astype(np.float64))  # bit_length, exact
+            w = np.where(cnt > 0, e.astype(np.int64) - 1, np.int64(-1))
+            cols[f"s_{c}"] = tf * w
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(dtype=np.int64), **cols})
+        # pre-combine per doc inside the shard: O(docs) rows cross the
+        # second exchange, not O(doc x token)
+        agg = out.groupby("doc_id", sort=False).sum().reset_index()
+        agg["_dshard"] = _shard64_of(list(agg["doc_id"]))
+        return agg
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False)[
+            [f"s_{c}" for c in _NB_CLASSES]
+        ].sum()
+        scores = agg.to_numpy(dtype=np.int64)
+        best_idx = np.argmax(scores, axis=1)  # first maximum = sorted order
+        return pd.DataFrame(
+            {
+                "doc_id": agg.index.to_numpy(dtype=np.int64),
+                "nb_pred": [_NB_CLASSES[i] for i in best_idx],
+                "best_score": scores[np.arange(len(scores)), best_idx],
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_counts, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(contrib, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )

@@ -2019,6 +2019,45 @@ def test_triangle_counts_equals_bruteforce():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_nb_classify_equals_direct_recompute():
+    """Distributed Naive-Bayes (train from LangId weak labels + apply)
+    equals a single-process Counter recompute: same integer scores, same
+    alphabetical-tie-break argmax."""
+    from collections import Counter, defaultdict
+
+    from spiderman_ray.pipelines.text import _NB_CLASSES, LangId, nb_classify
+
+    sf = "/root/testdata/sf0.001"
+    got = nb_classify(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    labels = LangId()(docs).set_index("doc_id")["lang_pred"]
+    ct: dict = defaultdict(Counter)  # token -> class -> count
+    per_doc = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        tfs = Counter(w for w in t.split(" ") if w)
+        per_doc[d] = tfs
+        for w, n in tfs.items():
+            ct[w][labels[d]] += n
+    rows = []
+    for d in sorted(per_doc):
+        scores = []
+        for c in _NB_CLASSES:
+            s = 0
+            for w, n in per_doc[d].items():
+                cnt = ct[w][c]
+                s += n * ((cnt.bit_length() - 1) if cnt > 0 else -1)
+            scores.append(s)
+        best = max(range(len(_NB_CLASSES)), key=lambda i: (scores[i], -i))
+        rows.append((d, _NB_CLASSES[best], scores[best]))
+    want = pd.DataFrame(rows, columns=["doc_id", "nb_pred", "best_score"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no class priors on a majority-class corpus: predictions may all
+    # collapse to the majority label; the exactness above is the
+    # contract. Scores must still be doc-dependent:
+    assert got["best_score"].nunique() > 10
+
+
 def test_bigram_quality_equals_direct_recompute():
     """Bigram-LM quality: per-doc sum of tf * (floor(log2 c(w1,w2)) -
     floor(log2 C(w1))) matches a single-process Counter recompute, and
