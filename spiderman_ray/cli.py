@@ -102,6 +102,35 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over a crawl store: every gen-partitioned table
+    registers as a DuckDB view (pages, details, images, crawl_order,
+    dead_letters, hostmeta) and the statement runs against them — the
+    operational complement of the fixed query registry. No Ray session:
+    DuckDB scans the parquet parts directly."""
+    import duckdb
+
+    con = duckdb.connect()
+    base = os.path.join(args.out, "tables")
+    tables = sorted(os.listdir(base)) if os.path.isdir(base) else []
+    for t in tables:
+        glob_ = os.path.join(base, t, "gen=*", "*.parquet")
+        import glob as _g
+
+        if _g.glob(glob_):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob_}')"
+            )
+    df = con.execute(args.statement).fetchdf()
+    if args.dest:
+        df.to_csv(args.dest, index=False)
+        print(json.dumps({"rows": len(df), "dest": args.dest,
+                          "tables": tables}))
+    else:
+        print(df.to_string(index=False))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Compact a table's small per-task parts (one content-keyed part per
     gen= partition; idempotent; crash-repairing). See compact.py."""
@@ -298,6 +327,12 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate", help="decode/validate an images table")
     v.add_argument("--images", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    sq = sub.add_parser("sql", help="ad-hoc DuckDB SQL over a crawl store's tables")
+    sq.add_argument("statement", help="SQL; crawl tables are pre-registered views")
+    sq.add_argument("--out", required=True, help="crawl output dir")
+    sq.add_argument("--dest", default=None, help="write result csv here (omit = print)")
+    sq.set_defaults(fn=cmd_sql)
 
     cp = sub.add_parser(
         "compact", help="merge small per-task parts (one part per gen= dir)"

@@ -84,7 +84,7 @@ def test_compact_repair_rolls_forward_and_back(tmp_path):
     assert compact_partition(gen_dir)["action"] == "skip"
 
 
-def test_compact_crawl_store_roundtrip(tmp_path):
+def test_compact_crawl_store_roundtrip(tmp_path, ray_session):
     """Split a real t1 crawl's pages partition into many parts, compact via
     the CLI path, and assert the resume readers see identical content."""
     import ray
@@ -113,3 +113,34 @@ def test_compact_crawl_store_roundtrip(tmp_path):
     assert by_dir["gen=0"] == "compacted"
     after = read_table_all_gens(out, "pages").sort_by("seq")
     assert after.equals(before)
+
+
+def test_cli_sql_over_crawl_store(tmp_path, ray_session):
+    """cli sql registers every gen-partitioned table as a view and runs
+    ad-hoc DuckDB against the store (no Ray session needed)."""
+    import json
+    import subprocess
+    import sys
+
+    import ray
+
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.simweb import SimParams
+
+    assert ray.is_initialized()
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(SimParams.for_scale("t1"), out_dir=out)
+    m = eng.run()
+    eng._pool.shutdown()
+
+    dest = str(tmp_path / "res.csv")
+    r = subprocess.run(
+        [sys.executable, "-m", "spiderman_ray.cli", "sql",
+         "SELECT COUNT(*) AS n FROM crawl_order", "--out", out, "--dest", dest],
+        capture_output=True, text=True, check=True,
+    )
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows"] == 1
+    import pandas as pd
+
+    assert int(pd.read_csv(dest)["n"][0]) == m["crawled"]

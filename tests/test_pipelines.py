@@ -1714,7 +1714,7 @@ def test_pagerank_equals_python_power_iteration():
     assert bsp["rank_x1e12"].tolist() == r
 
 
-def test_crawl_host_authority_matches_sequential_lineage_recompute(tmp_path):
+def test_crawl_host_authority_matches_sequential_lineage_recompute(tmp_path, ray_session):
     """Host PageRank over the fetch-lineage graph: the distributed
     parent-key self-join equals a sequential edge recompute fed through
     the same power iteration; mass is conserved within floor loss."""
