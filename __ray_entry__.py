@@ -436,7 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc-repeated 8-gram, re-emit the cleaned text
         "remove_repeated_spans": lambda sf: T.remove_repeated_spans(sf),
         # constant-memory bloom screen (no false negatives; FP-bounded by
-        # pytest vs the exact operator -> rows-only driver row)
+        # pytest vs the exact operator). Hash-verified: the SQL oracle
+        # re-derives the bitmap AND probes every training doc's grams
         "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
         # the screen's bloom STATE (set-bit positions) — deterministic
         # integers, hash-verified vs a pure-SQL recomputation of the gram
@@ -447,8 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": lambda sf: T.curate(sf),
         # full-strength flagship: curate + MinHash near-dup removal
         "curate_full": lambda sf: T.curate_full(sf),
-        # HyperLogLog distinct sketch (deterministic registers; estimate is
-        # approximate by design, so no SQL hash oracle — pytest bounds it)
+        # HyperLogLog distinct sketch. The estimate is approximate VS THE
+        # TRUTH but a deterministic pure function of the registers — the
+        # SQL oracle re-derives registers + the exact-integer harmonic
+        # denominator + the one-division estimator, so it hash-verifies
         "approx_distinct_users": lambda sf: __import__(
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_distinct(sf),
@@ -471,7 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_price_quantiles(sf),
         # Count-Min sketch estimates for the exact top-k tokens (mergeable
-        # constant-size tables; pytest bounds the over-estimate)
+        # constant-size tables; pytest bounds the over-estimate vs truth).
+        # Estimator head is pure integer MIN over cells -> SQL hash oracle
         "approx_token_counts": lambda sf: __import__(
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_token_counts(sf),
@@ -502,8 +506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization codes (k-means codebooks are not SQL-
         # expressible -> rows-only; pytest bounds distortion + determinism)
         "pq_quantize": lambda sf: V.pq_quantize(sf),
-        # PQ-ADC + exact-rerank approximate top-k (pytest bounds recall
-        # vs the exact ann_cosine_topk baseline; rows-only)
+        # PQ-ADC + exact-rerank approximate top-k: pytest asserts recall
+        # 1.0 vs exact at every sf, and ranks come from exact dots, so
+        # the exact top-k SQL is its (loud-on-regression) hash oracle
         "ann_pq_topk": lambda sf: V.ann_pq_topk(sf),
         # -- multimodal plumbing over synthesized binary payloads ----------
         "video_frames": video_frames,
@@ -708,15 +713,13 @@ def _decon_sql() -> str:
     )
 
 
-def _bloom_bits_sql(k: int = 8, m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
-    """DuckDB recomputation of the decontamination bloom's set bits —
-    pipelines.text._bench_gram_bloom in pure integer SQL. The gram hash is
-    the engine's order-sensitive polynomial sum(md5prefix64(word) *
-    M^(k-1-j)) mod 2^64 (pipelines.text._kgram_hashes_batch), evaluated
-    with the 32-bit-split trick so every intermediate fits HUGEINT:
-    hv*W mod 2^64 == (lo(hv)*W mod 2^64 + (hi(hv)*lo(W) mod 2^32)*2^32)
-    mod 2^64. Bit indices are the double-hash (h1 + i*h2) % m_bits with
-    h1/h2 the gram hash's 32-bit halves (h2 |= 1)."""
+def _gram_poly_expr(k: int = 8) -> str:
+    """The engine's order-sensitive k-gram polynomial sum(md5prefix64(word)
+    * M^(k-1-j)) mod 2^64 (pipelines.text._kgram_hashes_batch) as a DuckDB
+    expression over a word-hash list ``h`` and 1-based start ``i``,
+    evaluated with the 32-bit-split trick so every intermediate fits
+    HUGEINT: hv*W mod 2^64 == (lo(hv)*W mod 2^64 + (hi(hv)*lo(W) mod
+    2^32)*2^32) mod 2^64."""
     M = 0x9E3779B97F4A7C15
     P64, P32 = 1 << 64, 1 << 32
     weights = [0] * k
@@ -731,7 +734,16 @@ def _bloom_bits_sql(k: int = 8, m_bits: int = 1 << 20, n_hashes: int = 4) -> str
             f"(((h[i+{j}] % {P32}) * {W}) % {P64} "
             f"+ (((h[i+{j}] // {P32}) * {WL}) % {P32}) * {P32})"
         )
-    gram = "(" + " + ".join(terms) + f") % {P64}"
+    return "(" + " + ".join(terms) + f") % {P64}"
+
+
+def _bloom_bits_sql(k: int = 8, m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
+    """DuckDB recomputation of the decontamination bloom's set bits —
+    pipelines.text._bench_gram_bloom in pure integer SQL. Gram hash =
+    ``_gram_poly_expr``; bit indices are the double-hash (h1 + i*h2) %
+    m_bits with h1/h2 the gram hash's 32-bit halves (h2 |= 1)."""
+    P32 = 1 << 32
+    gram = _gram_poly_expr(k)
     salts = ", ".join(f"({i})" for i in range(n_hashes))
     return (
         "WITH d AS (SELECT text, string_split(text, ' ') AS ws FROM documents "
@@ -749,6 +761,49 @@ def _bloom_bits_sql(k: int = 8, m_bits: int = 1 << 20, n_hashes: int = 4) -> str
         "+ s.i * (CAST(g // " + str(P32) + " AS BIGINT) | 1)) "
         f"% {m_bits} AS BIGINT) AS bit_idx "
         f"FROM grams CROSS JOIN (VALUES {salts}) s(i)"
+    )
+
+
+def _bloom_probe_sql(k: int = 8, m_bits: int = 1 << 20, n_hashes: int = 4) -> str:
+    """Full SQL oracle for ``decontaminate_bloom`` — not a pin: DuckDB
+    re-derives the bench-gram bloom's bit set (the ``_bloom_bits_sql``
+    machinery) AND probes every training doc's distinct grams against it
+    (a gram hits iff ALL n_hashes double-hash positions are set — the
+    exact membership rule of pipelines.text.decontaminate_bloom).
+    n_flagged = COUNT of the doc's distinct grams whose every probe
+    position lands in the bit set; docs with zero hits are omitted."""
+    P32 = 1 << 32
+    gram = _gram_poly_expr(k)
+    salts = ", ".join(f"({i})" for i in range(n_hashes))
+    bench = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < "
+        f"{(10 << 32) // 100}"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws, "
+        f"{bench} AS is_bench FROM documents), "
+        "hv AS (SELECT doc_id, is_bench, text, ws, list_transform(ws, w -> "
+        "CAST(CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS HUGEINT)) AS h "
+        "FROM d), "
+        f"gsel AS (SELECT doc_id, is_bench, CASE WHEN len(ws) < {k} "
+        "THEN [CAST(CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS HUGEINT)] "
+        f"ELSE list_transform(range(1, len(ws) - {k - 2}), i -> {gram}) END AS gs "
+        "FROM hv), "
+        "bbits AS (SELECT DISTINCT CAST((CAST(g % " + str(P32) + " AS BIGINT) "
+        "+ s.i * (CAST(g // " + str(P32) + " AS BIGINT) | 1)) "
+        f"% {m_bits} AS BIGINT) AS bit_idx "
+        "FROM (SELECT unnest(gs) AS g FROM gsel WHERE is_bench) "
+        f"CROSS JOIN (VALUES {salts}) s(i)), "
+        "tg AS (SELECT DISTINCT doc_id, g FROM ("
+        "SELECT doc_id, unnest(gs) AS g FROM gsel WHERE NOT is_bench)), "
+        "probe AS (SELECT doc_id, g, CAST((CAST(g % " + str(P32) + " AS BIGINT) "
+        "+ s.i * (CAST(g // " + str(P32) + " AS BIGINT) | 1)) "
+        f"% {m_bits} AS BIGINT) AS bit_idx "
+        f"FROM tg CROSS JOIN (VALUES {salts}) s(i)), "
+        "hits AS (SELECT p.doc_id, p.g FROM probe p "
+        "LEFT JOIN bbits b USING (bit_idx) GROUP BY p.doc_id, p.g "
+        "HAVING SUM(CASE WHEN b.bit_idx IS NULL THEN 1 ELSE 0 END) = 0) "
+        "SELECT doc_id, COUNT(*) AS n_flagged FROM hits GROUP BY doc_id"
     )
 
 
@@ -1291,6 +1346,62 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(row_idx AS BIGINT) AS row_idx, col_idx, "
             "COUNT(*) AS cnt FROM cells GROUP BY row_idx, col_idx"
         ),
+        "approx_token_counts": (
+            # full SQL oracle (not a pin): the merged CMS table is
+            # re-derived exactly as in cms_table, the exact top-20 token
+            # list exactly as in top_tokens (count desc, token asc), and
+            # the estimate is the integer MIN over the 4 salt rows'
+            # cells — sketches.cms_estimate is pure integer arithmetic,
+            # so the whole sketch (state + estimator head) hash-verifies
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "t AS (SELECT tok FROM toks WHERE tok <> ''), "
+            "topk AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok "
+            "ORDER BY n DESC, tok LIMIT 20), "
+            "cells AS (SELECT s.row_idx, "
+            "CAST(CAST(('0x' || substr(md5(s.salt || t.tok), 1, 16)) AS UBIGINT) "
+            "% 4096 AS BIGINT) AS col_idx "
+            "FROM t CROSS JOIN (VALUES (0, 'cms0|'), (1, 'cms1|'), (2, 'cms2|'), "
+            "(3, 'cms3|')) s(row_idx, salt)), "
+            "tab AS (SELECT row_idx, col_idx, COUNT(*) AS cnt FROM cells "
+            "GROUP BY row_idx, col_idx), "
+            "q AS (SELECT k.tok AS token, s.row_idx, "
+            "CAST(CAST(('0x' || substr(md5(s.salt || k.tok), 1, 16)) AS UBIGINT) "
+            "% 4096 AS BIGINT) AS col_idx "
+            "FROM topk k CROSS JOIN (VALUES (0, 'cms0|'), (1, 'cms1|'), (2, 'cms2|'), "
+            "(3, 'cms3|')) s(row_idx, salt)) "
+            # inner join is safe: the token itself hashed into each cell,
+            # so every probed cell is non-zero and present in tab
+            "SELECT q.token, CAST(MIN(tab.cnt) AS BIGINT) AS n_est FROM q "
+            "JOIN tab ON q.row_idx = tab.row_idx AND q.col_idx = tab.col_idx "
+            "GROUP BY q.token"
+        ),
+        "approx_distinct_users": (
+            # full SQL oracle for the HLL ESTIMATE (the registers were
+            # already verified via hll_registers): the harmonic
+            # denominator sum(2^-rank) is scaled by 2^53 into the exact
+            # HUGEINT S = sum(2^(53-rank)) (zero registers contribute
+            # 2^53 each), exactly as sketches.hll_estimate computes it,
+            # then ONE double division + the linear-counting branch —
+            # every float op is single-IEEE and mirrored in order, so the
+            # rounded integer matches bit-for-bit (ln() resolves to the
+            # same libm double on both sides; rehearsal-verified)
+            "WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) AS hv FROM events), "
+            "parts AS (SELECT CAST(hv >> 52 AS BIGINT) AS reg_idx, "
+            "CAST(hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS BIGINT) AS rest FROM h), "
+            "regs AS (SELECT reg_idx, MAX(CASE WHEN rest = 0 THEN 53 "
+            "ELSE 53 - length(bin(rest)) END) AS r FROM parts GROUP BY reg_idx), "
+            "agg AS (SELECT SUM(CAST(POW(2.0, 53 - r) AS HUGEINT)) AS s_nz, "
+            "COUNT(*) AS n_nz FROM regs), "
+            "st AS (SELECT s_nz + (4096 - n_nz) * CAST(9007199254740992 AS HUGEINT) AS s, "
+            "4096 - n_nz AS v FROM agg), "
+            "e AS (SELECT 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 "
+            "* 9007199254740992.0 / CAST(s AS DOUBLE) AS est, v FROM st) "
+            "SELECT CAST(FLOOR(CASE WHEN est <= 10240.0 AND v > 0 "
+            "THEN 4096 * ln(4096 / v) ELSE est END + 0.5) AS BIGINT) "
+            "AS n_distinct_est FROM e"
+        ),
+        "decontaminate_bloom": _bloom_probe_sql(),
         "approx_price_quantiles": (
             # identical integer bucketing: length(bin(c)) == bit_length,
             # >> and the 64*s offset mirror sketches._log_buckets exactly
@@ -1779,6 +1890,25 @@ def oracle_sql() -> dict[str, str]:
         # every candidate) -> structurally identical to the exact top-k
         # oracle; the approximate nprobe<n_centroids path is pytest-bounded
         "ann_ivfpq_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 8), scored AS ("
+            "SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) "
+            "WHERE rank <= 5"
+        ),
+        # ADC preselection (local top-32 per batch) + exact re-rank equals
+        # the exhaustive exact top-k whenever every true neighbor survives
+        # its own batch's ADC preselect — deterministic and asserted by
+        # pytest (test_ann_pq_topk_recall_vs_exact, recall measured 1.0 at
+        # every sf); ranks come from exact float64 dots on both sides, the
+        # same contract as the green ann_cosine_topk oracle. A recall
+        # regression (codebook/seed change) fails this hash row loudly —
+        # which is the correct gate behavior for the ADC+R contract.
+        "ann_pq_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             "ORDER BY vec_id LIMIT 8), scored AS ("
             "SELECT q.query_id, e.vec_id AS neighbor_id, "

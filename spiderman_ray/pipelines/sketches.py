@@ -62,16 +62,28 @@ def hll_register_blocks(ds: rd.Dataset, column: str, p: int = 12) -> rd.Dataset:
 
 
 def hll_estimate(register_rows: list[dict], p: int = 12) -> int:
-    """Merge per-block register arrays (elementwise max) and estimate."""
+    """Merge per-block register arrays (elementwise max) and estimate.
+
+    The harmonic denominator sum(2^-r) is computed EXACTLY as the integer
+    S = sum(2^(rmax - r)) (Python bignum — ranks are <= 65-p, so S fits
+    ~2^(rmax+p)), then one double division: this makes the estimate a
+    deterministic pure function of the registers that a SQL engine
+    reproduces bit-for-bit in HUGEINT + one DOUBLE division (the
+    ``approx_distinct_users`` oracle), instead of a float fold whose
+    last-ulp depends on summation order."""
+    import math
+
     m = 1 << p
+    rmax = 64 - p + 1  # the rest==0 sentinel rank
     reg = np.zeros(m, dtype=np.uint8)
     for r in register_rows:
         reg = np.maximum(reg, np.asarray(r["reg"], dtype=np.uint8))
-    est = _alpha(m) * m * m / float(np.sum(np.power(2.0, -reg.astype(np.float64))))
+    s_exact = sum(1 << (rmax - int(v)) for v in reg)  # == 2^rmax * sum(2^-r)
+    est = _alpha(m) * m * m * float(1 << rmax) / float(s_exact)
     zeros = int(np.count_nonzero(reg == 0))
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting, small-range correction
-    return int(round(est))
+        est = m * math.log(m / zeros)  # linear counting, small-range correction
+    return int(math.floor(est + 0.5))
 
 
 def hll_registers(sf_dir: str, table: str = "events", column: str = "user_id",
