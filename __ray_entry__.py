@@ -405,8 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sssp(sf),
         # BPE tokenizer TRAINING: one corpus exchange to word-freqs, then
         # BSP merge rounds over vocabulary shards (iterative argmax is
-        # not SQL-expressible -> rows-only; pinned by the single-process
-        # reference implementation in pytest)
+        # not SQL-expressible -> frozen-VALUES pin from the single-process
+        # bpe_reference; hash-verified at the gate)
         "bpe_train": lambda sf: __import__(
             "spiderman_ray.pipelines.bpe", fromlist=["x"]
         ).bpe_train(sf),
@@ -492,7 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_topk": lambda sf: V.ann_ivfpq_topk(sf, nprobe=16),
         "cosine_dup_pairs": V.cosine_dup_pairs,
         # approximate corpus-scale variant (seeded hyperplanes are not
-        # SQL-expressible; pytest measures recall vs the exact operator)
+        # SQL-expressible -> frozen-VALUES pin from the single-process
+        # reference recompute; pytest measures recall vs the exact op)
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         # exact k-NN graph over every vector (SemDeDup building block)
         "knn_graph": lambda sf: V.knn_graph(sf),
@@ -504,7 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
         # product-quantization codes (k-means codebooks are not SQL-
-        # expressible -> rows-only; pytest bounds distortion + determinism)
+        # expressible -> frozen-VALUES pin from the single-process
+        # reference; pytest bounds distortion + determinism)
         "pq_quantize": lambda sf: V.pq_quantize(sf),
         # PQ-ADC + exact-rerank approximate top-k: pytest asserts recall
         # 1.0 vs exact at every sf, and ranks come from exact dots, so
@@ -853,12 +855,14 @@ def _values_sql(rows: list[dict], types: dict[str, str]) -> str:
 
     cols = list(types)
     if not rows:
-        sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in types.items())
+        # quoted identifiers: pin columns may be reserved words (left, rank)
+        sel = ", ".join(f'CAST(NULL AS {t}) AS "{c}"' for c, t in types.items())
         return f"SELECT {sel} WHERE FALSE"
     body = ", ".join(
         "(" + ", ".join(lit(r[c], types[c]) for c in cols) + ")" for r in rows
     )
-    return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
+    named = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT * FROM (VALUES {body}) AS t({named})"
 
 
 def _crawl_oracle_sqls() -> dict[str, str]:
@@ -1143,9 +1147,61 @@ def _meta_oracle_sql() -> dict[str, str]:
     return {"meta_table": open(pin).read()}
 
 
+def _pin_oracle_sqls() -> dict[str, str]:
+    """Frozen-VALUES pins for the ops whose FIT/TRAIN step is not SQL-
+    expressible (iterative BPE argmax, k-means codebooks, seeded
+    hyperplanes): each pin is a SINGLE-PROCESS recompute — no Ray, the
+    crawl_* independence contract — run over the driver-gate testdata.
+    The driver compares the distributed engine against these constants,
+    which is exactly the engine-equals-sequential-loop invariant the
+    pytest reference tests assert, surfaced through the hash gate.
+
+    The pins are data-dependent, so they read the scale the gate runs at:
+    /root/testdata/sf0.01 by default, overridable via GRAFT_ORACLE_SF_DIR
+    (tools/check_queries.py sets it so rehearsals at other scales stay
+    meaningful)."""
+    import duckdb
+
+    from spiderman_ray.pipelines.bpe import bpe_encode_reference, bpe_reference
+    from spiderman_ray.pipelines.vectors import (
+        cosine_dup_pairs_lsh_reference,
+        pq_quantize_reference,
+    )
+
+    sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out: dict[str, str] = {}
+    con = duckdb.connect()
+    docs_pq = os.path.join(sf, "documents.parquet").replace("'", "''")
+    wf = dict(
+        con.execute(
+            "SELECT tok, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) "
+            f"AS tok FROM '{docs_pq}') WHERE tok <> '' GROUP BY tok"
+        ).fetchall()
+    )
+    merges = bpe_reference(wf, 20)
+    out["bpe_train"] = _values_sql(
+        [{"rank": r, "left": l, "right": rt, "pair_count": c} for r, l, rt, c in merges],
+        {"rank": "BIGINT", "left": "VARCHAR", "right": "VARCHAR", "pair_count": "BIGINT"},
+    )
+    docs = con.execute(f"SELECT doc_id, text FROM '{docs_pq}' ORDER BY doc_id").fetchall()
+    out["bpe_encode"] = _values_sql(
+        bpe_encode_reference(docs, merges),
+        {"doc_id": "BIGINT", "n_bpe_tokens": "BIGINT", "token_checksum": "BIGINT"},
+    )
+    out["pq_quantize"] = _values_sql(
+        pq_quantize_reference(sf),
+        {"vec_id": "BIGINT", "code_sum": "BIGINT", "recon_cos_x1e6": "BIGINT"},
+    )
+    out["cosine_dup_pairs_lsh"] = _values_sql(
+        cosine_dup_pairs_lsh_reference(sf),
+        {"a": "BIGINT", "b": "BIGINT"},
+    )
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "'the','and','of','a','to','in','is','on','for','with'"
-    return _crawl_oracle_sqls() | _meta_oracle_sql() | {
+    return _crawl_oracle_sqls() | _meta_oracle_sql() | _pin_oracle_sqls() | {
         "missing_pages": (
             "SELECT o_orderkey, o_orderstatus FROM orders "
             "WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)"

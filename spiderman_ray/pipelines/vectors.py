@@ -222,6 +222,47 @@ def cosine_dup_pairs_lsh(
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def cosine_dup_pairs_lsh_reference(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 32, n_bands: int = 8,
+    slice_rows: int = 2048,
+) -> list[dict]:
+    """Single-process (no Ray) recompute of ``cosine_dup_pairs_lsh`` —
+    the frozen-VALUES pin generator: same seeded hyperplanes, the same
+    banding, the same per-bucket exact-cosine verify (buckets sorted by
+    vec_id, identical matrix shapes), then the same (a, b) dedup + sort.
+    What the pin therefore checks is that the DISTRIBUTED bucketing/
+    shuffle/verify delivers exactly what this sequential loop does —
+    the crawl_thumbnails independence contract."""
+    tab = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    rng = np.random.default_rng(23)
+    planes = rng.standard_normal((n_planes, mat.shape[1]))
+    per_band = n_planes // n_bands
+    normed = np.empty_like(mat)
+    bits = np.empty((len(ids), n_planes), dtype=bool)
+    for s in range(0, len(ids), slice_rows):  # the Ray stage's batch shapes
+        m = mat[s : s + slice_rows]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        normed[s : s + slice_rows] = m
+        bits[s : s + slice_rows] = (m @ planes.T) > 0
+    pairs: set[tuple[int, int]] = set()
+    for band in range(n_bands):
+        chunk = bits[:, band * per_band : (band + 1) * per_band]
+        val = (chunk * (1 << np.arange(per_band))).sum(axis=1).astype(np.int64)
+        for v in np.unique(val):
+            sel = np.nonzero(val == v)[0]
+            if len(sel) < 2:
+                continue
+            sel = sel[np.argsort(ids[sel], kind="stable")]
+            b_ids = ids[sel]
+            sims = normed[sel] @ normed[sel].T
+            ai, bj = np.nonzero(sims > threshold)
+            keep = b_ids[ai] < b_ids[bj]
+            pairs.update(zip(b_ids[ai][keep].tolist(), b_ids[bj][keep].tolist()))
+    return [{"a": a, "b": b} for a, b in sorted(pairs)]
+
+
 def _kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = 11) -> np.ndarray:
     """Small seeded k-means on (pre-normalized) vectors — centroid fitting
     runs on a sample at scale; here the sample is the table."""
@@ -580,6 +621,20 @@ def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _pq_checksum_cols(x: np.ndarray, books: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(code_sum, recon_cos_x1e6) int64 columns for a raw (n, d) batch —
+    the exact per-row arithmetic of ``pq_quantize``, shared by the Ray
+    stage and the single-process pin recompute (``pq_quantize_reference``)
+    so parity between them is structural."""
+    mm = books.shape[0]
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    codes = _pq_encode(x, books)
+    recon = np.concatenate([books[s][codes[:, s]] for s in range(mm)], axis=1)
+    rn = np.linalg.norm(recon, axis=1)
+    cos = (x * recon).sum(axis=1) / np.where(rn == 0, 1.0, rn)
+    return codes.astype(np.int64).sum(axis=1), np.floor(cos * 1e6 + 0.5).astype(np.int64)
+
+
 def pq_quantize(
     sf_dir: str, m: int = 16, k: int = 256, fit_sample_rows: int = 4096
 ) -> rd.Dataset:
@@ -589,30 +644,45 @@ def pq_quantize(
     every batch encodes vectorized (argmin over per-subspace distance
     tables). Output per vector: the codes plus integer checksums —
     code_sum and the reconstruction cosine x1e6 (how much signal the
-    codes keep). k-means is not SQL-expressible, so this is a rows-only
-    driver row; pytest bounds determinism, distortion and ADC recall."""
+    codes keep). k-means is not SQL-expressible, so the driver oracle is
+    a frozen-VALUES pin from ``pq_quantize_reference`` (single-process,
+    no Ray); pytest bounds determinism, distortion and ADC recall."""
     books_ref = ray.put(_pq_fit(sf_dir, m, k, fit_sample_rows))
 
     def encode(batch: pd.DataFrame) -> pd.DataFrame:
         books = ray.get(books_ref)
-        mm, kk, sub = books.shape
-        x = _batch_matrix(batch)
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-        codes = _pq_encode(x, books)
-        recon = np.concatenate(
-            [books[s][codes[:, s]] for s in range(mm)], axis=1
-        )
-        rn = np.linalg.norm(recon, axis=1)
-        cos = (x * recon).sum(axis=1) / np.where(rn == 0, 1.0, rn)
+        code_sum, cos = _pq_checksum_cols(_batch_matrix(batch), books)
         return pd.DataFrame(
             {
                 "vec_id": batch["vec_id"].astype("int64"),
-                "code_sum": codes.astype(np.int64).sum(axis=1),
-                "recon_cos_x1e6": np.floor(cos * 1e6 + 0.5).astype("int64"),
+                "code_sum": code_sum,
+                "recon_cos_x1e6": cos,
             }
         )
 
     return rd.read_parquet(_pq(sf_dir)).map_batches(encode, batch_format="pandas")
+
+
+def pq_quantize_reference(
+    sf_dir: str, m: int = 16, k: int = 256, fit_sample_rows: int = 4096,
+    slice_rows: int = 1024,
+) -> list[dict]:
+    """Single-process (no Ray) recompute of ``pq_quantize`` — the
+    frozen-VALUES pin generator for the driver gate. Processes the table
+    in ``slice_rows`` chunks matching the Ray stage's default batching so
+    every BLAS call sees the same matrix shapes (bit-identical floats)."""
+    books = _pq_fit(sf_dir, m, k, fit_sample_rows)
+    tab = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    rows: list[dict] = []
+    for s in range(0, len(ids), slice_rows):
+        code_sum, cos = _pq_checksum_cols(mat[s : s + slice_rows], books)
+        rows.extend(
+            {"vec_id": int(i), "code_sum": int(cs), "recon_cos_x1e6": int(cc)}
+            for i, cs, cc in zip(ids[s : s + slice_rows], code_sum, cos)
+        )
+    return rows
 
 
 def ann_pq_topk(

@@ -43,8 +43,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent frozen-VALUES pins (bpe_*, pq_quantize, ...) recompute
+    # at the rehearsal scale instead of the driver-gate default sf0.01
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import ray
 
