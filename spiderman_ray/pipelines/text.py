@@ -1103,16 +1103,36 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["_pshard"])
+
+    # cross-band duplicate removal runs DISTRIBUTED on the pair-shard
+    # exchange (the minhash_candidate_pairs shape): on a skewed corpus the
+    # raw candidate stream is pair-scale, so nothing pair-scale may reach
+    # the driver before the dedup — only the verified unique pairs (the
+    # answer) are collected
     cand = (
         simhash_table(sf_dir)
         .map_batches(bands, batch_format="pandas")
         .groupby("_bshard")
         .map_groups(pairs, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "_pshard",
+                pa.array(_pair_shard64(
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                )),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_pshard")
+        .map_groups(dedup_pairs, batch_format="pandas")
         .to_pandas()
     )
     if cand.empty:
         return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
-    cand = cand.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(cand, preserve_index=False)
 
 

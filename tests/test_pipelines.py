@@ -498,6 +498,33 @@ def test_simhash_close_for_similar_docs():
     assert ham(h[1], h[2]) <= 12
 
 
+def test_simhash_near_dups_planted_skew_dedups_distributed(ray_session, tmp_path):
+    """Planted skew: 40 identical docs collide in ALL 4 bands, so the raw
+    candidate stream carries every pair 4x (pair-scale, 3120 rows). The
+    cross-band dedup now runs on the _pair_shard64 exchange BEFORE any
+    driver collection; the output must be each pair exactly once — the
+    full C(40,2) clique plus nothing from the distinct tail."""
+    import pyarrow.parquet as _pq
+
+    from spiderman_ray.pipelines.text import simhash_near_dups
+
+    dup = ["the same exact duplicated text body repeated verbatim"] * 40
+    tail = [f"unique filler document number {i} with distinct tokens {i*7} {i*13}"
+            for i in range(10)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    _pq.write_table(
+        pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                  "text": pa.array(dup + tail)}),
+        str(d / "documents.parquet"),
+    )
+    out = simhash_near_dups(str(tmp_path / "docs")).to_pandas()
+    clique = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    got = set(zip(out["a"], out["b"]))
+    assert clique <= got                      # every planted pair survives
+    assert len(out) == len(got)               # ...exactly once (deduped)
+
+
 def test_lang_id_profiles():
     from spiderman_ray.pipelines.text import LangId
 
