@@ -538,7 +538,19 @@ def connected_components_bsp(
     ray.get([
         a.load.remote(*splits[i].to_arrow_refs()) for i, a in enumerate(actors)
     ])
-    for _ in range(max_iters):
+    _bsp_converge(actors, k, max_iters, "connected_components_bsp")
+    return rd.from_arrow_refs([a.labels.remote() for a in actors])
+
+
+def _bsp_converge(actors, k: int, max_iters: int, op_name: str) -> int:
+    """Run BSP supersteps until no shard reports a change and return the
+    number of STATE-CHANGING supersteps (the convergence depth). RAISES
+    if ``max_iters`` exhausts first — a silent fall-out would return
+    non-converged labels/distances that only surface later as an opaque
+    driver-gate hash mismatch (round-3 ADVICE)."""
+    import ray
+
+    for it in range(max_iters):
         if k > 1:
             outs = [a.messages.options(num_returns=k).remote() for a in actors]
             changed = ray.get([
@@ -549,12 +561,21 @@ def connected_components_bsp(
             out = actors[0].messages.remote()
             changed = [ray.get(actors[0].apply.remote(out))]
         if sum(changed) == 0:
-            break
-    return rd.from_arrow_refs([a.labels.remote() for a in actors])
+            return it
+    raise RuntimeError(
+        f"{op_name}: BSP loop exhausted max_iters={max_iters} before the "
+        "fixpoint — refusing to return non-converged state"
+    )
 
 
 #: Unreachable sentinel for SSSP (2^62: INF + max weight stays in int64).
 _SSSP_INF = 1 << 62
+
+#: Relaxation rounds unrolled by the DuckDB oracle. sssp() asserts its
+#: measured convergence depth stays within this bound, so a scale factor
+#: or graph whose shortest-path-tree depth exceeds the unroll fails
+#: LOUDLY in the engine instead of silently diverging at the gate.
+_SSSP_ORACLE_ROUNDS = 24
 
 
 def _concat_or_empty(tables, cols: tuple) -> pa.Table:
@@ -676,22 +697,17 @@ def sssp(sf_dir: str, source: int = 0, max_iters: int = 256,
     ray.get([
         a.load.remote(*splits[i].to_arrow_refs()) for i, a in enumerate(actors)
     ])
-    for _ in range(max_iters):
-        if k > 1:
-            outs = [a.messages.options(num_returns=k).remote() for a in actors]
-            changed = ray.get([
-                actors[j].apply.remote(*[outs[i][j] for i in range(k)])
-                for j in range(k)
-            ])
-        else:
-            out = actors[0].messages.remote()
-            changed = [ray.get(actors[0].apply.remote(out))]
-        if sum(changed) == 0:
-            break
+    depth = _bsp_converge(actors, k, max_iters, "sssp")
+    if depth > _SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"sssp: converged after {depth} relaxation rounds, but the "
+            f"DuckDB oracle unrolls only {_SSSP_ORACLE_ROUNDS} — the pinned "
+            "SQL would encode non-converged distances (raise the unroll)"
+        )
     return rd.from_arrow_refs([a.dists.remote() for a in actors])
 
 
-def sssp_oracle_sql(rounds: int = 24) -> str:
+def sssp_oracle_sql(rounds: int = _SSSP_ORACLE_ROUNDS) -> str:
     """Bellman-Ford unrolled as CTEs over the identical weighted edges."""
     inf = _SSSP_INF
     parts = [
@@ -815,6 +831,7 @@ def connected_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
             }
         )
 
+    converged = False
     for _ in range(max_iters):
         nxt = (
             edges.union(labels.map_batches(labels_marked, batch_format="pyarrow"))
@@ -828,8 +845,15 @@ def connected_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
         # until the fixpoint (labels only ever move down to the min)
         if nxt.sum("lbl") == labels.sum("lbl"):
             labels = nxt
+            converged = True
             break
         labels = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: label propagation exhausted "
+            f"max_iters={max_iters} before the fixpoint — refusing to "
+            "return non-converged labels (round-3 ADVICE)"
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
