@@ -197,8 +197,18 @@ def triangle_counts(sf_dir: str) -> rd.Dataset:
     4. explode each triangle's three ids and fold per-vertex counts.
 
     Output (doc_id, n_triangles), only vertices in >= 1 triangle —
-    exactly the SQL's three-way self-join + unnest + group count."""
+    exactly the SQL's three-way self-join + unnest + group count.
+
+    Pair keys are encoded a * n + b in int64, which bounds the vertex
+    count at n <= floor(sqrt(2^63)) ~= 3.03e9 — guarded loudly below.
+    Past that, switch the key to the string-hash shape the other shard
+    keys use (membership probe included)."""
     n = _read_docs(sf_dir, columns=("doc_id",)).count()
+    if n > 3_037_000_499:  # floor(sqrt(2^63)): a*n+b must stay in int64
+        raise OverflowError(
+            f"triangle_counts: n={n} vertices overflows the int64 a*n+b "
+            "pair key (bound 3_037_000_499); re-encode keys before scaling"
+        )
 
     def canon(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy().astype(np.int64)

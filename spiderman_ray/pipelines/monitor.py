@@ -239,14 +239,19 @@ def _host_pagerank(pairs, hosts: list, iters: int) -> pa.Table:
     scale = 10**12
     h = len(hosts)
     idx = {x: i for i, x in enumerate(hosts)}
-    c = np.zeros((h, h), dtype=np.int64)
+    # object dtype = Python bigints: r[u] (~1e12) * c[u] overflows int64
+    # once a host pair carries > ~9.2e6 edges — plausible between two large
+    # hosts on a real crawl. The matrix is O(hosts^2) tiny, so exact
+    # arbitrary-precision arithmetic costs nothing and keeps engine/oracle
+    # parity (identical values wherever int64 didn't overflow).
+    c = np.zeros((h, h), dtype=object)
     for s, d, n in zip(pairs["src"], pairs["dst"], pairs["n"]):
         c[idx[s], idx[d]] += int(n)
     out_tot = c.sum(axis=1)
-    r = np.full(h, scale // h, dtype=np.int64)
+    r = np.full(h, scale // h, dtype=object)
     teleport = 15 * (scale // h)
     for _ in range(iters):
-        acc = np.zeros(h, dtype=np.int64)
+        acc = np.zeros(h, dtype=object)
         for u in range(h):
             if out_tot[u]:
                 acc += r[u] * c[u] // out_tot[u]
@@ -254,5 +259,8 @@ def _host_pagerank(pairs, hosts: list, iters: int) -> pa.Table:
                 pass  # dangling hosts keep only teleport mass (leaf CDNs)
         r = (teleport + 85 * acc) // 100
     return pa.table(
-        {"host": pa.array(hosts, pa.string()), "rank_x1e12": pa.array(r)}
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rank_x1e12": pa.array([int(x) for x in r], pa.int64()),
+        }
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+from itertools import islice
 
 import numpy as np
 import pandas as pd
@@ -190,24 +191,70 @@ class LangId:
     #: and DuckDB's RE2 (RE2 \w is ASCII-only), so the driver's SQL oracle
     #: tokenizes exactly like the engine
     WORD_RE = r"[0-9a-z_一-鿿]+"
+    _NON_WORD = r"[^0-9a-z_一-鿿]"
+    #: first-N-matches cap before set-ification (mirrored by the oracle's
+    #: [1:200] list slice)
+    WORD_CAP = 200
 
     def __init__(self):
         self.word_re = re.compile(self.WORD_RE)
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        self.langs = sorted(self.PROFILES)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            words = set(self.word_re.findall(text.lower())[:200])
-            scores = {k: len(words & prof) for k, prof in self.profiles.items()}
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "und")
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+    def predict(self, texts) -> np.ndarray:
+        """Score a batch of texts. The scan per doc is BOUNDED: short docs
+        use findall (fastest at the bench shape), anything longer than
+        ~5x the word cap in bytes switches to islice(finditer, cap), which
+        stops scanning at the 200th match — O(cap) per doc regardless of
+        document length (19x faster on 20k-word docs, measured r4).
+
+        Measured negative result (r4): the 'vectorized' alternative — one
+        pc.count_substring_regex RE2 presence scan per profile word (35
+        full-corpus scans) — is 2x SLOWER at the bench doc shape and
+        degrades with doc length (scans can't stop at the match cap), so
+        the per-row capped scan is the scale-safe form here."""
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
+        cap = self.WORD_CAP
+        long_cutoff = cap * 5  # a doc this short can't overrun the cap by much
+        findall, finditer = self.word_re.findall, self.word_re.finditer
+        profiles, langs = self.profiles, self.langs
+        preds = np.empty(len(texts), dtype=object)
+        for j, text in enumerate(texts):
+            s = text.lower()
+            if len(s) <= long_cutoff:
+                words = set(findall(s)[:cap])
+            else:
+                words = set(m.group() for m in islice(finditer(s), cap))
+            best, best_n = "und", 0
+            for k in langs:  # sorted: first strict max == alphabetical tie-break
+                n = len(words & profiles[k])
+                if n > best_n:
+                    best, best_n = k, n
+            preds[j] = best
+        return preds
+
+    def __call__(self, batch):
+        if isinstance(batch, pa.Table):
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "lang_pred": pa.array(self.predict(batch["text"]), pa.string()),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "lang_pred": self.predict(
+                    pa.array(batch["text"].to_numpy(dtype=object), pa.string())
+                ),
+            }
+        )
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(
-        LangId, batch_format="pandas", batch_size=256, concurrency=pool_size(2)
+        LangId, batch_format="pyarrow", batch_size=256, concurrency=pool_size(2)
     )
 
 
