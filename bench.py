@@ -147,6 +147,30 @@ def run_bench() -> dict:
             .count(),
         )
 
+    # the generation-barrier cost, measured every round at the shape that
+    # exposes it — the reference's pagination-chain (zhifang.py:96): a
+    # depth-40 chain of tiny generations, BFS vs the pipelined FIFO mode.
+    # (At the wide bench shape the two modes measure equal — the barrier
+    # tax amortizes over 57k-image generations; BASELINE.md "pipelined".)
+    def _deep(mode: str):
+        from spiderman_ray.deepchain import deep_spec
+        from spiderman_ray.spec import build_engine
+
+        spec = deep_spec(pages=40, dup_link_rate=0.0, dup_image_rate=0.0)
+        eng = build_engine(spec, f"{base}/bench_deep_{mode}_{NCPU}")
+        md = eng.run() if mode == "bfs" else eng.run_pipelined()
+        eng._pool.shutdown()
+        shutil.rmtree(f"{base}/bench_deep_{mode}_{NCPU}", ignore_errors=True)
+        return md
+
+    d1 = timed("crawl_deep_bfs", lambda: _deep("bfs"))
+    d2 = timed("crawl_deep_pipelined", lambda: _deep("pipelined"))
+    if d1 and d2:
+        assert d1["crawled"] == d2["crawled"], (d1["crawled"], d2["crawled"])
+        crawl_stats["deep_chain_speedup"] = round(
+            timings["crawl_deep_bfs"] / timings["crawl_deep_pipelined"], 2
+        )
+
     def _pii_redaction():
         # same deterministically-injected-PII input the driver gate runs
         import __ray_entry__ as entrymod
@@ -310,8 +334,57 @@ def run_scaling() -> None:
     )
 
 
+def run_deep() -> None:
+    """BFS barrier cost on the reference's pagination-chain shape
+    (zhifang.py:96): depth-N chain of tiny generations, both modes, one
+    JSON line. BENCH_DEEP_PAGES overrides the depth (default 40)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spiderman_ray.deepchain import deep_spec
+    from spiderman_ray.spec import build_engine
+
+    pages = int(os.environ.get("BENCH_DEEP_PAGES", "40"))
+    spec = deep_spec(pages=pages, dup_link_rate=0.0, dup_image_rate=0.0)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    t0 = time.time()
+    m1 = build_engine(spec, f"{base}/deep_bfs_{NCPU}").run()
+    t_bfs = time.time() - t0
+    t0 = time.time()
+    m2 = build_engine(spec, f"{base}/deep_pl_{NCPU}").run_pipelined()
+    t_pl = time.time() - t0
+    for k in ("crawled", "pages", "details", "images", "dead", "seen_count"):
+        assert m1[k] == m2[k], (k, m1[k], m2[k])
+    for d in (f"{base}/deep_bfs_{NCPU}", f"{base}/deep_pl_{NCPU}"):
+        shutil.rmtree(d, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "deep-chain crawl: BFS barrier vs pipelined",
+                "value": round(t_bfs / t_pl, 3),
+                "unit": "speedup",
+                "chain_pages": pages,
+                "generations": m1["generations"],
+                "crawled": m1["crawled"],
+                "bfs_s": round(t_bfs, 3),
+                "pipelined_s": round(t_pl, 3),
+                "bfs_gen_overhead_s": round((t_bfs - t_pl) / m1["generations"], 3),
+                "num_cpus": NCPU,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--deep" in sys.argv:
+        run_deep()
     else:
         print(json.dumps(run_bench()))

@@ -70,7 +70,12 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         out_dir=args.out,
         salt_max_group=args.salt_max_group,
     )
-    metrics = eng.run(resume=args.resume)
+    if args.mode == "pipelined":
+        if args.resume:
+            raise SystemExit("--resume is a BFS-mode feature (see run_pipelined)")
+        metrics = eng.run_pipelined()
+    else:
+        metrics = eng.run(resume=args.resume)
     print(json.dumps(metrics))
     ray.shutdown()
     return 0
@@ -307,6 +312,11 @@ def main(argv=None) -> int:
         help="seen-set mode (cuckoo supports deletion for patch re-offers)",
     )
     c.add_argument("--no-dedup", action="store_true", help="dont_filter mode")
+    c.add_argument(
+        "--mode", default="bfs", choices=["bfs", "pipelined"],
+        help="bfs = conformance generation barrier (default); pipelined = "
+        "reference-FIFO throughput mode (engine.run_pipelined)",
+    )
     c.add_argument("--salt-max-group", type=int, default=None)
     c.add_argument("--max-generations", type=int, default=16)
     c.add_argument("--splash-callbacks", default=None,

@@ -46,6 +46,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -62,6 +63,42 @@ from spiderman_ray.state.politeness import HostClock
 from spiderman_ray.state.seen import ShardedSeenSet
 
 TABLES = ("pages", "details", "images", "dead_letters", "crawl_order", "hostmeta")
+
+
+@ray.remote
+def _pipelined_wave(
+    rows: pa.Table,
+    params,
+    policy,
+    pol_cfg: dict,
+    host_clock,
+    seen_pool,
+    out_dir: str,
+    parsers,
+    dirty_words,
+    splash,
+) -> tuple[pa.Table, float]:
+    """One pipelined fetch+parse wave: a single-(host, generation) slice of
+    the frontier. Fetch, dedup (fused, via the shared seen actors), parse
+    and sink happen INSIDE the task — only the small child-request table
+    returns to the driver scheduler. Second element: earliest wall-clock ms
+    the host may fetch again (wall-clock politeness across wave boundaries;
+    0.0 under the virtual clock)."""
+    fetcher = FetchGroup(
+        params, policy, pol_cfg, base_slots={}, host_clock=host_clock,
+        seen_pool=seen_pool,
+    )
+    wire = fetcher(rows.to_pandas())
+    sink = make_parse_sink(out_dir, parsers, dirty_words, splash)
+    children = sink(wire)
+    next_ok = 0.0
+    if policy.clock == "wall":
+        host = str(rows["host"][0].as_py())
+        cfg = pol_cfg.get(host)
+        delay = int(cfg["crawl_delay_ms"]) if cfg else policy.default_delay_ms
+        if delay > 0:
+            next_ok = time.time() * 1000.0 + delay
+    return children, next_ok
 
 
 def _gen_dir(out: str, kind: str, g: int) -> str:
@@ -566,4 +603,189 @@ class CrawlEngine:
             "wall_s": round(time.time() - t0, 3),
         }
         self._pool = pool  # kept for tests (seen-set comparisons); callers may shutdown
+        return metrics
+
+    # -- pipelined (non-BFS) throughput mode --------------------------------
+    def run_pipelined(self, max_pending: int | None = None) -> dict:
+        """Opt-in throughput mode: the reference's shared-FIFO semantics
+        (SP_JOBS/job.py:96-133 — N scrapy processes popping one Redis list,
+        children pushed mid-crawl, SP/spiders/zhifang.py:96) instead of the
+        BFS generation barrier. A driver scheduler keeps one request buffer
+        per host and launches fetch+parse WAVES (raw Ray tasks — the dynamic
+        feedback loop is the one crawl shape ray.data can't express) the
+        moment a host is free, so generation g+1 fetches start while g is
+        still being fetched elsewhere.
+
+        Semantics contract (documented, tested in tests/test_engine.py):
+        - seen set, politeness budgets, robots, retries, fetch outcomes and
+          sink CONTENT are identical to BFS mode;
+        - winner ATTRIBUTION on duplicate-linked URLs (which parent's
+          lineage a deduped fetch carries) is pop-order-defined, exactly
+          like the reference's racy multi-process FIFO. On a crawl graph
+          with no cross-parent duplicate links, ALL tables except
+          crawl_order/hostmeta (mode-defined by construction: vts slots and
+          group boundaries differ) are bit-identical to BFS mode.
+        - checkpoint/resume, patch and the per-generation rerank are BFS-
+          mode features: a deep crawl that would overflow the seq encoding
+          raises OverflowError here (use BFS mode, which re-ranks).
+
+        Scale note: the driver buffers only URL metadata rows (no payloads)
+        — the reference's Redis frontier held the same. At 10^10-URL scale
+        the buffers become a sharded frontier actor pool; the wave protocol
+        is unchanged.
+        """
+        import collections
+
+        t0 = time.time()
+        policy = self.policy
+        if os.path.isdir(self.out):
+            shutil.rmtree(self.out)
+        os.makedirs(self.out, exist_ok=True)
+        self._write_policy()
+
+        pool = ShardedSeenSet(
+            num_shards=policy.num_shards,
+            mode=policy.dedup_mode,
+            bloom_mem_mb=policy.bloom_mem_mb,
+            bloom_k=policy.bloom_k,
+        )
+        host_clock = HostClock.remote()
+        ray.get(host_clock.init.remote({}))
+
+        # broadcast the per-wave constants ONCE (ray.put), not per task
+        consts = [
+            ray.put(x)
+            for x in (self.params, policy, self.pol_cfg, self.out,
+                      self.parsers, policy.dirty_words, policy.splash)
+        ]
+        (params_r, policy_r, cfg_r, out_r, parsers_r, dirty_r, splash_r) = consts
+
+        bufs: dict[str, list[pa.Table]] = collections.defaultdict(list)
+        n_enqueued = 0
+
+        def enqueue(tbl: pa.Table) -> None:
+            nonlocal n_enqueued, max_gen
+            if tbl.num_rows == 0:
+                return
+            # BFS parity: generations at/beyond the cap are never fetched
+            tbl = tbl.filter(pc.less(tbl["generation"], policy.max_generations))
+            if tbl.num_rows == 0:
+                return
+            max_gen = max(max_gen, pc.max(tbl["generation"]).as_py())
+            for h in pc.unique(tbl["host"]).to_pylist():
+                bufs[h].append(tbl.filter(pc.equal(tbl["host"], h)))
+            n_enqueued += tbl.num_rows
+
+        def delay_of(host: str) -> int:
+            cfg = self.pol_cfg.get(host)
+            return int(cfg["crawl_delay_ms"]) if cfg else policy.default_delay_ms
+
+        max_gen = 0
+        seeds = pa.Table.from_pylist(self.seed_fn(self.web), schema=schemas.FRONTIER)
+        enqueue(seeds)
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        cap = max_pending or 8 * ncpu
+        pending: dict = {}  # ObjectRef -> host
+        busy: dict[str, int] = collections.defaultdict(int)
+        next_ok: dict[str, float] = {}
+        wave_no = 0
+        waves_since_clear = 0
+
+        def launch_ready() -> int:
+            nonlocal wave_no, waves_since_clear
+            launched = 0
+            now_ms = time.time() * 1000.0
+            for h in sorted(bufs):
+                if not bufs[h] or len(pending) >= cap:
+                    continue
+                # zero-delay hosts launch freely (politeness-trivial; dedup
+                # races across in-flight waves are the documented reference-
+                # FIFO semantics, and can't occur without duplicate links);
+                # delay-budgeted hosts stay strictly one wave at a time
+                if delay_of(h) > 0 and (busy[h] or now_ms < next_ok.get(h, 0.0)):
+                    continue
+                merged = pa.concat_tables(bufs.pop(h))
+                gmin = pc.min(merged["generation"]).as_py()
+                take = merged.filter(pc.equal(merged["generation"], gmin))
+                rest = merged.filter(pc.not_equal(merged["generation"], gmin))
+                if rest.num_rows:
+                    bufs[h].append(rest)
+                # zero-delay hosts fan out into fp-hash sub-waves (the BFS
+                # auto-salt rule: same fp -> same wave, first-wins by seq
+                # preserved inside each wave); a delay-budgeted host stays
+                # ONE wave — its delay bounds throughput anyway
+                if delay_of(h) == 0 and take.num_rows > self.auto_salt_cap:
+                    nsub = -(-take.num_rows // self.auto_salt_cap)
+                    salts = hash64(take["fp"].to_pylist()) % nsub
+                    parts = [
+                        take.filter(pa.array(salts == i)) for i in range(nsub)
+                    ]
+                else:
+                    parts = [take]
+                for part in parts:
+                    if not part.num_rows:
+                        continue
+                    wave_no += 1
+                    part = part.append_column(
+                        "fetch_key",
+                        pa.array([f"{h}|w{wave_no}"] * part.num_rows, pa.string()),
+                    )
+                    ref = _pipelined_wave.remote(
+                        part, params_r, policy_r, cfg_r, host_clock,
+                        pool, out_r, parsers_r, dirty_r, splash_r,
+                    )
+                    pending[ref] = h
+                    busy[h] += 1
+                    launched += 1
+            return launched
+
+        while any(bufs.values()) or pending:
+            launch_ready()
+            if pending:
+                # drain completions in batches: a one-ref wait per loop turn
+                # makes the driver the bottleneck at ~1000 waves/generation
+                done, _ = ray.wait(
+                    list(pending), num_returns=min(len(pending), 16), timeout=0.05
+                )
+                for ref in done:
+                    h = pending.pop(ref)
+                    busy[h] -= 1
+                    children, nok = ray.get(ref)
+                    if nok:
+                        next_ok[h] = nok
+                    enqueue(children)
+                    waves_since_clear += 1
+                if not pending and waves_since_clear >= 128:
+                    # safe point (no wave can replay an offer mid-clear):
+                    # drop idempotency tokens so they stay bounded
+                    pool.clear_tokens()
+                    waves_since_clear = 0
+            elif any(bufs.values()):
+                # every buffered host is wall-clock gated: sleep to the
+                # earliest next_ok
+                gated = [next_ok.get(h, 0.0) for h in bufs if bufs[h]]
+                wait_s = max(0.0, (min(gated) - time.time() * 1000.0) / 1000.0)
+                time.sleep(min(wait_s, 0.05) or 0.001)
+
+        pool.snapshot(os.path.join(self.out, "seen", "final"))
+        totals = {t: 0 for t in TABLES}
+        for t in TABLES:
+            base = os.path.join(self.out, "tables", t)
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    totals[t] += _count_parquet_rows(os.path.join(base, d))
+        metrics = {
+            "mode": "pipelined",
+            "generations": max_gen + 1,
+            "waves": wave_no,
+            "crawled": totals["crawl_order"],
+            "pages": totals["pages"],
+            "details": totals["details"],
+            "images": totals["images"],
+            "dead": totals["dead_letters"],
+            "seen_count": pool.count(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self._pool = pool
         return metrics

@@ -630,3 +630,126 @@ def test_kitchen_sink_conformance(tmp_path):
     assert_rows_equal(_table(out, "pages"), o.pages, schemas.PAGES)
     assert_rows_equal(_table(out, "details"), o.details, schemas.DETAILS)
     assert_rows_equal(_table(out, "images"), o.images, schemas.IMAGES_FULL)
+
+
+# -- pipelined (non-BFS) throughput mode -------------------------------------
+
+
+def _cmp_tables(out_a: str, out_b: str, tables=("pages", "details", "images",
+                                                "dead_letters")) -> None:
+    """Bit-equality of final content tables between two crawl outputs
+    (crawl_order/hostmeta are mode-defined and excluded by default)."""
+    for t in tables:
+        a = _table(out_a, t).to_pandas()
+        b = _table(out_b, t).to_pandas()
+        cols = [c for c in a.columns if c != "bytes"]
+        a2 = a[cols].sort_values(cols).reset_index(drop=True)
+        b2 = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a2, b2, check_like=True), t
+        if "bytes" in a.columns:
+            key = ["generation", "seq"]
+            assert (
+                list(a.sort_values(key)["bytes"]) == list(b.sort_values(key)["bytes"])
+            ), f"{t}: payload bytes differ"
+
+
+def test_pipelined_bit_identical_no_dup_links(tmp_path):
+    """On a crawl graph with no cross-parent duplicate links (winner
+    attribution unambiguous) and seqs under the rerank threshold, the
+    pipelined mode's final tables and seen set are BIT-IDENTICAL to BFS
+    mode — only crawl_order/hostmeta (vts slots, group boundaries) are
+    mode-defined."""
+    from spiderman_ray.engine import CrawlEngine
+
+    params = SimParams(pages=8, details=10, images=4, hosts=6, img_hosts=3,
+                       dup_link_rate=0.0, dup_image_rate=0.0)
+    bfs = CrawlEngine(params, out_dir=str(tmp_path / "bfs"))
+    m1 = bfs.run()
+    pl = CrawlEngine(params, out_dir=str(tmp_path / "pl"))
+    m2 = pl.run_pipelined()
+    for k in ("crawled", "pages", "details", "images", "dead", "seen_count"):
+        assert m1[k] == m2[k], k
+    _cmp_tables(str(tmp_path / "bfs"), str(tmp_path / "pl"))
+    for da, db in zip(bfs._pool.dump(), pl._pool.dump()):
+        assert np.array_equal(da, db)
+    # crawl_order rows exist for every fetch even though order is mode-defined
+    assert len(_table(str(tmp_path / "pl"), "crawl_order")) == m1["crawled"]
+
+
+def test_pipelined_content_equal_with_dup_links(tmp_path):
+    """With duplicate links (the default fixture) winner ATTRIBUTION is
+    pop-order-defined (reference-FIFO semantics), but the fetched URL set,
+    seen set and every content-determined column are identical to BFS."""
+    from spiderman_ray.engine import CrawlEngine
+
+    params = SimParams.for_scale("t2")
+    bfs = CrawlEngine(params, out_dir=str(tmp_path / "bfs"))
+    m1 = bfs.run()
+    pl = CrawlEngine(params, out_dir=str(tmp_path / "pl"))
+    m2 = pl.run_pipelined()
+    for k in ("crawled", "pages", "details", "images", "dead", "seen_count"):
+        assert m1[k] == m2[k], k
+    for da, db in zip(bfs._pool.dump(), pl._pool.dump()):
+        assert np.array_equal(da, db)
+    # pages: emitted per parsed seed — exact in any mode
+    _cmp_tables(str(tmp_path / "bfs"), str(tmp_path / "pl"), tables=("pages",))
+    # details: URL-determined columns exact (lineage pagenum/seq may differ
+    # on dup-linked rows)
+    cols = ["type1", "type2", "type3", "plot_name", "area", "look_time",
+            "source_id", "fkey", "generation"]
+    a = _table(str(tmp_path / "bfs"), "details").to_pandas()[cols]
+    b = _table(str(tmp_path / "pl"), "details").to_pandas()[cols]
+    pd.testing.assert_frame_equal(
+        a.sort_values(cols).reset_index(drop=True),
+        b.sort_values(cols).reset_index(drop=True),
+    )
+    # images: content keyed by image_id exact, including payload bytes
+    icols = ["image_id", "w", "h", "fmt", "phash", "url", "generation"]
+    a = _table(str(tmp_path / "bfs"), "images").to_pandas()
+    b = _table(str(tmp_path / "pl"), "images").to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[icols], b[icols])
+    assert list(a["bytes"]) == list(b["bytes"])
+
+
+def test_pipelined_deep_chain_matches_bfs(tmp_path):
+    """The reference's pagination-chain shape (zhifang.py:96 mid-crawl
+    next-page push): depth-15 chain, no dup links -> bit-identical tables
+    in both modes, at chain depth the BFS barrier can't reach without the
+    seq-0 spine (deepchain.py)."""
+    from spiderman_ray.deepchain import deep_spec
+    from spiderman_ray.spec import build_engine
+
+    spec = deep_spec(pages=15, dup_link_rate=0.0, dup_image_rate=0.0)
+    e1 = build_engine(spec, str(tmp_path / "bfs"))
+    m1 = e1.run()
+    e2 = build_engine(spec, str(tmp_path / "pl"))
+    m2 = e2.run_pipelined()
+    assert m1["generations"] == m2["generations"] == 17
+    for k in ("crawled", "pages", "details", "images", "dead", "seen_count"):
+        assert m1[k] == m2[k], k
+    _cmp_tables(str(tmp_path / "bfs"), str(tmp_path / "pl"))
+    for da, db in zip(e1._pool.dump(), e2._pool.dump()):
+        assert np.array_equal(da, db)
+
+
+def test_pipelined_wall_clock_budget(tmp_path):
+    """Wall-clock politeness holds ACROSS wave boundaries: a delayed host's
+    fetch timeline must span at least (n_fetches - 1) * delay."""
+    import time as _time
+
+    from spiderman_ray.engine import CrawlEngine
+
+    params = SimParams(pages=4, details=3, images=0, hosts=1, img_hosts=1,
+                       dup_link_rate=0.0, dup_image_rate=0.0)
+    policy = CrawlPolicy(clock="wall", default_delay_ms=40)
+    eng = CrawlEngine(params, policy, out_dir=str(tmp_path / "pl"),
+                      delays_ms={"h0.shop.example": 40})
+    t0 = _time.monotonic()
+    m = eng.run_pipelined()
+    wall = _time.monotonic() - t0
+    n = m["crawled"]
+    assert n > 4
+    assert wall >= (n - 1) * 0.040 * 0.5  # generous slack: serialization is
+    # per-wave exact; the boundary hint enforces the cross-wave gap
