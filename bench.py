@@ -71,6 +71,9 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spiderman_ray.pipelines import configure_shuffle
+
+    configure_shuffle()  # SPIDERMAN_SHUFFLE knob; sort-shuffle default
     from spiderman_ray.engine import CrawlEngine
     from spiderman_ray.pipelines import images as I
     from spiderman_ray.pipelines import relational as R

@@ -31,6 +31,9 @@ def _ray_session():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from spiderman_ray.pipelines import configure_shuffle
+
+    configure_shuffle()  # SPIDERMAN_SHUFFLE knob; sort-shuffle default
     return ray
 
 
@@ -148,11 +151,19 @@ def cmd_compact(args: argparse.Namespace) -> int:
         else sorted(os.listdir(os.path.join(args.out, "tables")))
     )
     out = {t: compact_table(args.out, t) for t in tables}
-    print(json.dumps({
+    summary = {
         t: {"compacted": sum(r["action"] == "compacted" for r in res),
             "skipped": sum(r["action"] == "skip" for r in res)}
         for t, res in out.items()
-    }))
+    }
+    if args.gc_seen:
+        from spiderman_ray.compact import gc_seen_snapshots
+
+        gc = gc_seen_snapshots(args.out, keep=args.gc_seen_keep)
+        summary["seen_gc"] = {
+            "deleted": len(gc["deleted"]), "kept": len(gc["kept"]),
+        }
+    print(json.dumps(summary))
     ray.shutdown()
     return 0
 
@@ -349,6 +360,11 @@ def main(argv=None) -> int:
     )
     cp.add_argument("--out", required=True, help="crawl output dir")
     cp.add_argument("--table", default="all")
+    cp.add_argument("--gc-seen", action="store_true",
+                    help="also GC seen-set snapshots older than the resume "
+                    "point (manifest-aware; see compact.gc_seen_snapshots)")
+    cp.add_argument("--gc-seen-keep", type=int, default=1,
+                    help="complete generations of seen snapshots to keep")
     cp.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("export", help="export a crawled table to csv/parquet")

@@ -120,6 +120,74 @@ def compact_partition(gen_dir: str, row_group_rows: int = 64 * 1024) -> dict:
             "action": "compacted"}
 
 
+def gc_seen_snapshots(out_dir: str, keep: int = 1) -> dict:
+    """Manifest-aware GC of per-generation seen-set snapshots.
+
+    A long crawl leaves one ``seen/gen-{g}/`` snapshot (num_shards npz
+    files) per generation, but resume only ever restores the LAST complete
+    generation's snapshot (engine.run: ``pool.restore(seen/gen-{start_gen
+    - 1})``) — everything older is dead weight: O(generations x shards)
+    files holding O(generations) copies of the seen set. Keeps the
+    newest ``keep`` complete generations' snapshots (and the pipelined
+    mode's ``final``), deletes the rest.
+
+    Crash-safe: a doomed snapshot is renamed to ``.gc-tmp`` FIRST (atomic
+    — the resume/patch walks match ``gen-{g}`` exactly, so a half-deleted
+    dir can never be restored from), then removed; stale ``.gc-tmp`` dirs
+    from an interrupted run are swept on the next call.
+
+    Trade (documented): cuckoo-mode ``patch`` of a generation OLDER than
+    the kept snapshots can no longer rebuild that generation's exact
+    filter bits — it falls back to its empty-pool path, which re-offers
+    residuals with identical accept/reject semantics (patch.py:112-131).
+    Kill-resume is unaffected: the resume point's snapshot is always kept
+    (tests/test_compact.py)."""
+    seen_dir = os.path.join(out_dir, "seen")
+    if not os.path.isdir(seen_dir):
+        return {"deleted": [], "kept": []}
+    # last complete generation, from the manifests (the engine's rule)
+    import json
+
+    g_last = -1
+    mdir = os.path.join(out_dir, "manifests")
+    for g in range(0, 10_000):
+        p = os.path.join(mdir, f"gen-{g}.json")
+        if not os.path.exists(p):
+            break
+        with open(p) as f:
+            if json.load(f).get("complete"):
+                g_last = g
+            else:
+                break
+    keep_names = {f"gen-{g}" for g in range(max(0, g_last - keep + 1), g_last + 1)}
+    keep_names.add("final")
+    deleted, kept = [], []
+    # pass 1: finish any interrupted earlier GC (stale .gc-tmp dirs), so
+    # pass 2's renames never collide with leftovers
+    for name in sorted(os.listdir(seen_dir)):
+        if name.endswith(".gc-tmp"):
+            shutil.rmtree(os.path.join(seen_dir, name))
+            deleted.append(name)
+    for name in sorted(os.listdir(seen_dir)):
+        path = os.path.join(seen_dir, name)
+        if name in keep_names or not name.startswith("gen-"):
+            kept.append(name)
+            continue
+        try:
+            g = int(name.split("-", 1)[1])
+        except ValueError:
+            kept.append(name)
+            continue
+        if g > g_last:
+            kept.append(name)  # partial later generation: cleanup's job
+            continue
+        tmp = path + ".gc-tmp"
+        os.replace(path, tmp)
+        shutil.rmtree(tmp)
+        deleted.append(name)
+    return {"deleted": deleted, "kept": kept, "last_complete": g_last}
+
+
 def compact_table(out_dir: str, table: str) -> list[dict]:
     """Repair, then compact every multi-part partition of a table —
     partition-parallel Ray tasks over the partition list (each task

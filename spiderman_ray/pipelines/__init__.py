@@ -20,3 +20,36 @@ def pool_size(requested: int) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(1, min(requested, cpus - 1))
+
+
+#: SPIDERMAN_SHUFFLE values -> ray.data ShuffleStrategy names. The repo's
+#: wide exchanges default to Ray's SORT_SHUFFLE_PULL_BASED: the round-3
+#: HASH_SHUFFLE experiment HUNG single-node (aggregator actors deadlock
+#: against map tasks under a tight CPU quota — BASELINE.md "Hash-shuffle
+#: experiment"). On a real multi-node cluster hash shuffle's aggregator
+#: model may win; flip it there with the env knob, no code edits.
+_SHUFFLE_NAMES = {
+    "sort": "sort_shuffle_pull_based",
+    "sort_push": "sort_shuffle_push_based",
+    "hash": "hash_shuffle",
+}
+
+
+def configure_shuffle(choice: str | None = None) -> str:
+    """Pin the session's Ray Data shuffle strategy. ``choice`` (or the
+    SPIDERMAN_SHUFFLE env var) is one of 'sort' (default), 'sort_push',
+    'hash'. Called by the session OWNERS (bench.py, the CLI, tests) —
+    library code never mutates the context itself. Returns the applied
+    strategy name."""
+    import os
+
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    choice = choice or os.environ.get("SPIDERMAN_SHUFFLE", "sort")
+    if choice not in _SHUFFLE_NAMES:
+        raise ValueError(
+            f"SPIDERMAN_SHUFFLE={choice!r}: expected one of {sorted(_SHUFFLE_NAMES)}"
+        )
+    strategy = ShuffleStrategy(_SHUFFLE_NAMES[choice])
+    DataContext.get_current().shuffle_strategy = strategy
+    return strategy.value

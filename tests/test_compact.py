@@ -144,3 +144,64 @@ def test_cli_sql_over_crawl_store(tmp_path, ray_session):
     import pandas as pd
 
     assert int(pd.read_csv(dest)["n"][0]) == m["crawled"]
+
+
+def test_gc_seen_then_kill_resume_bit_identical(tmp_path):
+    """Seen-snapshot GC keeps the resume point: kill after gen 1, compact +
+    GC the snapshots, resume — every table and the final seen set still
+    bit-match an uninterrupted run."""
+    import pandas as pd
+
+    from spiderman_ray.compact import compact_table, gc_seen_snapshots
+    from spiderman_ray.engine import CrawlEngine, read_table_all_gens
+    from spiderman_ray.oracle import run_oracle
+    from spiderman_ray.policy import CrawlPolicy
+    from spiderman_ray.simweb import SimParams
+
+    params = SimParams.for_scale("t1")
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "resumed")
+    m_full = CrawlEngine(params, CrawlPolicy(), out_dir=out_a).run()
+
+    CrawlEngine(params, CrawlPolicy(max_generations=2), out_dir=out_b).run()
+    # mid-crawl maintenance: table compaction + manifest-aware snapshot GC
+    for t in ("pages", "details", "images"):
+        compact_table(out_b, t)
+    gc = gc_seen_snapshots(out_b)
+    assert gc["last_complete"] == 1
+    assert gc["deleted"] == ["gen-0"] and "gen-1" in gc["kept"]
+    assert sorted(os.listdir(os.path.join(out_b, "seen"))) == ["gen-1"]
+
+    eng2 = CrawlEngine(params, CrawlPolicy(), out_dir=out_b)
+    m_res = eng2.run(resume=True)
+    assert m_res["generations"] == m_full["generations"]
+    for t in ("pages", "details", "images", "dead_letters", "crawl_order"):
+        a = read_table_all_gens(out_a, t).to_pandas().sort_values(
+            ["generation", "seq"]).reset_index(drop=True)
+        b = read_table_all_gens(out_b, t).to_pandas().sort_values(
+            ["generation", "seq"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+    fps = set().union(*(set(d.tolist()) for d in eng2._pool.dump()))
+    assert fps == run_oracle(params).seen_fps
+
+
+def test_gc_seen_sweeps_interrupted_delete(tmp_path):
+    """A .gc-tmp leftover (crash between rename and rmtree) is swept, and
+    resume walks never see a half-deleted snapshot dir."""
+    import json
+
+    from spiderman_ray.compact import gc_seen_snapshots
+
+    seen = tmp_path / "seen"
+    for g in range(3):
+        (seen / f"gen-{g}").mkdir(parents=True)
+        (seen / f"gen-{g}" / "shard-0.npz").write_bytes(b"x")
+    (seen / "gen-0.gc-tmp").mkdir()
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    for g in range(3):
+        (mdir / f"gen-{g}.json").write_text(json.dumps({"complete": True}))
+    gc = gc_seen_snapshots(str(tmp_path))
+    assert gc["last_complete"] == 2
+    assert sorted(os.listdir(seen)) == ["gen-2"]
+    assert set(gc["deleted"]) == {"gen-0", "gen-0.gc-tmp", "gen-1"}

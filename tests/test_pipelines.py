@@ -2280,3 +2280,27 @@ def test_curate_randomized_table_conformance(tmp_path):
     contam = set(decontaminate(sf).to_pandas()["doc_id"])
     want = [d for d in ded["doc_id"] if d not in contam]
     assert got == want
+
+
+def test_shuffle_strategy_default_pinned():
+    """Regression pin for the round-3 hash-shuffle hang (BASELINE.md): the
+    repo's exchanges MUST default to sort shuffle; HASH_SHUFFLE deadlocks
+    single-node under a tight CPU quota. The SPIDERMAN_SHUFFLE knob exists
+    so a real multi-node cluster can flip strategies without code edits."""
+    import pytest as _pytest
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    from spiderman_ray.pipelines import configure_shuffle
+
+    ctx = DataContext.get_current()
+    prior = ctx.shuffle_strategy
+    try:
+        assert configure_shuffle() == "sort_shuffle_pull_based"
+        assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        assert configure_shuffle("hash") == "hash_shuffle"
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+        with _pytest.raises(ValueError):
+            configure_shuffle("push_based_nonsense")
+    finally:
+        ctx.shuffle_strategy = prior
+        configure_shuffle()
