@@ -402,6 +402,15 @@ class CrawlEngine:
     def run(self, resume: bool = False) -> dict:
         t0 = time.time()
         policy = self.policy
+        if policy.autothrottle and policy.clock != "virtual":
+            raise ValueError("autothrottle requires the virtual politeness clock")
+        throttle_clock = None
+        if policy.autothrottle:
+            from spiderman_ray.state.politeness import ThrottleClock
+
+            # crawl-lifetime adaptive-delay ledger; resume restarts delays
+            # at start_delay (the scrapy-restart behavior, documented)
+            throttle_clock = ThrottleClock.remote()
         if resume:
             g_last = self.last_complete_generation()
             self._cleanup_after(g_last)
@@ -479,7 +488,14 @@ class CrawlEngine:
             # the one column below a cap, distributed per-block
             # value_counts above it (see _host_counts)
             mark("count")
-            counts = _host_counts(fdir, n_rows=n_frontier)
+            # autothrottle disables salting outright: every host carries an
+            # ADAPTIVE delay budget, so splitting one would need slot-range
+            # semantics the adaptive ledger can't define
+            counts = (
+                {"host": [], "count()": []}
+                if policy.autothrottle
+                else _host_counts(fdir, n_rows=n_frontier)
+            )
             mark("salt_histogram")
             for h, c in zip(counts["host"], counts["count()"]):
                 cfg = self.pol_cfg.get(h)
@@ -525,6 +541,7 @@ class CrawlEngine:
                 base_slots=base_slots,
                 host_clock=host_clock,  # set only when a delayed host is salted
                 seen_pool=pool,
+                throttle_clock=throttle_clock,
             )
             def fetch_group(df, fetcher=fetcher):
                 return fetcher(df)
@@ -638,6 +655,11 @@ class CrawlEngine:
 
         t0 = time.time()
         policy = self.policy
+        if policy.autothrottle:
+            raise ValueError(
+                "autothrottle is a BFS-mode feature (its per-host ledger "
+                "relies on the generation barrier serializing fetch groups)"
+            )
         if os.path.isdir(self.out):
             shutil.rmtree(self.out)
         os.makedirs(self.out, exist_ok=True)

@@ -110,10 +110,13 @@ def run_oracle(
     web = SimWeb(params)
     pol_cfg = web.politeness_config(delays_ms)
     robots = RobotsCache({h: c["robots_disallow"] for h, c in pol_cfg.items()})
+    if policy.autothrottle and policy.clock != "virtual":
+        raise ValueError("autothrottle requires the virtual politeness clock")
     ledger = HostLedger(
         {h: c["crawl_delay_ms"] for h, c in pol_cfg.items()},
         default_delay_ms=policy.default_delay_ms,
         clock="virtual",
+        autothrottle=policy.autothrottle,
     )
     parsers = parsers or PARSERS
     seen = ShardedSeenLocal(policy)
@@ -167,6 +170,10 @@ def run_oracle(
         t = ledger.acquire(host)
         ok, attempts, status, size_exhausted = fetch_outcome(web, req["url"], policy)
         fetches += attempts  # dead letters consumed their attempts too
+        if policy.autothrottle:
+            # post-response delay adaptation — every ATTEMPTED fetch
+            # observes (http errors too: they can only raise the delay)
+            ledger.observe(host, web.latency_ms(req["url"]), ok)
         if not ok:
             res.dead_letters.append(
                 {

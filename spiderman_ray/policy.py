@@ -39,6 +39,15 @@ class CrawlPolicy:
     #: ``images: 0`` (the reference's default) suppresses image child
     #: requests of rendered pages. None = splash off.
     splash: dict | None = None  # {"callbacks": ("detail",), "wait": 2, "images": 0|1}
+    #: AutoThrottle analog (scrapy's extension, shipped commented-out by the
+    #: reference — SP/settings.py:178-187; opt-in here the same way):
+    #: per-host delay adapts to observed latency via
+    #: state/politeness.throttle_step. Virtual-clock BFS mode only (the
+    #: adaptive ledger state lives in a ThrottleClock actor across
+    #: generations). None = off.
+    #: {"start_delay_ms": 100, "max_delay_ms": 5000, "min_delay_ms": 0,
+    #:  "target_concurrency": 1.0}
+    autothrottle: dict | None = None
 
     @property
     def max_attempts(self) -> int:

@@ -262,6 +262,13 @@ class SimWeb:
             return 64  # below any sane MINSIZE -> size-retry path
         return 600 + self._pick("sizeN", 4000, url)
 
+    def latency_ms(self, url: str) -> float:
+        """Deterministic simulated download latency: base + a
+        size-proportional term + per-url jitter. Feeds the AutoThrottle
+        analog (state/politeness.throttle_step) on BOTH the engine and the
+        oracle — identical float64 arithmetic by construction."""
+        return 20.0 + self.body_size_for(url) / 256.0 + 180.0 * self._u("lat", url)
+
     def ua_index(self, url: str, attempt: int) -> int:
         return self._pick("ua", UA_POOL_SIZE, url, attempt)
 

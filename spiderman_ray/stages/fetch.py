@@ -115,12 +115,17 @@ class FetchGroup:
         base_slots: dict[str, int] | None = None,
         host_clock: "ray.actor.ActorHandle | None" = None,
         seen_pool=None,
+        throttle_clock: "ray.actor.ActorHandle | None" = None,
     ):
         self.params = params
         self.policy = policy
         self.pol_cfg = pol_cfg
         self.base_slots = base_slots or {}
         self.host_clock = host_clock
+        # AutoThrottle ledger state (vnow, cur_delay) per host, carried
+        # across generations by the ThrottleClock actor (BFS serializes one
+        # group per host per generation, so get/set is race-free)
+        self.throttle_clock = throttle_clock
         # Dedup is FUSED into this stage: a URL's fingerprint determines its
         # host (fp = md5(canonical url)), so the politeness partition already
         # co-locates every duplicate of a fingerprint — one shuffle serves
@@ -189,6 +194,18 @@ class FetchGroup:
             slot0 = ray.get(self.host_clock.reserve.remote(host, n_attempted))
         else:
             slot0 = self.base_slots.get(host, 0)
+        # AutoThrottle: restore the host's adaptive ledger (vnow, delay)
+        throttle = self.policy.autothrottle
+        if throttle:
+            from spiderman_ray.state.politeness import throttle_cfg, throttle_step
+
+            at_start, at_min, at_max, at_tc = throttle_cfg(throttle)
+            if self.throttle_clock is not None:
+                vnow, cur_delay = ray.get(
+                    self.throttle_clock.get.remote(host, at_start)
+                )
+            else:
+                vnow, cur_delay = 0.0, at_start
         out: list[dict] = []
         slot = slot0
         wall_next = 0.0
@@ -207,11 +224,18 @@ class FetchGroup:
             # every attempted fetch consumes one politeness slot (the oracle
             # acquires BEFORE the outcome, so http-error requests count too;
             # robots-denied ones never reach the ledger)
-            vts = float(slot * delay)
+            vts = vnow if throttle else float(slot * delay)
             slot += 1
             # deterministic fetch outcome — the SAME function the oracle
             # runs (engine/oracle parity by construction, like parsers)
             ok_f, attempts, status, _size_exhausted = fetch_outcome(web, url, policy)
+            if throttle:
+                # post-response adaptation, identical to the oracle ledger:
+                # every attempted fetch observes (errors only raise it)
+                cur_delay = throttle_step(
+                    cur_delay, web.latency_ms(url), ok_f, at_tc, at_min, at_max
+                )
+                vnow += cur_delay
             if not ok_f:
                 out.append(
                     _wire_row(
@@ -238,10 +262,15 @@ class FetchGroup:
                     body=resp.body,
                 )
             )
+        if throttle and self.throttle_clock is not None:
+            # persist BEFORE emitting rows: the barrier guarantees the next
+            # generation's group for this host reads the updated state
+            ray.get(self.throttle_clock.set.remote(host, vnow, cur_delay))
         fetch_key = str(group["fetch_key"].iloc[0]) if "fetch_key" in group else host
         out.append(
             _wire_row(None, kind="hostmeta", host=host, n_meta=slot - slot0,
-                      vts_ms=float(slot * delay), url=fetch_key,
+                      vts_ms=(vnow if throttle else float(slot * delay)),
+                      url=fetch_key,
                       generation=int(group["generation"].iloc[0]))
         )
         return pa.Table.from_pylist(out, schema=WIRE_SCHEMA)

@@ -23,6 +23,61 @@ import time
 import ray
 
 
+def throttle_cfg(at: dict | None) -> tuple[float, float, float, float]:
+    """Normalize an ``autothrottle`` policy dict to (start_delay_ms,
+    min_delay_ms, max_delay_ms, target_concurrency) with the
+    scrapy-documented defaults (SP/settings.py:178-187 ships the extension
+    commented out; the analog here is opt-in the same way)."""
+    at = at or {}
+    return (
+        float(at.get("start_delay_ms", 100.0)),
+        float(at.get("min_delay_ms", 0.0)),
+        float(at.get("max_delay_ms", 5000.0)),
+        float(at.get("target_concurrency", 1.0)),
+    )
+
+
+def throttle_step(
+    cur_delay_ms: float,
+    latency_ms: float,
+    ok: bool,
+    target_concurrency: float,
+    min_delay_ms: float,
+    max_delay_ms: float,
+) -> float:
+    """One AutoThrottle update — the public scrapy algorithm: the next
+    delay is the average of the current delay and latency/target_
+    concurrency; non-OK responses never DECREASE the delay; clamped to
+    [min, max]. THE single arithmetic, shared by the engine fetch stage
+    and the oracle ledger (parity by construction, like fetch_outcome)."""
+    target = latency_ms / target_concurrency
+    new = (cur_delay_ms + target) / 2.0
+    if not ok and new < cur_delay_ms:
+        new = cur_delay_ms
+    return min(max(new, min_delay_ms), max_delay_ms)
+
+
+@ray.remote(num_cpus=0)
+class ThrottleClock:
+    """Per-host adaptive-delay ledger state carried ACROSS generations in
+    BFS mode (one fetch group per host per generation, serialized by the
+    barrier, so get/set per group is race-free). State is crawl-lifetime:
+    a resume restarts delays at start_delay — the same conservative reset
+    a scrapy process restart performs."""
+
+    def __init__(self):
+        self._state: dict[str, tuple[float, float]] = {}
+
+    def get(self, host: str, start_delay_ms: float) -> tuple[float, float]:
+        return self._state.get(host, (0.0, float(start_delay_ms)))
+
+    def set(self, host: str, vnow_ms: float, delay_ms: float) -> None:
+        self._state[host] = (float(vnow_ms), float(delay_ms))
+
+    def totals(self) -> dict:
+        return dict(self._state)
+
+
 class RobotsCache:
     """Per-host robots rules, 'fetched' once per host and cached — mirrors a
     robots.txt cache; rules come from the politeness config table
@@ -45,12 +100,16 @@ class HostLedger:
     is host-partitioned, so one worker owns a host's rows for a generation)."""
 
     def __init__(self, delays_ms: dict[str, int], default_delay_ms: int = 0,
-                 clock: str = "virtual"):
+                 clock: str = "virtual", autothrottle: dict | None = None):
         self.delays_ms = delays_ms
         self.default_delay_ms = default_delay_ms
         self.clock = clock
         self.next_ok_ms: dict[str, float] = {}
         self.vnow_ms: dict[str, float] = {}
+        # autothrottle (virtual clock only): per-host adaptive delay; the
+        # clock advances in observe() (post-response), not acquire()
+        self.autothrottle = autothrottle
+        self.at_delay_ms: dict[str, float] = {}
 
     def delay_for(self, host: str) -> int:
         return int(self.delays_ms.get(host, self.default_delay_ms))
@@ -58,6 +117,8 @@ class HostLedger:
     def acquire(self, host: str) -> float:
         """Block (wall) or account (virtual) one fetch slot; returns the
         fetch timestamp in ms (virtual ms from 0, or epoch wall ms)."""
+        if self.autothrottle:
+            return self.vnow_ms.get(host, 0.0)  # advance happens in observe
         delay = self.delay_for(host)
         if self.clock == "virtual":
             t = self.vnow_ms.get(host, 0.0)
@@ -69,6 +130,21 @@ class HostLedger:
             time.sleep((t - now) / 1000.0)
         self.next_ok_ms[host] = t + delay
         return t
+
+    def observe(self, host: str, latency_ms: float, ok: bool) -> float:
+        """AutoThrottle post-response update: adapt the host's delay from
+        the observed latency and advance its virtual clock by the NEW delay
+        (the gap to the next request, scrapy semantics)."""
+        start, mn, mx, tc = self._at_cfg
+        cur = self.at_delay_ms.get(host, start)
+        new = throttle_step(cur, latency_ms, ok, tc, mn, mx)
+        self.at_delay_ms[host] = new
+        self.vnow_ms[host] = self.vnow_ms.get(host, 0.0) + new
+        return new
+
+    @property
+    def _at_cfg(self) -> tuple[float, float, float, float]:
+        return throttle_cfg(self.autothrottle)
 
 
 @ray.remote(num_cpus=0)

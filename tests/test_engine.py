@@ -753,3 +753,68 @@ def test_pipelined_wall_clock_budget(tmp_path):
     assert n > 4
     assert wall >= (n - 1) * 0.040 * 0.5  # generous slack: serialization is
     # per-wave exact; the boundary hint enforces the cross-wave gap
+
+
+# -- autothrottle (adaptive per-host delay, scrapy analog) --------------------
+
+
+def test_autothrottle_matches_oracle(tmp_path):
+    """AutoThrottle on (scrapy's algorithm, SP/settings.py:178-187 analog):
+    adaptive per-host virtual timestamps must match the oracle
+    fetch-for-fetch ACROSS generations (ThrottleClock continuity), and the
+    delays must actually adapt (non-constant gaps)."""
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.oracle import run_oracle
+
+    params = SimParams.for_scale("t2")
+    policy = CrawlPolicy(
+        autothrottle={"start_delay_ms": 50, "max_delay_ms": 800,
+                      "target_concurrency": 2.0}
+    )
+    o = run_oracle(params, policy)
+    out = str(tmp_path / "at")
+    eng = CrawlEngine(params, policy, out_dir=out)
+    m = eng.run()
+    assert m["crawled"] == len(o.crawl_order)
+    co = _sorted_df(_table(out, "crawl_order"))
+    assert co["url"].tolist() == [c["url"] for c in o.crawl_order]
+    assert co["vts_ms"].tolist() == [c["vts_ms"] for c in o.crawl_order]
+    # the delay actually adapts: per-host vts gaps are not all equal
+    h0 = co[co["host"] == "h0.shop.example"].sort_values(["generation", "vts_ms"])
+    gaps = np.diff(h0["vts_ms"].to_numpy())
+    gaps = gaps[gaps > 0]
+    assert len(np.unique(np.round(gaps, 6))) > 3
+
+
+def test_autothrottle_step_properties():
+    """The shared update rule: converges toward latency/target_concurrency,
+    never decreases on errors, clamps to [min, max]."""
+    from spiderman_ray.state.politeness import throttle_step
+
+    d = 100.0
+    for _ in range(60):
+        d = throttle_step(d, 240.0, True, 2.0, 0.0, 5000.0)
+    assert abs(d - 120.0) < 1e-6  # fixpoint = latency / target_concurrency
+    assert throttle_step(200.0, 10.0, False, 1.0, 0.0, 5000.0) == 200.0  # no
+    # decrease on error
+    assert throttle_step(200.0, 10_000.0, False, 1.0, 0.0, 500.0) == 500.0
+    assert throttle_step(1.0, 0.0, True, 1.0, 25.0, 500.0) == 25.0
+
+
+def test_autothrottle_mode_guards(tmp_path):
+    """Loud failures for the unsupported combinations."""
+    import pytest as _pytest
+
+    from spiderman_ray.engine import CrawlEngine
+
+    params = SimParams.for_scale("t1")
+    with _pytest.raises(ValueError, match="virtual"):
+        CrawlEngine(
+            params, CrawlPolicy(autothrottle={"start_delay_ms": 50}, clock="wall"),
+            out_dir=str(tmp_path / "x"),
+        ).run()
+    with _pytest.raises(ValueError, match="BFS"):
+        CrawlEngine(
+            params, CrawlPolicy(autothrottle={"start_delay_ms": 50}),
+            out_dir=str(tmp_path / "y"),
+        ).run_pipelined()
