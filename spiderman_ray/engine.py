@@ -575,6 +575,10 @@ class CrawlEngine:
 
             mark("hostmeta")
             pool.clear_tokens()  # retry-idempotency tokens live one generation
+            if host_clock is not None:
+                ray.get(host_clock.clear_tokens.remote())
+            if throttle_clock is not None:
+                ray.get(throttle_clock.clear_tokens.remote())
             snap_dir = os.path.join(self.out, "seen", f"gen-{g}")
             pool.snapshot(snap_dir)
             mark("snapshot")
@@ -782,6 +786,7 @@ class CrawlEngine:
                     # safe point (no wave can replay an offer mid-clear):
                     # drop idempotency tokens so they stay bounded
                     pool.clear_tokens()
+                    ray.get(host_clock.clear_tokens.remote())
                     waves_since_clear = 0
             elif any(bufs.values()):
                 # every buffered host is wall-clock gated: sleep to the

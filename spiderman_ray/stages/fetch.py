@@ -155,6 +155,14 @@ class FetchGroup:
         # semantics, higher pops first), FIFO seq as the tiebreak — with all
         # priorities 0 this IS the reference FIFO
         group = group.sort_values(["priority", "seq"], ascending=[False, True])
+        # deterministic retry token of this fetch group: the SAME token on a
+        # Ray task replay makes every stateful side effect idempotent (seen
+        # offers, HostClock slot ranges, ThrottleClock reads)
+        token = (
+            f"g{int(group['generation'].iloc[0])}|{group['fetch_key'].iloc[0]}"
+            if "fetch_key" in group
+            else f"g{int(group['generation'].iloc[0])}|{group['host'].iloc[0]}"
+        )
         if self.seen_pool is not None:
             # first-wins dedup (intra-generation by seq order, then the
             # cross-generation seen actors), per-callback opt-out like the
@@ -163,14 +171,7 @@ class FetchGroup:
             sub = group[dmask]
             if len(sub):
                 sub = sub.drop_duplicates("fp", keep="first")  # priority/seq-sorted
-                # token makes the offer idempotent under Ray task retry: a
-                # replayed group re-offers with the same (generation, group)
-                # token and gets its prior accepts back instead of False
-                token = (
-                    f"g{int(group['generation'].iloc[0])}|{group['fetch_key'].iloc[0]}"
-                    if "fetch_key" in group
-                    else f"g{int(group['generation'].iloc[0])}|{group['host'].iloc[0]}"
-                )
+                # same token on replay -> prior accepts back instead of False
                 accepted = self.seen_pool.offer(
                     sub["fp"].to_numpy(dtype=object), token=token
                 )
@@ -190,8 +191,9 @@ class FetchGroup:
         allowed = [not self._disallowed(host, urlsplit(r["url"]).path) for r in records]
         n_attempted = sum(allowed)
         # politeness slot base: salted groups reserve atomically via HostClock
+        # (token-idempotent: a replayed task gets its prior range back)
         if self.host_clock is not None:
-            slot0 = ray.get(self.host_clock.reserve.remote(host, n_attempted))
+            slot0 = ray.get(self.host_clock.reserve.remote(host, n_attempted, token))
         else:
             slot0 = self.base_slots.get(host, 0)
         # AutoThrottle: restore the host's adaptive ledger (vnow, delay)
@@ -201,8 +203,10 @@ class FetchGroup:
 
             at_start, at_min, at_max, at_tc = throttle_cfg(throttle)
             if self.throttle_clock is not None:
+                # token-idempotent read: a replayed group re-reads its
+                # pre-group state and recomputes the identical vts sequence
                 vnow, cur_delay = ray.get(
-                    self.throttle_clock.get.remote(host, at_start)
+                    self.throttle_clock.get.remote(host, at_start, token)
                 )
             else:
                 vnow, cur_delay = 0.0, at_start

@@ -63,16 +63,35 @@ class ThrottleClock:
     BFS mode (one fetch group per host per generation, serialized by the
     barrier, so get/set per group is race-free). State is crawl-lifetime:
     a resume restarts delays at start_delay — the same conservative reset
-    a scrapy process restart performs."""
+    a scrapy process restart performs.
+
+    ``token`` (the fetch group's deterministic retry token) makes the
+    read idempotent under Ray task retry: a replayed group re-reads the
+    SAME pre-group state it saw the first time (even if its first attempt
+    already committed), recomputes the identical vts sequence, and its
+    commit rewrites the same values. Tokens are cleared at each
+    generation barrier (engine.run), bounding the cache."""
 
     def __init__(self):
         self._state: dict[str, tuple[float, float]] = {}
+        self._reads: dict[tuple[str, str], tuple[float, float]] = {}
 
-    def get(self, host: str, start_delay_ms: float) -> tuple[float, float]:
+    def get(self, host: str, start_delay_ms: float,
+            token: str | None = None) -> tuple[float, float]:
+        if token is not None:
+            key = (host, token)
+            if key not in self._reads:
+                self._reads[key] = self._state.get(host, (0.0, float(start_delay_ms)))
+            return self._reads[key]
         return self._state.get(host, (0.0, float(start_delay_ms)))
 
     def set(self, host: str, vnow_ms: float, delay_ms: float) -> None:
         self._state[host] = (float(vnow_ms), float(delay_ms))
+
+    def clear_tokens(self) -> int:
+        n = len(self._reads)
+        self._reads.clear()
+        return n
 
     def totals(self) -> dict:
         return dict(self._state)
@@ -151,20 +170,38 @@ class HostLedger:
 class HostClock:
     """Atomic per-host slot reservation for salted (split) hot hosts: every
     salted partition reserves its own contiguous virtual-slot range, so the
-    union respects the per-host budget exactly."""
+    union respects the per-host budget exactly.
+
+    ``token`` (the fetch group's deterministic retry token) makes the
+    reservation idempotent under Ray task retry: a replayed group gets its
+    PRIOR range back instead of burning a second one (which would shift
+    every later vts on that host). Grants are cleared at each generation
+    barrier, bounding the map."""
 
     def __init__(self):
         self._slots: dict[str, int] = {}
+        self._grants: dict[tuple[str, str], int] = {}
 
     def init(self, base: dict[str, int]) -> None:
         """Seed per-host slot counters (resume continuity)."""
         for h, n in base.items():
             self._slots[h] = max(self._slots.get(h, 0), int(n))
 
-    def reserve(self, host: str, n: int) -> int:
+    def reserve(self, host: str, n: int, token: str | None = None) -> int:
+        if token is not None:
+            key = (host, token)
+            if key in self._grants:
+                return self._grants[key]
         start = self._slots.get(host, 0)
         self._slots[host] = start + n
+        if token is not None:
+            self._grants[(host, token)] = start
         return start
+
+    def clear_tokens(self) -> int:
+        n = len(self._grants)
+        self._grants.clear()
+        return n
 
     def totals(self) -> dict[str, int]:
         return dict(self._slots)
