@@ -68,22 +68,31 @@ TABLES = ("pages", "details", "images", "dead_letters", "crawl_order", "hostmeta
 @ray.remote
 def _pipelined_wave(
     rows: pa.Table,
+    fetch_key: str,
     params,
     policy,
     pol_cfg: dict,
     host_clock,
     seen_pool,
+    frontier_shards: list,
     out_dir: str,
     parsers,
     dirty_words,
     splash,
-) -> tuple[pa.Table, float]:
+) -> tuple[list, float]:
     """One pipelined fetch+parse wave: a single-(host, generation) slice of
-    the frontier. Fetch, dedup (fused, via the shared seen actors), parse
-    and sink happen INSIDE the task — only the small child-request table
-    returns to the driver scheduler. Second element: earliest wall-clock ms
-    the host may fetch again (wall-clock politeness across wave boundaries;
-    0.0 under the virtual clock)."""
+    the frontier (``rows`` arrives as the pop_wave return REFERENCE — the
+    driver never materializes it). Fetch, dedup (fused, via the shared
+    seen actors), parse, sink AND the child push into the frontier shards
+    all happen inside the task; only [(host, gen, n_rows), ...] summaries
+    and the wall-clock politeness hint return to the driver scheduler.
+    Child pushes carry this wave's token, so a Ray task retry re-pushes
+    idempotently."""
+    from spiderman_ray.state.frontier import shard_of
+
+    rows = rows.append_column(
+        "fetch_key", pa.array([fetch_key] * rows.num_rows, pa.string())
+    )
     fetcher = FetchGroup(
         params, policy, pol_cfg, base_slots={}, host_clock=host_clock,
         seen_pool=seen_pool,
@@ -91,6 +100,27 @@ def _pipelined_wave(
     wire = fetcher(rows.to_pandas())
     sink = make_parse_sink(out_dir, parsers, dirty_words, splash)
     children = sink(wire)
+    # BFS parity: generations at/beyond the cap are never fetched
+    children = children.filter(
+        pc.less(children["generation"], policy.max_generations)
+    )
+    summaries: list = []
+    if children.num_rows:
+        k = len(frontier_shards)
+        by_shard: dict[int, list] = {}
+        for h in pc.unique(children["host"]).to_pylist():
+            by_shard.setdefault(shard_of(h, k), []).append(h)
+        refs = [
+            frontier_shards[s].push.remote(
+                f"{fetch_key}|s{s}",
+                children.filter(
+                    pc.is_in(children["host"], value_set=pa.array(mine))
+                ),
+            )
+            for s, mine in by_shard.items()
+        ]
+        for acc in ray.get(refs):
+            summaries.extend(acc)
     next_ok = 0.0
     if policy.clock == "wall":
         host = str(rows["host"][0].as_py())
@@ -98,7 +128,7 @@ def _pipelined_wave(
         delay = int(cfg["crawl_delay_ms"]) if cfg else policy.default_delay_ms
         if delay > 0:
             next_ok = time.time() * 1000.0 + delay
-    return children, next_ok
+    return summaries, next_ok
 
 
 def _gen_dir(out: str, kind: str, g: int) -> str:
@@ -650,12 +680,17 @@ class CrawlEngine:
           mode features: a deep crawl that would overflow the seq encoding
           raises OverflowError here (use BFS mode, which re-ranks).
 
-        Scale note: the driver buffers only URL metadata rows (no payloads)
-        — the reference's Redis frontier held the same. At 10^10-URL scale
-        the buffers become a sharded frontier actor pool; the wave protocol
-        is unchanged.
+        Scale: NOTHING row-sized touches the driver. The frontier lives in
+        a host-hashed FrontierShard actor pool (the Ray-native analog of
+        the reference's external Redis list): waves push children straight
+        into the shards (token-idempotent) and the driver hands each new
+        wave its rows as the pop_wave return REFERENCE. The driver holds
+        O(hosts x active generations) integer counters plus one ref per
+        in-flight wave.
         """
         import collections
+
+        from spiderman_ray.state.frontier import FrontierShard, shard_of
 
         t0 = time.time()
         policy = self.policy
@@ -677,6 +712,8 @@ class CrawlEngine:
         )
         host_clock = HostClock.remote()
         ray.get(host_clock.init.remote({}))
+        n_fshards = max(1, policy.num_shards // 2)
+        fshards = [FrontierShard.remote() for _ in range(n_fshards)]
 
         # broadcast the per-wave constants ONCE (ray.put), not per task
         consts = [
@@ -686,29 +723,30 @@ class CrawlEngine:
         ]
         (params_r, policy_r, cfg_r, out_r, parsers_r, dirty_r, splash_r) = consts
 
-        bufs: dict[str, list[pa.Table]] = collections.defaultdict(list)
-        n_enqueued = 0
-
-        def enqueue(tbl: pa.Table) -> None:
-            nonlocal n_enqueued, max_gen
-            if tbl.num_rows == 0:
-                return
-            # BFS parity: generations at/beyond the cap are never fetched
-            tbl = tbl.filter(pc.less(tbl["generation"], policy.max_generations))
-            if tbl.num_rows == 0:
-                return
-            max_gen = max(max_gen, pc.max(tbl["generation"]).as_py())
-            for h in pc.unique(tbl["host"]).to_pylist():
-                bufs[h].append(tbl.filter(pc.equal(tbl["host"], h)))
-            n_enqueued += tbl.num_rows
-
         def delay_of(host: str) -> int:
             cfg = self.pol_cfg.get(host)
             return int(cfg["crawl_delay_ms"]) if cfg else policy.default_delay_ms
 
+        # driver-side bookkeeping: INTEGER counters only
+        counts: dict[tuple[str, int], int] = collections.defaultdict(int)
         max_gen = 0
+
+        def absorb(summaries: list) -> None:
+            nonlocal max_gen
+            for h, g, n in summaries:
+                counts[(h, g)] += n
+                max_gen = max(max_gen, g)
+
         seeds = pa.Table.from_pylist(self.seed_fn(self.web), schema=schemas.FRONTIER)
-        enqueue(seeds)
+        seeds = seeds.filter(pc.less(seeds["generation"], policy.max_generations))
+        seed_pushes = []
+        for h in pc.unique(seeds["host"]).to_pylist():
+            part = seeds.filter(pc.equal(seeds["host"], h))
+            seed_pushes.append(
+                fshards[shard_of(h, n_fshards)].push.remote(f"seeds|{h}", part)
+            )
+        for acc in ray.get(seed_pushes):
+            absorb(acc)
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         cap = max_pending or 8 * ncpu
@@ -722,51 +760,51 @@ class CrawlEngine:
             nonlocal wave_no, waves_since_clear
             launched = 0
             now_ms = time.time() * 1000.0
-            for h in sorted(bufs):
-                if not bufs[h] or len(pending) >= cap:
-                    continue
+            # one pop candidate per host: its lowest pending generation
+            # (cross-gen first-wins follows discovery order per host)
+            host_gen: dict[str, int] = {}
+            for (h, g), n in counts.items():
+                if n > 0 and (h not in host_gen or g < host_gen[h]):
+                    host_gen[h] = g
+            for h in sorted(host_gen):
+                if len(pending) >= cap:
+                    break
                 # zero-delay hosts launch freely (politeness-trivial; dedup
                 # races across in-flight waves are the documented reference-
                 # FIFO semantics, and can't occur without duplicate links);
                 # delay-budgeted hosts stay strictly one wave at a time
-                if delay_of(h) > 0 and (busy[h] or now_ms < next_ok.get(h, 0.0)):
+                delayed = delay_of(h) > 0
+                if delayed and (busy[h] or now_ms < next_ok.get(h, 0.0)):
                     continue
-                merged = pa.concat_tables(bufs.pop(h))
-                gmin = pc.min(merged["generation"]).as_py()
-                take = merged.filter(pc.equal(merged["generation"], gmin))
-                rest = merged.filter(pc.not_equal(merged["generation"], gmin))
-                if rest.num_rows:
-                    bufs[h].append(rest)
-                # zero-delay hosts fan out into fp-hash sub-waves (the BFS
-                # auto-salt rule: same fp -> same wave, first-wins by seq
-                # preserved inside each wave); a delay-budgeted host stays
-                # ONE wave — its delay bounds throughput anyway
-                if delay_of(h) == 0 and take.num_rows > self.auto_salt_cap:
-                    nsub = -(-take.num_rows // self.auto_salt_cap)
-                    salts = hash64(take["fp"].to_pylist()) % nsub
-                    parts = [
-                        take.filter(pa.array(salts == i)) for i in range(nsub)
-                    ]
-                else:
-                    parts = [take]
-                for part in parts:
-                    if not part.num_rows:
-                        continue
+                g = host_gen[h]
+                while counts[(h, g)] > 0 and len(pending) < cap:
+                    pop_cap = None if delayed else self.auto_salt_cap
+                    tbl_ref, meta_ref = fshards[
+                        shard_of(h, n_fshards)
+                    ].pop_wave.options(num_returns=2).remote(h, g, pop_cap)
+                    meta = ray.get(meta_ref)
+                    # snapshot-correct: a wave's push may have landed at the
+                    # shard before its summary reached the driver
+                    counts[(h, g)] = meta["left"]
+                    if meta["n"] == 0:
+                        break
                     wave_no += 1
-                    part = part.append_column(
-                        "fetch_key",
-                        pa.array([f"{h}|w{wave_no}"] * part.num_rows, pa.string()),
-                    )
                     ref = _pipelined_wave.remote(
-                        part, params_r, policy_r, cfg_r, host_clock,
-                        pool, out_r, parsers_r, dirty_r, splash_r,
+                        tbl_ref, f"{h}|w{wave_no}",
+                        params_r, policy_r, cfg_r, host_clock,
+                        pool, fshards, out_r, parsers_r, dirty_r, splash_r,
                     )
                     pending[ref] = h
                     busy[h] += 1
                     launched += 1
+                    if delayed:
+                        break  # one wave at a time for a budgeted host
             return launched
 
-        while any(bufs.values()) or pending:
+        def have_rows() -> bool:
+            return any(n > 0 for n in counts.values())
+
+        while have_rows() or pending:
             launch_ready()
             if pending:
                 # drain completions in batches: a one-ref wait per loop turn
@@ -777,21 +815,25 @@ class CrawlEngine:
                 for ref in done:
                     h = pending.pop(ref)
                     busy[h] -= 1
-                    children, nok = ray.get(ref)
+                    summaries, nok = ray.get(ref)
                     if nok:
                         next_ok[h] = nok
-                    enqueue(children)
+                    absorb(summaries)
                     waves_since_clear += 1
                 if not pending and waves_since_clear >= 128:
                     # safe point (no wave can replay an offer mid-clear):
                     # drop idempotency tokens so they stay bounded
                     pool.clear_tokens()
                     ray.get(host_clock.clear_tokens.remote())
+                    ray.get([s.clear_tokens.remote() for s in fshards])
                     waves_since_clear = 0
-            elif any(bufs.values()):
-                # every buffered host is wall-clock gated: sleep to the
+            elif have_rows():
+                # every rowful host is wall-clock gated: sleep to the
                 # earliest next_ok
-                gated = [next_ok.get(h, 0.0) for h in bufs if bufs[h]]
+                gated = [
+                    next_ok.get(h, 0.0)
+                    for (h, g), n in counts.items() if n > 0
+                ]
                 wait_s = max(0.0, (min(gated) - time.time() * 1000.0) / 1000.0)
                 time.sleep(min(wait_s, 0.05) or 0.001)
 
