@@ -86,6 +86,41 @@ def _crawl_pipelined_out(scale: str = "t1") -> str:
     return out
 
 
+def _crawl_throttled_out(scale: str = "t1") -> str:
+    """BFS crawl with the AutoThrottle analog enabled, cached under /tmp.
+    NO resume: a resumed run restarts adaptive delays at start_delay (the
+    documented scrapy-restart behavior), which would diverge from the
+    uninterrupted oracle pin — so a partial dir reruns from scratch."""
+    key = f"at_{scale}"
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    import shutil
+
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.policy import CrawlPolicy
+    from spiderman_ray.simweb import SimParams
+    from spiderman_ray.stages.parse_sink import CRAWL_ORDER
+
+    out = f"/tmp/spiderman_entry_{key}"
+    sig = "v5:" + ",".join(f.name for f in CRAWL_ORDER)
+    sig_path = os.path.join(out, "schema.sig")
+    done = os.path.exists(sig_path) and open(sig_path).read() == sig
+    if not done:
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        eng = CrawlEngine(
+            SimParams.for_scale(scale),
+            CrawlPolicy(autothrottle=dict(_THROTTLE_CFG)),
+            out_dir=out,
+        )
+        eng.run()
+        with open(sig_path, "w") as f:
+            f.write(sig)
+        eng._pool.shutdown()
+    _CRAWL_CACHE[key] = out
+    return out
+
+
 def entry() -> Any:
     """Flagship: crawl the simulated web (seeds -> dedup -> politeness-aware
     fetch -> parse -> image rows), then validate the output table against
@@ -128,6 +163,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_table_all_gens(_crawl_pipelined_out("t1"), "images").select(
             ["image_id", "w", "h", "fmt", "phash", "url"]
         )
+
+    def crawl_throttled_order(sf_dir: str) -> Any:
+        # AutoThrottle mode end to end: the ADAPTIVE per-host vts sequence
+        # (latency-driven delays via the shared throttle_step) must match
+        # the reference loop fetch-for-fetch across generations. vts is
+        # integerized to µs on both sides: DuckDB's double parser is 1 ULP
+        # off on some shortest-repr literals (measured:
+        # 474.68223969548717 parses to the next double up), so raw DOUBLE
+        # pins of adaptive timestamps are not hash-stable.
+        import numpy as np
+        import pyarrow as pa
+
+        t = read_table_all_gens(_crawl_throttled_out("t1"), "crawl_order")
+        vts_us = np.floor(
+            t["vts_ms"].to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        t = t.drop_columns(["vts_ms"])
+        return t.append_column("vts_us", pa.array(vts_us))
 
     def crawl_order(sf_dir: str) -> Any:
         return read_table_all_gens(_crawl_out("t1"), "crawl_order")
@@ -321,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": crawl_images,
         "crawl_pipelined_pages": crawl_pipelined_pages,
         "crawl_pipelined_images": crawl_pipelined_images,
+        "crawl_throttled_order": crawl_throttled_order,
         "crawl_order": crawl_order,
         "crawl_dead_letters": crawl_dead_letters,
         "crawl_validate": crawl_validate,
@@ -727,6 +781,7 @@ def _cdc_sql(w: int = 8, div: int = 16, base: int = 1000003) -> str:
 
 
 _ORACLE_T1 = None
+_ORACLE_T1_AT = None
 
 
 def _oracle_t1():
@@ -739,6 +794,25 @@ def _oracle_t1():
 
         _ORACLE_T1 = run_oracle(SimParams.for_scale("t1"))
     return _ORACLE_T1
+
+
+#: autothrottle config shared by the throttled gate query and its oracle pin
+_THROTTLE_CFG = {"start_delay_ms": 50, "max_delay_ms": 800, "target_concurrency": 2.0}
+
+
+def _oracle_t1_throttled():
+    """Reference loop at t1 with the AutoThrottle analog enabled — pins the
+    adaptive per-host vts sequence for the throttled gate query."""
+    global _ORACLE_T1_AT
+    if _ORACLE_T1_AT is None:
+        from spiderman_ray.oracle import run_oracle
+        from spiderman_ray.policy import CrawlPolicy
+        from spiderman_ray.simweb import SimParams
+
+        _ORACLE_T1_AT = run_oracle(
+            SimParams.for_scale("t1"), CrawlPolicy(autothrottle=_THROTTLE_CFG)
+        )
+    return _ORACLE_T1_AT
 
 
 def _decon_sql() -> str:
@@ -946,6 +1020,27 @@ def _crawl_oracle_sqls() -> dict[str, str]:
             "image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
             "fmt": "VARCHAR", "caption": "VARCHAR", "phash": "BIGINT",
             "fkey": "VARCHAR", "pagenum": "BIGINT", "px": "BIGINT",
+        },
+    )
+    import math as _math
+
+    out["crawl_throttled_order"] = _values_sql(
+        [
+            {
+                **{k: r[k] for k in ("url", "generation", "host", "seq",
+                                     "attempts", "ua_idx", "cookie_idx",
+                                     "proxy_idx", "fp")},
+                # integer µs: DuckDB's double parser is 1 ULP off on some
+                # shortest-repr literals, so adaptive vts never pins as DOUBLE
+                "vts_us": int(_math.floor(r["vts_ms"] * 1000.0 + 0.5)),
+            }
+            for r in _oracle_t1_throttled().crawl_order
+        ],
+        {
+            "url": "VARCHAR", "generation": "BIGINT", "host": "VARCHAR",
+            "seq": "BIGINT", "attempts": "BIGINT", "vts_us": "BIGINT",
+            "ua_idx": "BIGINT", "cookie_idx": "BIGINT", "proxy_idx": "BIGINT",
+            "fp": "VARCHAR",
         },
     )
     # the PIPELINED mode's gate oracles come from the SAME single-process
