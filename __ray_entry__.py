@@ -617,6 +617,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing over synthesized binary payloads ----------
         "video_frames": video_frames,
         "audio_features": audio_features,
+        # -- external-store sink analogs (HBase/Mongo/ES/HDFS/Doris):
+        # write through the sink layout into /tmp, read the STORE back,
+        # hash-verify vs SQL reconstructing the layout from the source
+        "hbase_cells": lambda sf: __import__(
+            "spiderman_ray.pipelines.storesinks", fromlist=["x"]
+        ).hbase_cells(sf),
+        "mongo_docs": lambda sf: __import__(
+            "spiderman_ray.pipelines.storesinks", fromlist=["x"]
+        ).mongo_docs(sf),
+        "hdfs_lines": lambda sf: __import__(
+            "spiderman_ray.pipelines.storesinks", fromlist=["x"]
+        ).hdfs_lines(sf),
+        "doris_buckets": lambda sf: __import__(
+            "spiderman_ray.pipelines.storesinks", fromlist=["x"]
+        ).doris_buckets(sf),
+        # ES analog is index BUILD + distributed AND-of-terms search
+        "es_search": lambda sf: __import__(
+            "spiderman_ray.pipelines.storesinks", fromlist=["x"]
+        ).es_search(sf),
     }
 
 
@@ -2153,5 +2172,76 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
             "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        # -- external-store sink analogs: the oracles reconstruct each
+        # sink's LAYOUT (md5 content keyid, str() coercion, cell unpivot,
+        # bucket hash) straight from the source table; the engine rows
+        # come from reading the written store back, so a hash match
+        # verifies write -> on-disk layout -> read end-to-end.
+        # pipelines_hbase.py:96-105 cell shape: (rowkey, 'cf:'+col, str(v))
+        "hbase_cells": (
+            "WITH k AS (SELECT '2026-01-01_' || upper(md5(concat_ws(chr(1), "
+            "'customer_sink', CAST(c_custkey AS VARCHAR), c_name, "
+            "CAST(c_nationkey AS VARCHAR), c_mktsegment))) AS keyid, "
+            "CAST(c_custkey AS VARCHAR) v1, c_name v2, "
+            "CAST(c_nationkey AS VARCHAR) v3, c_mktsegment v4 FROM customer) "
+            "SELECT keyid, qualifier, value FROM ("
+            "SELECT keyid, 'cf:c_custkey' AS qualifier, v1 AS value FROM k "
+            "UNION ALL SELECT keyid, 'cf:c_name', v2 FROM k "
+            "UNION ALL SELECT keyid, 'cf:c_nationkey', v3 FROM k "
+            "UNION ALL SELECT keyid, 'cf:c_mktsegment', v4 FROM k "
+            "UNION ALL SELECT keyid, 'cf:bizdate', '2026-01-01' FROM k "
+            "UNION ALL SELECT keyid, 'cf:ctime', '2026-01-01 00:00:00' FROM k "
+            "UNION ALL SELECT keyid, 'cf:spider', 'zhifang_sim' FROM k)"
+        ),
+        # pipelines_mongodb.py:72-82 document shape: _id + str() fields
+        "mongo_docs": (
+            "SELECT '2026-01-01_' || upper(md5(concat_ws(chr(1), 'orders_sink', "
+            "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+            "o_orderstatus, CAST(o_orderdate AS VARCHAR), o_orderpriority))) "
+            'AS "_id", '
+            "CAST(o_orderkey AS VARCHAR) AS o_orderkey, "
+            "CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus, "
+            "CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority, "
+            "'2026-01-01' AS bizdate, '2026-01-01 00:00:00' AS ctime, "
+            "'zhifang_sim' AS spider FROM orders"
+        ),
+        # pipelines_hdfs.py:94-101 line shape: keyid + values stripped of
+        # the \x01 delimiter and newlines + meta, '\x01'-joined
+        "hdfs_lines": (
+            "SELECT '2026-01-01_' || upper(md5(concat_ws(chr(1), 'nation_sink', "
+            "CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)))) "
+            "AS keyid, "
+            "replace(replace(CAST(n_nationkey AS VARCHAR), chr(1), ''), chr(10), '') "
+            "AS n_nationkey, "
+            "replace(replace(n_name, chr(1), ''), chr(10), '') AS n_name, "
+            "replace(replace(CAST(n_regionkey AS VARCHAR), chr(1), ''), chr(10), '') "
+            "AS n_regionkey, "
+            "'2026-01-01' AS bizdate, '2026-01-01 00:00:00' AS ctime, "
+            "'zhifang_sim' AS spider FROM nation"
+        ),
+        # pipelines_doris.py:72-75 DISTRIBUTED BY HASH(keyid) BUCKETS n:
+        # placement hash = first-8-hex-of-md5(keyid) % 4 on both sides
+        "doris_buckets": (
+            "WITH k AS (SELECT '2026-01-01_' || upper(md5(concat_ws(chr(1), "
+            "'orders_doris', CAST(o_orderkey AS VARCHAR), "
+            "CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority))) "
+            "AS keyid FROM orders) "
+            "SELECT CAST(CAST(('0x' || substr(md5(keyid), 1, 8)) AS UBIGINT) % 4 "
+            "AS BIGINT) AS bucket, count(*) AS n FROM k GROUP BY 1 ORDER BY 1"
+        ),
+        # ES inverted index + AND-of-terms search: whitespace tokens
+        # (the shared top_tokens convention), tf per (doc, term),
+        # docs containing ALL query terms, score = sum tf, top-50 by
+        # (score desc, doc_id asc) — tie-break shared with the engine
+        "es_search": (
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "f AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t "
+            "WHERE tok IN ('join', 'slow', 'vector') GROUP BY doc_id, tok), "
+            "s AS (SELECT doc_id, SUM(tf) AS score FROM f GROUP BY doc_id "
+            "HAVING COUNT(DISTINCT tok) = 3) "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(score AS BIGINT) "
+            "AS score FROM s ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 50"
         ),
     }
