@@ -193,6 +193,54 @@ def cmd_export(args: argparse.Namespace) -> int:
         print(json.dumps(res))
         ray.shutdown()
         return 0
+    elif args.fmt in ("hbase", "mongo", "hdfs", "doris", "es"):
+        # external-store sink analogs (sources/sinks.py). Row stores get
+        # the reference's str() coercion; binary payload columns are
+        # dropped first (the reference's items never carry bytes —
+        # attachments go through the FilesPipeline, not the row sinks).
+        import pyarrow as pa
+
+        from spiderman_ray.sources import sinks
+
+        bins = [
+            f.name
+            for f in tbl.schema
+            if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+        ]
+        if bins:
+            tbl = tbl.drop_columns(bins)
+            print(json.dumps({"dropped_binary_cols": bins}))
+        if args.fmt == "es":
+            if not args.text_col or args.text_col not in tbl.column_names:
+                print(json.dumps({"error": "--text-col required for es export"}))
+                ray.shutdown()
+                return 2
+            if args.id_col not in tbl.column_names:
+                print(json.dumps({
+                    "error": f"--id-col {args.id_col!r} not in table",
+                    "columns": tbl.column_names,
+                }))
+                ray.shutdown()
+                return 2
+            res = sinks.write_index_es(
+                rd.from_arrow(tbl),
+                args.dest,
+                args.table,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            )
+        else:
+            writer = {
+                "hbase": sinks.write_table_hbase,
+                "mongo": sinks.write_table_mongo,
+                "hdfs": sinks.write_table_hdfs,
+                "doris": sinks.write_table_doris,
+            }[args.fmt]
+            res = writer(tbl, args.dest, args.table)
+        res = {k: v for k, v in res.items() if k != "ddl"}
+        print(json.dumps(res))
+        ray.shutdown()
+        return 0
     else:
         ds.write_parquet(args.dest)
     print(json.dumps({"rows": tbl.num_rows, "dest": args.dest}))
@@ -367,14 +415,23 @@ def main(argv=None) -> int:
                     help="complete generations of seen snapshots to keep")
     cp.set_defaults(fn=cmd_compact)
 
-    e = sub.add_parser("export", help="export a crawled table to csv/parquet")
+    e = sub.add_parser(
+        "export",
+        help="export a crawled table to csv/parquet or an external-store "
+        "sink analog (hbase/mongo/hdfs/doris/es)",
+    )
     e.add_argument("--out", required=True, help="crawl output dir")
     e.add_argument("--table", default="pages")
     e.add_argument("--fmt", default="csv",
-                   choices=["csv", "parquet", "jsonl", "txt", "sqlite"])
+                   choices=["csv", "parquet", "jsonl", "txt", "sqlite",
+                            "hbase", "mongo", "hdfs", "doris", "es"])
     e.add_argument("--delimiter", default=",", help="txt format delimiter "
                    "(DATAFILE_DELIMITER parity)")
     e.add_argument("--dest", required=True)
+    e.add_argument("--id-col", default="url",
+                   help="es export: document id column")
+    e.add_argument("--text-col", default=None,
+                   help="es export: text column to index (required)")
     e.set_defaults(fn=cmd_export)
 
     q = sub.add_parser(
