@@ -166,3 +166,50 @@ def test_sinks_distributed_dataset_write(ray_session, tmp_path):
         f for f in os.listdir(os.path.join(root_ds, "t")) if f.endswith(".parquet")
     ]
     assert len(parts) > 1
+
+
+def test_cli_export_to_sink_analogs(tmp_path, ray_session):
+    """`cli export --fmt hbase|es` pushes a crawl store's table through the
+    sink analogs exactly like the reference's pipeline toggles; es validates
+    --id-col/--text-col against the schema up-front."""
+    import json
+    import subprocess
+    import sys
+
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.simweb import SimParams
+
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(SimParams.for_scale("t1"), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+
+    def run_cli(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "spiderman_ray.cli", "export",
+             "--out", out, "--table", "pages", *extra],
+            capture_output=True, text=True,
+        )
+
+    hdir = str(tmp_path / "hb")
+    r = run_cli("--fmt", "hbase", "--dest", hdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows_written"] == 20
+    cells = sinks.read_table_hbase(hdir, "pages")
+    quals = {q.split(":", 1)[1] for q in set(cells["qualifier"].to_pylist())}
+    assert quals >= {"title", "price", "pkey"}
+
+    edir = str(tmp_path / "es")
+    r = run_cli("--fmt", "es", "--dest", edir,
+                "--id-col", "pkey", "--text-col", "title")
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["postings"] > 0 and info["index"] == "pages"
+
+    # up-front validation: default --id-col url is not a pages column
+    r = run_cli("--fmt", "es", "--dest", str(tmp_path / "es2"),
+                "--text-col", "title")
+    assert r.returncode == 2
+    err = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "id-col" in err["error"] and "pkey" in err["columns"]
