@@ -130,13 +130,36 @@ def phash_near_dups(images_uri: str, max_hamming: int = 3) -> pa.Table:
     the 64-bit hash into 4 x 16-bit bands; a pair within hamming 3 cannot
     differ in all 4 bands (pigeonhole), so banding is EXACT through
     hamming 3 — B bands are exact through B-1 -> band groupby -> verify
-    hamming exactly. Driver-collected sorted view of ``_phash_pairs_ds``
-    (pair counts are LSH-bounded)."""
-    df = _phash_pairs_ds(images_uri, max_hamming).to_pandas()
+    hamming exactly. Cross-band duplicate removal runs DISTRIBUTED on a
+    pair-shard exchange (the simhash_near_dups shape, text.py): on a
+    phash-skewed corpus the raw candidate stream is pair-scale, so only
+    the unique pairs (the answer) reach the driver."""
+    from spiderman_ray.functions.hashing import hash64
+
+    def add_pshard(b: pa.Table) -> pa.Table:
+        a_ = b["a"].to_pylist()
+        b_ = b["b"].to_pylist()
+        keys = [f"{x}|{y}" for x, y in zip(a_, b_)]
+        sh = (
+            (hash64(keys).view(np.uint64) % np.uint64(64)).astype(np.int64)
+            if keys
+            else np.array([], dtype=np.int64)
+        )
+        return b.append_column("_pshard", pa.array(sh))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["_pshard"])
+
+    df = (
+        _phash_pairs_ds(images_uri, max_hamming)
+        .map_batches(add_pshard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .to_pandas()
+    )
     if df.empty:  # zero near-dups: keep the (a, b) string schema
-        df = pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
         return pa.table({"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())})
-    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    df = df.sort_values(["a", "b"])
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
