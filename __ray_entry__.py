@@ -599,6 +599,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         # exact k-NN graph over every vector (SemDeDup building block)
         "knn_graph": lambda sf: V.knn_graph(sf),
+        # IVF-bucketed kNN graph (the sub-O(n^2) graph build) at
+        # nprobe=n_centroids: exhaustive probe == exact knn_graph
+        # row-for-row, so it shares that hash oracle; pytest covers the
+        # approximate nprobe<n_centroids recall path
+        "knn_graph_ivf": lambda sf: V.knn_graph_ivf(sf, nprobe=16),
         # doc-metadata x vector native join -> per-language centroids
         "lang_centroids": lambda sf: V.lang_centroids(sf),
         # SemDeDup survivors: min vec_id per cosine near-dup component
@@ -1386,7 +1391,7 @@ def _pin_oracle_sqls() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     stop = "'the','and','of','a','to','in','is','on','for','with'"
-    return _crawl_oracle_sqls() | _meta_oracle_sql() | _pin_oracle_sqls() | {
+    sqls = _crawl_oracle_sqls() | _meta_oracle_sql() | _pin_oracle_sqls() | {
         "missing_pages": (
             "SELECT o_orderkey, o_orderstatus FROM orders "
             "WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)"
@@ -2245,3 +2250,7 @@ def oracle_sql() -> dict[str, str]:
             "AS score FROM s ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 50"
         ),
     }
+    # exhaustive-probe IVF graph == exact knn_graph row-for-row (pytest
+    # proves the equality), so it shares the same hash oracle
+    sqls["knn_graph_ivf"] = sqls["knn_graph"]
+    return sqls

@@ -209,6 +209,9 @@ def run_bench() -> dict:
         ).pagerank_bsp(SF_DIR).count()),
         ("curate", lambda: T.curate(SF_DIR).count()),
         ("knn_graph", lambda: V.knn_graph(SF_DIR).count()),
+        # approximate nprobe (the corpus-scale graph build) — timed against
+        # the exact knn_graph line above
+        ("knn_graph_ivf", lambda: V.knn_graph_ivf(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),
     ]:
         timed(name, fn)

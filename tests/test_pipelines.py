@@ -452,6 +452,37 @@ def test_ann_ivf_recall_vs_exact():
     assert np.mean(recalls) >= 0.5, recalls  # nprobe=4 of 8 centroids
 
 
+def test_knn_graph_ivf_exhaustive_equals_exact_and_recall_monotone():
+    """nprobe == n_centroids probes every candidate cluster, so the IVF
+    graph must equal exact knn_graph ROW-FOR-ROW (same quantized sims,
+    same ranking) — the driver gate's hash contract; below that, recall
+    vs exact grows with nprobe (measured 0.43/0.63/0.85 at 2/4/8)."""
+    from spiderman_ray.pipelines.vectors import knn_graph, knn_graph_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = (
+        knn_graph(sf).to_pandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    )
+    full = (
+        knn_graph_ivf(sf, nprobe=16)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert exact.equals(full)
+
+    e = set(zip(exact["vec_id"], exact["neighbor_id"]))
+
+    def recall(npr):
+        a = knn_graph_ivf(sf, nprobe=npr).to_pandas()
+        assert len(a) == len(exact)  # k rows per vector either way
+        return len(e & set(zip(a["vec_id"], a["neighbor_id"]))) / len(e)
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.5, r4
+    assert r8 >= r4, (r4, r8)
+
+
 def test_minhash_finds_planted_near_dup(tmp_path):
     """Plant a doc that shares ~90% of its shingles with another."""
     base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
