@@ -205,18 +205,39 @@ def cosine_dup_pairs_lsh(
         b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
         return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
 
+    from spiderman_ray.pipelines.text import _pair_shard64
+
+    def add_pshard(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_pshard",
+            pa.array(_pair_shard64(
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            )),
+        )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["_pshard"])
+
+    # cross-band duplicate removal runs DISTRIBUTED on the pair-shard
+    # exchange (the simhash_near_dups shape): the raw candidate stream is
+    # pair-scale on a skewed corpus, so only the unique verified pairs
+    # (the answer) reach the driver
     res = (
         rd.read_parquet(_pq(sf_dir))
         .map_batches(sig_rows, batch_format="pandas", batch_size=2048)
         .map_batches(shard, batch_format="pyarrow")
         .groupby("_bshard")
         .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pshard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(dedup_pairs, batch_format="pandas")
         .to_pandas()
     )
     if res.empty:
         res = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     else:
-        res = res.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+        res = res.astype({"a": "int64", "b": "int64"}).sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
