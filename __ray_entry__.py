@@ -608,6 +608,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_centroids": lambda sf: V.lang_centroids(sf),
         # SemDeDup survivors: min vec_id per cosine near-dup component
         "semantic_dedup": lambda sf: V.semantic_dedup_survivors(sf),
+        # same survivors over the LSH-candidate (exact-verified) pair
+        # graph — the corpus-scale composition; seeded hyperplanes are
+        # not SQL-expressible -> frozen-VALUES pin
+        "semantic_dedup_lsh": lambda sf: V.semantic_dedup_lsh_survivors(sf),
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
@@ -1356,6 +1360,7 @@ def _pin_oracle_sqls() -> dict[str, str]:
     from spiderman_ray.pipelines.vectors import (
         cosine_dup_pairs_lsh_reference,
         pq_quantize_reference,
+        semantic_dedup_lsh_reference,
     )
 
     sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -1385,6 +1390,10 @@ def _pin_oracle_sqls() -> dict[str, str]:
     out["cosine_dup_pairs_lsh"] = _values_sql(
         cosine_dup_pairs_lsh_reference(sf),
         {"a": "BIGINT", "b": "BIGINT"},
+    )
+    out["semantic_dedup_lsh"] = _values_sql(
+        semantic_dedup_lsh_reference(sf),
+        {"vec_id": "BIGINT"},
     )
     return out
 

@@ -145,13 +145,28 @@ def cosine_dup_pairs(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 204
 def cosine_dup_pairs_lsh(
     sf_dir: str, threshold: float = 0.45, n_planes: int = 32, n_bands: int = 8
 ) -> pa.Table:
+    """Driver-collected sorted view of ``cosine_lsh_pairs_ds`` (pair
+    ordering and schema match ``cosine_dup_pairs``); compositions use
+    the Dataset variant."""
+    res = cosine_lsh_pairs_ds(sf_dir, threshold, n_planes, n_bands).to_pandas()
+    if res.empty:
+        res = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    else:
+        res = res.astype({"a": "int64", "b": "int64"}).sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def cosine_lsh_pairs_ds(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 32, n_bands: int = 8
+) -> rd.Dataset:
     """APPROXIMATE cosine near-dup pairs — the corpus-scale path: random-
     hyperplane signatures (seeded, broadcast: n_planes x d floats) split
     into bands; vectors sharing any band bucket become candidates; exact
     cosine verifies candidates inside shard-grouped buckets. Work is
     bounded by bucket sizes instead of n^2; recall is probabilistic
-    (pytest measures it against the exact operator). Pair ordering and
-    schema match ``cosine_dup_pairs``."""
+    (pytest measures it against the exact operator). Returns a DATASET
+    of unique (a, b) pairs — cross-band duplicates are removed on the
+    pair-shard exchange, never the driver."""
     from spiderman_ray.functions.hashing import hash64
 
     dim = len(pq.read_table(_pq(sf_dir)).slice(0, 1)["embedding"][0])
@@ -222,8 +237,8 @@ def cosine_dup_pairs_lsh(
     # cross-band duplicate removal runs DISTRIBUTED on the pair-shard
     # exchange (the simhash_near_dups shape): the raw candidate stream is
     # pair-scale on a skewed corpus, so only the unique verified pairs
-    # (the answer) reach the driver
-    res = (
+    # leave the exchange
+    return (
         rd.read_parquet(_pq(sf_dir))
         .map_batches(sig_rows, batch_format="pandas", batch_size=2048)
         .map_batches(shard, batch_format="pyarrow")
@@ -232,13 +247,7 @@ def cosine_dup_pairs_lsh(
         .map_batches(add_pshard, batch_format="pyarrow")
         .groupby("_pshard")
         .map_groups(dedup_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if res.empty:
-        res = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    else:
-        res = res.astype({"a": "int64", "b": "int64"}).sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(res, preserve_index=False)
 
 
 def cosine_dup_pairs_lsh_reference(
@@ -280,6 +289,23 @@ def cosine_dup_pairs_lsh_reference(
             keep = b_ids[ai] < b_ids[bj]
             pairs.update(zip(b_ids[ai][keep].tolist(), b_ids[bj][keep].tolist()))
     return [{"a": a, "b": b} for a, b in sorted(pairs)]
+
+
+def semantic_dedup_lsh_reference(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 32, n_bands: int = 8,
+) -> list[dict]:
+    """Single-process recompute of ``semantic_dedup_lsh_survivors`` — the
+    frozen-VALUES pin generator: the LSH reference pairs fold into a
+    min-label union-find; survivors = every vec_id whose component root
+    is itself (singletons included), sorted."""
+    from spiderman_ray.pipelines.text import _MinUnionFind
+
+    uf = _MinUnionFind()
+    for p in cosine_dup_pairs_lsh_reference(sf_dir, threshold, n_planes, n_bands):
+        uf.union(int(p["a"]), int(p["b"]))
+    losers = {n for n in uf.parent if uf.find(n) != n}
+    ids = pq.read_table(_pq(sf_dir), columns=["vec_id"])["vec_id"].to_pylist()
+    return [{"vec_id": int(v)} for v in sorted(ids) if int(v) not in losers]
 
 
 def _kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = 11) -> np.ndarray:
@@ -673,6 +699,18 @@ def semantic_dedup_survivors(
       driver list on either path (round-2 verdict fix #1).
 
     Returns a DATASET of (vec_id) — survivor sets are corpus-sized."""
+    pairs = cosine_pairs_ds(sf_dir, threshold=threshold)
+    return _survivors_from_pairs(sf_dir, pairs, driver_pair_cap)
+
+
+def _survivors_from_pairs(
+    sf_dir: str, pairs: rd.Dataset, driver_pair_cap: int
+) -> rd.Dataset:
+    """Shared survivor resolution for the semantic-dedup family: fold the
+    (a, b) pair Dataset into a driver union-find with the streaming
+    bailout at ``driver_pair_cap``; above the cap, distributed label
+    propagation with the dominated ids kept a DATASET; survivors via the
+    fp-shard bucketed anti-join either way."""
     from spiderman_ray.pipelines.text import (
         _cc_losers_ds,
         _edges_both_dirs,
@@ -681,7 +719,6 @@ def semantic_dedup_survivors(
         anti_join_ids,
     )
 
-    pairs = cosine_pairs_ds(sf_dir, threshold=threshold)
     bailed = driver_pair_cap <= 0
     if not bailed:
         uf = _MinUnionFind()
@@ -705,6 +742,22 @@ def semantic_dedup_survivors(
         )
     emb = rd.read_parquet(_pq(sf_dir), columns=["vec_id"])
     return anti_join_ids(emb, losers, "vec_id")
+
+
+def semantic_dedup_lsh_survivors(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 32, n_bands: int = 8,
+    driver_pair_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """SemDeDup survivors over the APPROXIMATE (LSH-candidate, exact-
+    verified) pair graph — the concrete corpus-scale composition the
+    exact ``semantic_dedup_survivors`` docstring promises: edges from
+    ``cosine_lsh_pairs_ds`` (bucket-bounded work, pair-shard dedup) feed
+    the same fold-with-bailout / label-propagation survivor resolution.
+    Missed-pair recall is the LSH recall (pytest-measured); the gate pin
+    is a frozen single-process recompute with the same seeded planes."""
+    pairs = cosine_lsh_pairs_ds(sf_dir, threshold, n_planes, n_bands)
+    return _survivors_from_pairs(sf_dir, pairs, driver_pair_cap)
+
 
 # ---------------------------------------------------------------------------
 # product quantization (PQ codes + ADC approximate search)

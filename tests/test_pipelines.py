@@ -2255,6 +2255,25 @@ def test_semantic_dedup_distributed_path_equal():
     b = set(semantic_dedup_survivors(sf, driver_pair_cap=0).to_pandas()["vec_id"])
     assert a == b
 
+
+def test_semantic_dedup_lsh_matches_reference_both_paths():
+    """LSH-edged survivors equal the single-process seeded recompute (the
+    gate pin's contract) through BOTH the driver-UF fold and the cap=0
+    distributed label-propagation path."""
+    from spiderman_ray.pipelines.vectors import (
+        semantic_dedup_lsh_reference,
+        semantic_dedup_lsh_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [r["vec_id"] for r in semantic_dedup_lsh_reference(sf)]
+    got = sorted(semantic_dedup_lsh_survivors(sf).to_pandas()["vec_id"])
+    assert got == want
+    got0 = sorted(
+        semantic_dedup_lsh_survivors(sf, driver_pair_cap=0).to_pandas()["vec_id"]
+    )
+    assert got0 == want
+
 def test_quality_buckets_ntile_sizes_and_order():
     """NTILE(3) contract: tile sizes differ by <= 1 with remainder in the
     head, and score ordering is monotone across buckets."""
