@@ -684,8 +684,9 @@ def semantic_dedup_survivors(
     singletons included. Composition of existing scale machinery:
 
     - edges from the exact chunk-pair block join (``cosine_pairs_ds``, a
-      DATASET; ``cosine_dup_pairs_lsh`` is the drop-in sub-O(n^2) corpus
-      path). The gate is a STREAMING FOLD WITH BAILOUT (round-2 verdict
+      DATASET; ``semantic_dedup_lsh_survivors`` is the same resolution
+      over the sub-O(n^2) LSH pair graph — the corpus-scale drop-in).
+      The gate is a STREAMING FOLD WITH BAILOUT (round-2 verdict
       fix #5): the pair stream folds straight into a driver union-find
       and bails out the moment ``driver_pair_cap`` rows have streamed —
       the pair set is never materialized just to count it, and the common
