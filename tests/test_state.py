@@ -245,3 +245,47 @@ def test_sharded_seen_cuckoo_mode_and_delete():
     assert pool.count() == 150
     assert pool.offer(fps[:50]).all()  # re-offer after delete accepted
     pool.shutdown()
+
+
+def test_frontier_shard_push_idempotent_and_pop_wave(ray_session):
+    """FrontierShard contract (state/frontier.py): token-idempotent push
+    (a Ray task retry cannot double-enqueue), per-(host, gen) buffering,
+    soft-cap pop with remaining-row accounting."""
+    import ray
+
+    from spiderman_ray import schemas
+    from spiderman_ray.state.frontier import FrontierShard, shard_of
+
+    def tbl(urls, host, gen):
+        rows = [
+            {
+                "url": u, "method": "GET", "callback": "list", "body": "",
+                "fkey": "", "pagenum": 0, "px": 0, "caption": "",
+                "priority": 0, "generation": gen, "seq": i,
+                "host": host, "fp": f"fp{u}",
+            }
+            for i, u in enumerate(urls)
+        ]
+        return pa.Table.from_pylist(rows, schema=schemas.FRONTIER)
+
+    shard = FrontierShard.remote()
+    acc = ray.get(shard.push.remote("w1", tbl(["a", "b", "c"], "h0", 1)))
+    assert acc == [("h0", 1, 3)]
+    # replayed token: ignored, buffers unchanged
+    assert ray.get(shard.push.remote("w1", tbl(["a", "b", "c"], "h0", 1))) == []
+    ray.get(shard.push.remote("w2", tbl(["d"], "h1", 1)))
+    assert ray.get(shard.counts.remote()) == {("h0", 1): 3, ("h1", 1): 1}
+
+    out, meta = ray.get(shard.pop_wave.remote("h0", 1, None))
+    assert meta == {"n": 3, "left": 0}
+    assert out["url"].to_pylist() == ["a", "b", "c"]
+    # popped key is cleared; the other key is untouched
+    assert ray.get(shard.counts.remote()) == {("h1", 1): 1}
+    # soft cap: whole buffered tables pop until >= cap rows
+    ray.get(shard.push.remote("w3", tbl(["x"], "h1", 1)))
+    out, meta = ray.get(shard.pop_wave.remote("h1", 1, 1))
+    assert meta["n"] == 1 and meta["left"] == 1
+    assert ray.get(shard.clear_tokens.remote()) == 3
+    # same host always routes to the same shard
+    assert shard_of("h0", 8) == shard_of("h0", 8)
+    assert 0 <= shard_of("h0", 8) < 8
