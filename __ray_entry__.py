@@ -214,6 +214,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _crawl_out("t1")
         return I.image_stats(os.path.join(out, "tables", "images"))
 
+    def crawl_image_quality(sf_dir: str) -> Any:
+        return I.image_quality(os.path.join(_crawl_out("t1"), "tables", "images"))
+
+    def crawl_aspect_buckets(sf_dir: str) -> Any:
+        return I.aspect_buckets(os.path.join(_crawl_out("t1"), "tables", "images"))
+
     def crawl_host_stats(sf_dir: str) -> Any:
         from spiderman_ray.pipelines.monitor import crawl_host_stats as chs
 
@@ -381,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phash_dups": crawl_phash_dups,
         "crawl_thumbnails": crawl_thumbnails,
         "crawl_image_stats": crawl_image_stats,
+        "crawl_image_quality": crawl_image_quality,
+        "crawl_aspect_buckets": crawl_aspect_buckets,
         "crawl_host_stats": crawl_host_stats,
         # per-seed lineage (closed-form roots from the seq encoding)
         "crawl_lineage_stats": crawl_lineage_stats,
@@ -1325,6 +1333,42 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     out["crawl_host_authority"] = _values_sql(
         _host_pagerank(pair_df, hosts, 5).to_pylist(),
         {"host": "VARCHAR", "rank_x1e12": "BIGINT"},
+    )
+    # quality features: sequential all-integer recompute with the SHARED
+    # quality_features_int over the oracle's image rows (1:1, the
+    # crawl_image_stats independence argument)
+    from spiderman_ray.functions.imaging import aspect_bucket_ids, quality_features_int
+    from spiderman_ray.functions.imaging import ASPECT_LABELS as _ALAB
+
+    qual_rows = [
+        {"image_id": r["image_id"], **quality_features_int(decode_image(r["bytes"]))}
+        for r in o.images
+    ]
+    out["crawl_image_quality"] = _values_sql(
+        qual_rows,
+        {"image_id": "VARCHAR", "sharpness_x100": "BIGINT",
+         "contrast_x100": "BIGINT", "brightness_x1000": "BIGINT",
+         "n_gray_levels": "BIGINT", "gray_p50": "BIGINT"},
+    )
+    # aspect-bucketed batch packing: sequential recompute with the SHARED
+    # integer bucket argmin; seq = rank of image_id within its bucket
+    # (image_id unique per crawl_images pin), batch capacity 8
+    import numpy as _np
+
+    dims = {r["image_id"]: (int(r["w"]), int(r["h"])) for r in o.images}
+    ab_rows, per_bucket = [], {}
+    for iid in ids:  # sorted unique image_ids
+        w_, h_ = dims[iid]
+        b = _ALAB[int(aspect_bucket_ids(_np.array([w_]), _np.array([h_]))[0])]
+        seq = per_bucket.get(b, 0)
+        per_bucket[b] = seq + 1
+        ab_rows.append({"image_id": iid, "w": w_, "h": h_, "bucket": b,
+                        "seq": seq, "batch_idx": seq // 8, "slot": seq % 8})
+    out["crawl_aspect_buckets"] = _values_sql(
+        ab_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "bucket": "VARCHAR", "seq": "BIGINT", "batch_idx": "BIGINT",
+         "slot": "BIGINT"},
     )
     return out
 

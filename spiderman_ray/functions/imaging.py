@@ -328,6 +328,89 @@ def phash_hamming(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Curation features (all-integer: no float-summation order contract)
+# ---------------------------------------------------------------------------
+
+#: aspect-ratio ladder for bucketed batch packing (the SDXL-style training
+#: trick: group images of similar aspect ratio so a batch can be resized to
+#: one shape without heavy cropping). Order matters: first-in-ladder wins ties.
+ASPECT_LADDER: tuple[tuple[int, int], ...] = (
+    (1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16),
+)
+ASPECT_LABELS: tuple[str, ...] = tuple(f"{bw}x{bh}" for bw, bh in ASPECT_LADDER)
+#: lcm of the ladder's bh values — scales the exact rational distance
+#: |w/h - bw/bh| = |w*bh - h*bw| / (h*bh) to a common integer denominator
+_ASPECT_L = int(np.lcm.reduce([bh for _, bh in ASPECT_LADDER]))
+
+
+def aspect_bucket_ids(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-aspect-bucket assignment in EXACT integer
+    arithmetic: for each ladder entry i the scaled distance is
+    |w*bh_i - h*bw_i| * (L / bh_i) where L = lcm(bh) — an integer multiple
+    of the true rational distance with the common factor L/h dropped, so
+    argmin is exact and float-free. np.argmin keeps the FIRST minimum:
+    ties resolve to the earliest ladder entry on engine and oracle alike
+    (both sides call this one function — parity is structural).
+
+    Returns int64 indices into ASPECT_LADDER / ASPECT_LABELS."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    scores = np.stack(
+        [
+            np.abs(w * bh - h * bw) * (_ASPECT_L // bh)
+            for bw, bh in ASPECT_LADDER
+        ]
+    )
+    return np.argmin(scores, axis=0).astype(np.int64)
+
+
+def quality_features_int(px: np.ndarray) -> dict[str, int]:
+    """All-integer image quality/curation features over decoded RGB pixels.
+    Exact Python-int arithmetic for the variance formulas (numpy int64 only
+    for the elementwise sums, whose bounds fit comfortably), so a
+    distributed recompute hash-matches a single-process loop with no float
+    contract — the crawl_image_stats precedent.
+
+    - ``sharpness_x100``: population variance of the 4-neighbour Laplacian
+      over interior luma pixels, x100 — the standard Laplacian-variance
+      blur gate (low = blurry/flat, drop for training).
+    - ``contrast_x100``: population variance of luma, x100.
+    - ``brightness_x1000``: mean luma x1000 (over/under-exposure gate).
+    - ``n_gray_levels``: distinct luma values — a flat/degenerate detector.
+    - ``gray_p50``: lower-median luma.
+
+    Luma is integer Rec.601: (299R + 587G + 114B) // 1000."""
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    h, w = g.shape
+    npx = h * w
+    gs = int(g.sum())
+    gsq = int((g * g).sum())
+    flat = g.reshape(-1)
+    mid = (npx - 1) // 2
+    p50 = int(np.partition(flat, mid)[mid])
+    if h >= 3 and w >= 3:
+        c = g[1:-1, 1:-1]
+        lap = 4 * c - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+        m = (h - 2) * (w - 2)
+        ls = int(lap.sum())
+        lsq = int((lap * lap).sum())
+        sharpness = (m * lsq - ls * ls) * 100 // (m * m)
+    else:
+        sharpness = 0
+    return {
+        "sharpness_x100": sharpness,
+        "contrast_x100": (npx * gsq - gs * gs) * 100 // (npx * npx),
+        "brightness_x1000": gs * 1000 // npx,
+        "n_gray_levels": int(np.unique(flat).size),
+        "gray_p50": p50,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Procedural pixel generation (the simulated web's "camera")
 # ---------------------------------------------------------------------------
 

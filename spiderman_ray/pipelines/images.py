@@ -647,3 +647,145 @@ def image_dedup_exact(images_uri: str) -> rd.Dataset:
         .groupby("_fshard")
         .map_groups(firsts, batch_format="pandas")
     )
+
+
+class ImageQuality:
+    """Actor-pool stage: all-integer curation features (Laplacian-variance
+    sharpness, contrast, brightness, gray-level count, median luma) on REAL
+    decoded pixels — the blur/exposure/degenerate gates an image training
+    corpus filters on. Exact integer arithmetic end to end
+    (functions.imaging.quality_features_int), so the distributed output
+    hash-matches a sequential recompute over the reference-loop oracle's
+    rows — the crawl_image_stats independence argument."""
+
+    _KEYS = ("sharpness_x100", "contrast_x100", "brightness_x1000",
+             "n_gray_levels", "gray_p50")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spiderman_ray.functions.imaging import quality_features_int
+
+        out: dict[str, list] = {"image_id": []}
+        for k in self._KEYS:
+            out[k] = []
+        for row in batch.to_pylist():
+            feats = quality_features_int(decode_image(row["bytes"]))
+            out["image_id"].append(row["image_id"])
+            for k in self._KEYS:
+                out[k].append(feats[k])
+        cols = {"image_id": pa.array(out["image_id"], type=pa.string())}
+        for k in self._KEYS:
+            cols[k] = pa.array(out[k], type=pa.int64())
+        return pa.table(cols)
+
+
+def image_quality(images_uri: str, concurrency: int | None = None,
+                  batch_size: int = 64) -> rd.Dataset:
+    """Per-image quality features over the crawled image table (the
+    curation-gate shape of the multimodal brief, on real decoded pixels).
+    Small batch_size: rows are wide (binary payloads)."""
+    from spiderman_ray.pipelines import pool_size
+
+    return read_dataset(images_uri, columns=["image_id", "bytes"]).map_batches(
+        ImageQuality,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency or 10**6),
+        num_cpus=1,
+    )
+
+
+def aspect_buckets(images_uri: str, batch: int = 8) -> rd.Dataset:
+    """Aspect-ratio bucketed batch packing — the SDXL-style training-loader
+    layout: assign each image its nearest aspect bucket (exact integer
+    argmin, functions.imaging.aspect_bucket_ids), then give every image its
+    position in the image_id-ordered stream OF ITS BUCKET, so batch_idx =
+    seq // batch groups same-aspect images into loader batches.
+
+    Distributed shape (the pack_offsets two-pass prefix sum, per bucket):
+    sort by (bucket, image_id) — range partitioning makes blocks disjoint
+    and ordered — then ONE tiny (bucket, first_id, count) summary row per
+    (block, bucket), cumsum per bucket on the driver (O(blocks x ladder),
+    never O(images)), then each block adds its per-bucket base to a
+    within-block cumcount. The corpus never touches driver memory; there is
+    NO per-bucket map_groups (a bucket is corpus-sized at scale)."""
+    from spiderman_ray.functions.imaging import ASPECT_LABELS, aspect_bucket_ids
+
+    labels = np.asarray(ASPECT_LABELS, dtype=object)
+
+    def assign_bucket(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        ids = aspect_bucket_ids(w, h)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "w": pa.array(w, type=pa.int64()),
+                "h": pa.array(h, type=pa.int64()),
+                "bucket": pa.array(labels[ids], type=pa.string()),
+            }
+        )
+
+    sorted_ds = (
+        read_dataset(images_uri, columns=["image_id", "w", "h"])
+        .map_batches(assign_bucket, batch_format="pyarrow")
+        .sort(["bucket", "image_id"])
+        .materialize()
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        # one row per bucket present in this block: (bucket, first image_id
+        # of that bucket here, count) — blocks of a bucket are ordered by
+        # that first id (image_id is unique), so the driver cumsum is exact
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.string()),
+                             "first_id": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        df = t.select(["bucket", "image_id"]).to_pandas()
+        g = df.groupby("bucket", sort=True)["image_id"]
+        return pa.table(
+            {
+                "bucket": pa.array(g.min().index.to_numpy(dtype=object), type=pa.string()),
+                "first_id": pa.array(g.min().to_numpy(dtype=object), type=pa.string()),
+                "n": pa.array(g.size().to_numpy().astype(np.int64)),
+            }
+        )
+
+    summary = (
+        sorted_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # O(blocks x ladder) rows by construction
+        .sort_values(["bucket", "first_id"])
+    )
+    summary["base"] = summary.groupby("bucket")["n"].cumsum() - summary["n"]
+    base = dict(zip(zip(summary["bucket"], summary["first_id"]), summary["base"]))
+
+    def assign_seq(t: pa.Table, base=base, cap=batch) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.string()),
+                             "seq": pa.array([], type=pa.int64()),
+                             "batch_idx": pa.array([], type=pa.int64()),
+                             "slot": pa.array([], type=pa.int64())})
+        df = t.to_pandas()
+        # within-block cumcount per bucket + that bucket's base for THIS
+        # block (keyed by its first image_id here — unique per block)
+        cum = df.groupby("bucket").cumcount().to_numpy()
+        firsts = df.groupby("bucket")["image_id"].transform("min")
+        seq = cum + np.fromiter(
+            (base[(b, f)] for b, f in zip(df["bucket"], firsts)),
+            dtype=np.int64, count=len(df),
+        )
+        return pa.table(
+            {
+                "image_id": pa.array(df["image_id"].to_numpy(dtype=object), type=pa.string()),
+                "w": pa.array(df["w"].to_numpy().astype(np.int64)),
+                "h": pa.array(df["h"].to_numpy().astype(np.int64)),
+                "bucket": pa.array(df["bucket"].to_numpy(dtype=object), type=pa.string()),
+                "seq": pa.array(seq, type=pa.int64()),
+                "batch_idx": pa.array(seq // cap, type=pa.int64()),
+                "slot": pa.array(seq % cap, type=pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(assign_seq, batch_format="pyarrow", batch_size=None)

@@ -115,3 +115,53 @@ def test_generate_pixels_deterministic():
     b = generate_pixels("k", 33, 17)
     assert a.shape == (17, 33, 3) and (a == b).all()
     assert generate_pixels("k2", 33, 17).tobytes() != a.tobytes()
+
+
+def test_aspect_bucket_ids_known_and_tiebreak():
+    from spiderman_ray.functions.imaging import ASPECT_LABELS, aspect_bucket_ids
+
+    w = np.array([100, 400, 300, 1600, 90, 300, 17])
+    h = np.array([100, 300, 400, 900, 160, 200, 12])
+    got = [ASPECT_LABELS[i] for i in aspect_bucket_ids(w, h)]
+    # 17:12 is rationally equidistant from 4:3 and 3:2 (|3*17-4*12|/3 ==
+    # |2*17-3*12|/2 == 1): first-in-ladder wins -> 4x3
+    assert got == ["1x1", "4x3", "3x4", "16x9", "9x16", "3x2", "4x3"]
+
+
+def test_quality_features_int_flat_and_gradient():
+    from spiderman_ray.functions.imaging import quality_features_int
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    f = quality_features_int(flat)
+    assert f["sharpness_x100"] == 0 and f["contrast_x100"] == 0
+    assert f["brightness_x1000"] == 77_000
+    assert f["n_gray_levels"] == 1 and f["gray_p50"] == 77
+    # horizontal ramp: zero Laplacian in the interior (linear signal), but
+    # nonzero contrast and full gray range
+    ramp = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+    px = np.stack([ramp] * 3, axis=2)
+    g = quality_features_int(px)
+    assert g["sharpness_x100"] == 0
+    assert g["contrast_x100"] > 0 and g["n_gray_levels"] == 64
+    # checkerboard: maximal Laplacian energy, sharpness >> ramp's
+    cb = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    c = quality_features_int(np.stack([cb] * 3, axis=2))
+    assert c["sharpness_x100"] > 10_000
+
+
+def test_quality_features_int_matches_bigint_semantics():
+    """Feature arithmetic must be exact Python int (no int64 overflow path):
+    spot-check the variance identity on a generated image."""
+    from spiderman_ray.functions.imaging import quality_features_int
+
+    px = generate_pixels("qf", 48, 32)
+    f = quality_features_int(px)
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    n = g.size
+    var100 = (n * int((g * g).sum()) - int(g.sum()) ** 2) * 100 // (n * n)
+    assert f["contrast_x100"] == var100
+    assert 0 <= f["gray_p50"] <= 255

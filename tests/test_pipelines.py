@@ -2354,3 +2354,61 @@ def test_shuffle_strategy_default_pinned():
     finally:
         ctx.shuffle_strategy = prior
         configure_shuffle()
+
+
+def test_image_quality_matches_sequential(images_table):
+    from spiderman_ray.functions.imaging import decode_image, quality_features_int
+    from spiderman_ray.pipelines.images import image_quality
+
+    got = image_quality(images_table).to_pandas().set_index("image_id")
+    src = pq.read_table(images_table).to_pylist()
+    assert len(got) == len(src)
+    for r in src:
+        want = quality_features_int(decode_image(r["bytes"]))
+        for k, v in want.items():
+            assert got.loc[r["image_id"], k] == v, (r["image_id"], k)
+
+
+@pytest.fixture(scope="module")
+def varied_dims_table(tmp_path_factory):
+    """Metadata-only images table with varied aspect ratios spread over
+    several parquet files, so the bucketed prefix-sum crosses block
+    boundaries."""
+    dims = [(64, 64), (80, 60), (60, 80), (96, 54), (54, 96), (90, 60), (60, 90),
+            (128, 128), (100, 75), (75, 100), (160, 90), (48, 48), (66, 44)]
+    d = tmp_path_factory.mktemp("dims")
+    rows = [
+        {"image_id": f"D{i:03d}", "w": w, "h": h, "bytes": b""}
+        for i, (w, h) in enumerate(dims * 3)
+    ]
+    for p in range(4):
+        pq.write_table(pa.Table.from_pylist(rows[p::4]), str(d / f"part-{p}.parquet"))
+    return str(d), rows
+
+
+def test_aspect_buckets_packing(varied_dims_table):
+    from spiderman_ray.functions.imaging import ASPECT_LABELS, aspect_bucket_ids
+    from spiderman_ray.pipelines.images import aspect_buckets
+
+    path, rows = varied_dims_table
+    got = aspect_buckets(path, batch=4).to_pandas().sort_values("image_id")
+    assert len(got) == len(rows)
+    # expected: bucket via the shared fn, seq = rank of image_id in bucket
+    df = pd.DataFrame(rows).drop(columns=["bytes"])
+    df["bucket"] = [
+        ASPECT_LABELS[i]
+        for i in aspect_bucket_ids(df["w"].to_numpy(), df["h"].to_numpy())
+    ]
+    df = df.sort_values("image_id")
+    df["seq"] = df.groupby("bucket").cumcount()
+    want = df.set_index("image_id")
+    g = got.set_index("image_id")
+    assert (g["bucket"] == want["bucket"]).all()
+    assert (g["seq"] == want["seq"]).all()
+    assert (g["batch_idx"] == want["seq"] // 4).all()
+    assert (g["slot"] == want["seq"] % 4).all()
+    # every full batch holds exactly `batch` images of ONE bucket
+    full = got.groupby(["bucket", "batch_idx"]).size()
+    n_per_bucket = got.groupby("bucket").size()
+    for (b, bi), n in full.items():
+        assert n == 4 or bi == n_per_bucket[b] // 4  # only the tail is short
