@@ -342,6 +342,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_as_videos(sf_dir), every_nth=8, mode="spv1"
         ).drop_columns(["frame_bytes"])  # binary column: not SQL-comparable
 
+    def _docs_as_videos_dups(sf_dir: str) -> Any:
+        """The _docs_as_videos table plus a PLANTED near-duplicate (frame 0
+        kept, one distinct frame appended — multimodal.planted_dup_video)
+        for every doc_id % 5 == 0: ground truth for video dedup."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        def conv(batch: pa.Table) -> pa.Table:
+            from spiderman_ray.pipelines.multimodal import (
+                make_video,
+                planted_dup_video,
+            )
+
+            ids, payloads = [], []
+            for did, text in zip(batch["doc_id"].to_pylist(),
+                                 batch["text"].to_pylist()):
+                base = make_video(text.encode())
+                ids.append(f"V{did}")
+                payloads.append(base)
+                if did % 5 == 0:
+                    ids.append(f"V{did}d")
+                    payloads.append(planted_dup_video(base, str(did)))
+            return pa.table(
+                {"video_id": pa.array(ids, pa.string()),
+                 "payload": pa.array(payloads, pa.binary())}
+            )
+
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(conv, batch_format="pyarrow")
+
+    def video_near_dups(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.multimodal import video_near_dups as vnd
+
+        return vnd(_docs_as_videos_dups(sf_dir), every_nth=4, min_shared=1)
+
     def _docs_as_wavs(sf_dir: str) -> Any:
         """Deterministic RIFF/WAVE table synthesized from documents: each
         doc's UTF-8 bytes become 1024 cycled int16 PCM samples in a real
@@ -633,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": lambda sf: V.ann_pq_topk(sf),
         # -- multimodal plumbing over synthesized binary payloads ----------
         "video_frames": video_frames,
+        "video_near_dups": video_near_dups,
         "audio_features": audio_features,
         # -- external-store sink analogs (HBase/Mongo/ES/HDFS/Doris):
         # write through the sink layout into /tmp, read the STORE back,
@@ -1438,6 +1475,12 @@ def _pin_oracle_sqls() -> dict[str, str]:
     out["semantic_dedup_lsh"] = _values_sql(
         semantic_dedup_lsh_reference(sf),
         {"vec_id": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.multimodal import video_near_dups_reference
+
+    out["video_near_dups"] = _values_sql(
+        video_near_dups_reference(sf, every_nth=4, min_shared=1),
+        {"a": "VARCHAR", "b": "VARCHAR", "n_shared": "BIGINT"},
     )
     return out
 

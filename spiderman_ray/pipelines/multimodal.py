@@ -365,3 +365,133 @@ def video_frame_sample(videos: rd.Dataset, every_nth: int = 8,
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
+
+
+def planted_dup_video(payload: bytes, key: str) -> bytes:
+    """A near-duplicate of ``payload``: its frame 0 plus ONE key-derived
+    distinct frame — the re-cut/re-intro shape video dedup must catch.
+    Shared by the engine's query input builder and the oracle recompute."""
+    from spiderman_ray.functions.imaging import generate_pixels
+
+    f0 = decode_video_frame(payload, 0)
+    extra = generate_pixels(f"vdup-{key}", f0.shape[1], f0.shape[0])
+    return encode_video(np.stack([f0, extra]), "png")
+
+
+def video_near_dups(videos: rd.Dataset, every_nth: int = 4,
+                    min_shared: int = 1, concurrency: int = 4) -> rd.Dataset:
+    """Video near-duplicate pairs by sampled-frame fingerprint overlap —
+    the frame-hash analog of image pHash dedup: two videos are near-dups
+    when >= ``min_shared`` of their every-Nth-frame perceptual hashes
+    coincide (catches re-encodes, re-cuts and shared-intro copies without
+    decoding unsampled frames).
+
+    Scale shape: frame sampling is the seek-table actor pool
+    (video_frame_sample — unsampled frames never decoded); fingerprints
+    shard by hash64(phash) % 64, pairs enumerate INSIDE a frame-hash
+    bucket (a bucket is one identical frame across videos; a viral/black
+    frame makes it hot — the minhash band-bucket hazard, same mitigation:
+    vectorized triu enumeration, salt or cap in policy if a corpus has
+    degenerate stills), and per-pair shared counts reduce on a SECOND
+    64-way pair-shard exchange — nothing pair-scale on the driver."""
+    import pandas as pd
+
+    from spiderman_ray.functions.hashing import hash64
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    frames = video_frame_sample(videos, every_nth=every_nth,
+                                concurrency=concurrency, mode="spv1")
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        ph = np.fromiter(
+            (phash64(decode_image(bytes(b))) for b in t["frame_bytes"].to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "video_id": t["video_id"],
+                "phash": pa.array(ph),
+                "_pshard": pa.array(_shard64_of(list(ph))),
+            }
+        )
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["video_id", "phash"])
+        a_out, b_out = [], []
+        for _, grp in g.groupby("phash", sort=True):
+            ids = np.sort(grp["video_id"].to_numpy(dtype=object))
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                a_out.append(ids[ia])
+                b_out.append(ids[ib])
+        if not a_out:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_qshard": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"a": np.concatenate(a_out), "b": np.concatenate(b_out)})
+        df = df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "n"})
+        df["n"] = df["n"].astype("int64")
+        df["_qshard"] = _shard64_of([f"{x}|{y}" for x, y in zip(df["a"], df["b"])])
+        return df
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        s = s[s["n"] >= min_shared]
+        return pd.DataFrame(
+            {
+                "a": s["a"].to_numpy(dtype=object),
+                "b": s["b"].to_numpy(dtype=object),
+                "n_shared": s["n"].to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        frames.map_batches(fingerprint, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+        .groupby("_qshard")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
+
+
+def video_near_dups_reference(sf_dir: str, every_nth: int = 4,
+                              min_shared: int = 1) -> list[dict]:
+    """Single-process recompute of video_near_dups over the driver-gate
+    video table (documents -> make_video, +planted_dup_video for every
+    doc_id % 5 == 0) — the frozen-VALUES oracle pin, per the crawl_*
+    independence contract: no Ray, plain loops, same shared primitives."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    fps: dict[str, set] = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        payloads = {f"V{did}": make_video(text.encode())}
+        if did % 5 == 0:
+            payloads[f"V{did}d"] = planted_dup_video(payloads[f"V{did}"], str(did))
+        for vid, payload in payloads.items():
+            fmt, n, _w, _h, off = video_header(payload)
+            fps[vid] = {
+                phash64(decode_image(payload[off[i]:off[i + 1]], fmt))
+                for i in range(0, n, every_nth)
+            }
+    by_hash: dict[int, set] = {}
+    for vid, hs in fps.items():
+        for hv in hs:
+            by_hash.setdefault(hv, set()).add(vid)
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for vids in by_hash.values():
+        ids = sorted(vids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cnt[(ids[i], ids[j])] += 1
+    return [
+        {"a": a, "b": b, "n_shared": n}
+        for (a, b), n in sorted(cnt.items())
+        if n >= min_shared
+    ]

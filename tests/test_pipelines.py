@@ -2412,3 +2412,42 @@ def test_aspect_buckets_packing(varied_dims_table):
     n_per_bucket = got.groupby("bucket").size()
     for (b, bi), n in full.items():
         assert n == 4 or bi == n_per_bucket[b] // 4  # only the tail is short
+
+
+def test_video_near_dups_planted_and_threshold():
+    """Planted frame-sharing videos are found with the right shared-frame
+    counts; min_shared gates the pair set; distinct videos produce no
+    pairs."""
+    import ray.data as rd
+
+    from spiderman_ray.functions.imaging import generate_pixels
+    from spiderman_ray.pipelines.multimodal import encode_video, video_near_dups
+
+    f = [generate_pixels(f"vf-{i}", 16, 16) for i in range(6)]
+    rows = [
+        {"video_id": "A", "payload": encode_video(np.stack([f[0], f[1], f[2]]))},
+        # shares frames 0+1 with A (re-cut: same opening, new ending)
+        {"video_id": "B", "payload": encode_video(np.stack([f[0], f[1], f[3]]))},
+        # shares only frame 2 with A
+        {"video_id": "C", "payload": encode_video(np.stack([f[2], f[4]]))},
+        # no shared frames with anyone
+        {"video_id": "D", "payload": encode_video(np.stack([f[5]]))},
+    ]
+    ds = rd.from_items(rows)
+    got = (
+        video_near_dups(ds, every_nth=1, min_shared=1)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 0}
+    pairs = {(r.a, r.b): r.n_shared for r in got.itertuples()}
+    assert pairs[("A", "B")] == 2 and pairs[("A", "C")] == 1
+    assert ("B", "C") not in pairs and "D" not in got["a"].tolist() + got["b"].tolist()
+    # threshold: only the 2-shared pair survives min_shared=2
+    strict = video_near_dups(ds, every_nth=1, min_shared=2).to_pandas()
+    assert [(r.a, r.b, r.n_shared) for r in strict.itertuples()] == [("A", "B", 2)]
+    # sampling: every_nth=2 sees frames {0,2} of A, {0,2} of B, {0} of C
+    sampled = video_near_dups(ds, every_nth=2, min_shared=1).to_pandas()
+    spairs = {(r.a, r.b): r.n_shared for r in sampled.itertuples()}
+    assert spairs == {("A", "B"): 1, ("A", "C"): 1}
