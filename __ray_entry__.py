@@ -378,6 +378,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vnd(_docs_as_videos_dups(sf_dir), every_nth=4, min_shared=1)
 
+    def _docs_as_wavs_dups(sf_dir: str) -> Any:
+        """The _docs_as_wavs table plus a PLANTED partial copy (first half
+        kept, key-derived tail — multimodal.planted_dup_wav) for every
+        doc_id % 5 == 0: ground truth for audio dedup."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        def conv(batch: pa.Table) -> pa.Table:
+            from spiderman_ray.functions.audio import make_audio
+            from spiderman_ray.pipelines.multimodal import planted_dup_wav
+
+            ids, payloads = [], []
+            for did, text in zip(batch["doc_id"].to_pylist(),
+                                 batch["text"].to_pylist()):
+                base = make_audio(text.encode())
+                ids.append(f"C{did}")
+                payloads.append(base)
+                if did % 5 == 0:
+                    ids.append(f"C{did}d")
+                    payloads.append(planted_dup_wav(base, str(did)))
+            return pa.table(
+                {"clip_id": pa.array(ids, pa.string()),
+                 "payload": pa.array(payloads, pa.binary())}
+            )
+
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(conv, batch_format="pyarrow")
+
+    def audio_near_dups(sf_dir: str) -> Any:
+        from spiderman_ray.pipelines.multimodal import audio_near_dups as and_
+
+        return and_(_docs_as_wavs_dups(sf_dir), window=128, min_shared=1)
+
     def _docs_as_wavs(sf_dir: str) -> Any:
         """Deterministic RIFF/WAVE table synthesized from documents: each
         doc's UTF-8 bytes become 1024 cycled int16 PCM samples in a real
@@ -670,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing over synthesized binary payloads ----------
         "video_frames": video_frames,
         "video_near_dups": video_near_dups,
+        "audio_near_dups": audio_near_dups,
         "audio_features": audio_features,
         # -- external-store sink analogs (HBase/Mongo/ES/HDFS/Doris):
         # write through the sink layout into /tmp, read the STORE back,
@@ -1480,6 +1515,12 @@ def _pin_oracle_sqls() -> dict[str, str]:
 
     out["video_near_dups"] = _values_sql(
         video_near_dups_reference(sf, every_nth=4, min_shared=1),
+        {"a": "VARCHAR", "b": "VARCHAR", "n_shared": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.multimodal import audio_near_dups_reference
+
+    out["audio_near_dups"] = _values_sql(
+        audio_near_dups_reference(sf, window=128, min_shared=1),
         {"a": "VARCHAR", "b": "VARCHAR", "n_shared": "BIGINT"},
     )
     return out

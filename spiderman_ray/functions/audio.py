@@ -87,3 +87,36 @@ def make_audio(data: bytes, rate: int = 16000, n_samples: int = 1024) -> bytes:
         b = np.zeros(1, dtype=np.uint8)
     d = (2 * b[np.arange(n_samples) % len(b)].astype(np.int32) - 255).astype(np.int16)
     return encode_wav(d, rate)
+
+
+def wav_fingerprints(payload: bytes, window: int = 128) -> list[int]:
+    """Per-window 64-bit acoustic fingerprints of a PCM WAV clip — the
+    chromaprint shape without an FFT, in EXACT integer arithmetic (shared
+    engine/oracle: parity is structural). The clip's first channel is cut
+    into non-overlapping ``window``-sample windows (the trailing partial
+    window is dropped); each window splits into 64 equal sub-blocks whose
+    integer energy e_k = sum(s^2) is compared to its neighbour: bit k is
+    set iff e_k > e_{k-1} (e_{-1} = 0). Energy DELTAS survive gain-free
+    re-containering and exact partial copies — the dedup target here;
+    a real system would swap in spectral bands the same way.
+
+    ``window`` must be a multiple of 64. Returns signed-int64 values
+    (Arrow int64 column convention, the phash64 two's-complement trick)."""
+    if window % 64:
+        raise ValueError("window must be a multiple of 64")
+    samples, _rate = decode_wav(payload)
+    mono = samples[:, 0].astype(np.int64)
+    n_win = len(mono) // window
+    out: list[int] = []
+    if n_win == 0:
+        return out
+    sub = window // 64
+    blocks = mono[: n_win * window].reshape(n_win, 64, sub)
+    energy = (blocks * blocks).sum(axis=2)  # (n_win, 64) int64, exact
+    prev = np.concatenate([np.zeros((n_win, 1), dtype=np.int64), energy[:, :-1]], axis=1)
+    bits = (energy > prev).astype(np.uint64)
+    vals = (bits << np.arange(63, -1, -1, dtype=np.uint64)).sum(axis=1)
+    for v in vals:
+        v = int(v)
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out

@@ -378,48 +378,29 @@ def planted_dup_video(payload: bytes, key: str) -> bytes:
     return encode_video(np.stack([f0, extra]), "png")
 
 
-def video_near_dups(videos: rd.Dataset, every_nth: int = 4,
-                    min_shared: int = 1, concurrency: int = 4) -> rd.Dataset:
-    """Video near-duplicate pairs by sampled-frame fingerprint overlap —
-    the frame-hash analog of image pHash dedup: two videos are near-dups
-    when >= ``min_shared`` of their every-Nth-frame perceptual hashes
-    coincide (catches re-encodes, re-cuts and shared-intro copies without
-    decoding unsampled frames).
+def _fp_overlap_pairs(fps: rd.Dataset, id_col: str, min_shared: int) -> rd.Dataset:
+    """Near-duplicate pairs by distinct-fingerprint overlap count over an
+    (id, fp:int64) dataset — the shared spine of video AND audio dedup.
 
-    Scale shape: frame sampling is the seek-table actor pool
-    (video_frame_sample — unsampled frames never decoded); fingerprints
-    shard by hash64(phash) % 64, pairs enumerate INSIDE a frame-hash
-    bucket (a bucket is one identical frame across videos; a viral/black
-    frame makes it hot — the minhash band-bucket hazard, same mitigation:
-    vectorized triu enumeration, salt or cap in policy if a corpus has
-    degenerate stills), and per-pair shared counts reduce on a SECOND
-    64-way pair-shard exchange — nothing pair-scale on the driver."""
+    Scale shape: fingerprints shard by hash64(fp) % 64, pairs enumerate
+    INSIDE a fingerprint bucket (a bucket is one identical fingerprint
+    across items; a viral/black frame or silent window makes it hot — the
+    minhash band-bucket hazard, same mitigation: vectorized triu
+    enumeration, salt or cap in policy for degenerate corpora), and
+    per-pair shared counts reduce on a SECOND 64-way pair-shard exchange —
+    nothing pair-scale on the driver."""
     import pandas as pd
 
-    from spiderman_ray.functions.hashing import hash64
     from spiderman_ray.pipelines.text import _shard64_of
 
-    frames = video_frame_sample(videos, every_nth=every_nth,
-                                concurrency=concurrency, mode="spv1")
-
-    def fingerprint(t: pa.Table) -> pa.Table:
-        ph = np.fromiter(
-            (phash64(decode_image(bytes(b))) for b in t["frame_bytes"].to_pylist()),
-            dtype=np.int64, count=t.num_rows,
-        )
-        return pa.table(
-            {
-                "video_id": t["video_id"],
-                "phash": pa.array(ph),
-                "_pshard": pa.array(_shard64_of(list(ph))),
-            }
-        )
+    def shard(t: pa.Table) -> pa.Table:
+        return t.append_column("_pshard", pa.array(_shard64_of(t["fp"].to_pylist())))
 
     def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["video_id", "phash"])
+        g = g.drop_duplicates([id_col, "fp"])
         a_out, b_out = [], []
-        for _, grp in g.groupby("phash", sort=True):
-            ids = np.sort(grp["video_id"].to_numpy(dtype=object))
+        for _, grp in g.groupby("fp", sort=True):
+            ids = np.sort(grp[id_col].to_numpy(dtype=object))
             if len(ids) > 1:
                 ia, ib = np.triu_indices(len(ids), k=1)
                 a_out.append(ids[ia])
@@ -447,11 +428,59 @@ def video_near_dups(videos: rd.Dataset, every_nth: int = 4,
         )
 
     return (
-        frames.map_batches(fingerprint, batch_format="pyarrow")
+        fps.map_batches(shard, batch_format="pyarrow")
         .groupby("_pshard")
         .map_groups(pairs_in_shard, batch_format="pandas")
         .groupby("_qshard")
         .map_groups(reduce_pairs, batch_format="pandas")
+    )
+
+
+def _fp_overlap_pairs_reference(fps: dict[str, set], min_shared: int) -> list[dict]:
+    """Single-process mirror of _fp_overlap_pairs over {id -> fp set} —
+    shared by the video and audio oracle recomputes."""
+    from collections import Counter
+
+    by_fp: dict[int, set] = {}
+    for vid, hs in fps.items():
+        for hv in hs:
+            by_fp.setdefault(hv, set()).add(vid)
+    cnt: Counter = Counter()
+    for vids in by_fp.values():
+        ids = sorted(vids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cnt[(ids[i], ids[j])] += 1
+    return [
+        {"a": a, "b": b, "n_shared": n}
+        for (a, b), n in sorted(cnt.items())
+        if n >= min_shared
+    ]
+
+
+def video_near_dups(videos: rd.Dataset, every_nth: int = 4,
+                    min_shared: int = 1, concurrency: int = 4) -> rd.Dataset:
+    """Video near-duplicate pairs by sampled-frame fingerprint overlap —
+    the frame-hash analog of image pHash dedup: two videos are near-dups
+    when >= ``min_shared`` of their every-Nth-frame perceptual hashes
+    coincide (catches re-encodes, re-cuts and shared-intro copies without
+    decoding unsampled frames). Frame sampling is the seek-table actor
+    pool (video_frame_sample — unsampled frames never decoded); pair
+    resolution is the shared _fp_overlap_pairs exchange."""
+
+    frames = video_frame_sample(videos, every_nth=every_nth,
+                                concurrency=concurrency, mode="spv1")
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        ph = np.fromiter(
+            (phash64(decode_image(bytes(b))) for b in t["frame_bytes"].to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return pa.table({"video_id": t["video_id"], "fp": pa.array(ph)})
+
+    return _fp_overlap_pairs(
+        frames.map_batches(fingerprint, batch_format="pyarrow"),
+        "video_id", min_shared,
     )
 
 
@@ -478,20 +507,78 @@ def video_near_dups_reference(sf_dir: str, every_nth: int = 4,
                 phash64(decode_image(payload[off[i]:off[i + 1]], fmt))
                 for i in range(0, n, every_nth)
             }
-    by_hash: dict[int, set] = {}
-    for vid, hs in fps.items():
-        for hv in hs:
-            by_hash.setdefault(hv, set()).add(vid)
-    from collections import Counter
+    return _fp_overlap_pairs_reference(fps, min_shared)
 
-    cnt: Counter = Counter()
-    for vids in by_hash.values():
-        ids = sorted(vids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cnt[(ids[i], ids[j])] += 1
-    return [
-        {"a": a, "b": b, "n_shared": n}
-        for (a, b), n in sorted(cnt.items())
-        if n >= min_shared
-    ]
+
+def planted_dup_wav(payload: bytes, key: str) -> bytes:
+    """A near-duplicate of a WAV clip: its first half kept, second half
+    replaced by key-derived samples — the partial-copy shape audio dedup
+    must catch. Shared by the engine's query input builder and the oracle
+    recompute."""
+    import hashlib
+
+    from spiderman_ray.functions.audio import decode_wav, encode_wav
+
+    samples, rate = decode_wav(payload)
+    mono = samples[:, 0].astype(np.int16)
+    n = len(mono)
+    seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    tail = rng.integers(-32768, 32768, size=n - n // 2, dtype=np.int64).astype(np.int16)
+    return encode_wav(np.concatenate([mono[: n // 2], tail]), rate)
+
+
+def audio_near_dups(clips: rd.Dataset, window: int = 128,
+                    min_shared: int = 1, concurrency: int = 4) -> rd.Dataset:
+    """Audio near-duplicate pairs by windowed energy-fingerprint overlap —
+    the acoustic sibling of video_near_dups: each clip's PCM stream is cut
+    into ``window``-sample windows, every window gets a 64-bit
+    energy-delta fingerprint (functions.audio.wav_fingerprints — exact
+    integer, the chromaprint shape without an FFT), and two clips are
+    near-dups when >= ``min_shared`` window fingerprints coincide (catches
+    re-containered copies, partial copies and splices). Decode +
+    fingerprint is an actor-pool pass; pair resolution is the shared
+    _fp_overlap_pairs exchange."""
+    from spiderman_ray.functions.audio import wav_fingerprints
+    from spiderman_ray.pipelines import pool_size
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        ids, fp_out = [], []
+        for cid, payload in zip(t["clip_id"].to_pylist(), t["payload"].to_pylist()):
+            for f in wav_fingerprints(bytes(payload), window):
+                ids.append(cid)
+                fp_out.append(f)
+        return pa.table(
+            {"clip_id": pa.array(ids, pa.string()),
+             "fp": pa.array(fp_out, pa.int64())}
+        )
+
+    fps = clips.map_batches(
+        fingerprint, batch_format="pyarrow", batch_size=32,
+        concurrency=pool_size(concurrency), num_cpus=1,
+    )
+    return _fp_overlap_pairs(fps, "clip_id", min_shared)
+
+
+def audio_near_dups_reference(sf_dir: str, window: int = 128,
+                              min_shared: int = 1) -> list[dict]:
+    """Single-process recompute of audio_near_dups over the driver-gate
+    clip table (documents -> make_audio, +planted_dup_wav for every
+    doc_id % 5 == 0) — the frozen-VALUES oracle pin, per the crawl_*
+    independence contract: no Ray, plain loops, same shared primitives."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spiderman_ray.functions.audio import make_audio, wav_fingerprints
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    fps: dict[str, set] = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        payloads = {f"C{did}": make_audio(text.encode())}
+        if did % 5 == 0:
+            payloads[f"C{did}d"] = planted_dup_wav(payloads[f"C{did}"], str(did))
+        for cid, payload in payloads.items():
+            fps[cid] = set(wav_fingerprints(payload, window))
+    return _fp_overlap_pairs_reference(fps, min_shared)

@@ -2451,3 +2451,42 @@ def test_video_near_dups_planted_and_threshold():
     sampled = video_near_dups(ds, every_nth=2, min_shared=1).to_pandas()
     spairs = {(r.a, r.b): r.n_shared for r in sampled.itertuples()}
     assert spairs == {("A", "B"): 1, ("A", "C"): 1}
+
+
+def test_audio_near_dups_partial_copy_and_threshold():
+    """A planted half-copy shares exactly its first-half window
+    fingerprints; unrelated clips pair only if their cycled samples
+    collide (none here); min_shared gates."""
+    import ray.data as rd
+
+    from spiderman_ray.functions.audio import make_audio, wav_fingerprints
+    from spiderman_ray.pipelines.multimodal import audio_near_dups, planted_dup_wav
+
+    base = make_audio(b"a distinctive audio payload with enough text to vary")
+    dup = planted_dup_wav(base, "k1")
+    other = make_audio(b"completely different content here, nothing in common!")
+    ds = rd.from_items(
+        [{"clip_id": "A", "payload": base},
+         {"clip_id": "Ad", "payload": dup},
+         {"clip_id": "B", "payload": other}]
+    )
+    got = audio_near_dups(ds, window=128, min_shared=1).to_pandas()
+    pairs = {(r.a, r.b): r.n_shared for r in got.itertuples()}
+    want_shared = len(set(wav_fingerprints(base)) & set(wav_fingerprints(dup)))
+    assert want_shared >= 1
+    assert pairs == {("A", "Ad"): want_shared}
+    # a threshold above the overlap empties the result
+    strict = audio_near_dups(ds, window=128, min_shared=want_shared + 1).to_pandas()
+    assert len(strict) == 0
+
+
+def test_wav_fingerprints_contract():
+    from spiderman_ray.functions.audio import make_audio, wav_fingerprints
+
+    p = make_audio(b"some payload bytes for the fingerprint contract test")
+    f = wav_fingerprints(p, window=128)
+    assert len(f) == 8  # 1024 samples / 128
+    assert f == wav_fingerprints(p, window=128)  # deterministic
+    assert all(-(1 << 63) <= v < (1 << 63) for v in f)  # int64 range
+    with pytest.raises(ValueError):
+        wav_fingerprints(p, window=100)  # not a multiple of 64
