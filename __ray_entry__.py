@@ -266,6 +266,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             align_min_x1e6=100_000,
         )
 
+    def crawl_curate_images_quality(sf_dir: str) -> Any:
+        # full gate stack: validate + caption + alignment + blur (the
+        # Laplacian-variance sharpness gate) before dedup
+        return I.curate_images(
+            os.path.join(_crawl_out("t1"), "tables", "images"),
+            align_min_x1e6=100_000,
+            min_sharpness_x100=450,
+        )
+
     def _pii_docs(sf_dir: str) -> Any:
         """Documents with PII injected deterministically from doc_id (docs
         are word-soup with none): every third doc gains an email, an IPv4
@@ -481,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (gate BEFORE dedup: a low-alignment copy must not shadow a
         # well-captioned duplicate)
         "crawl_curate_images_aligned": crawl_curate_images_aligned,
+        "crawl_curate_images_quality": crawl_curate_images_quality,
         "crawl_price_monitor": crawl_price_monitor,
         "meta_table": lambda sf: __import__("spiderman_ray.meta", fromlist=["x"]).meta_table(),
         # -- relational / reference query surface (SQL-checked) ------------
@@ -1100,7 +1110,11 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     tiny pure-Python recomputations for the derived pipelines). These make
     the crawl rows driver-checkable; the source of truth stays the
     single-process oracle, never the engine."""
-    from spiderman_ray.functions.imaging import decode_image, phash64
+    from spiderman_ray.functions.imaging import (
+        decode_image,
+        phash64,
+        quality_features_int,
+    )
     from spiderman_ray.pipelines.multimodal import _box_resize
 
     o = _oracle_t1()
@@ -1375,6 +1389,35 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
          "n_caption_tokens": "BIGINT"},
     )
+    # quality flagship: the aligned recompute with the SHARED sharpness
+    # gate added before dedup (a blurry copy must not shadow a sharp
+    # duplicate — same placement argument as the alignment gate)
+    qfr_rows, seen_qfp = [], set()
+    for r in sorted(o.images, key=lambda r: r["image_id"]):
+        px = decode_image(r["bytes"])
+        h, w = px.shape[:2]
+        if w != r["w"] or h != r["h"] or phash64(px) != r["phash"]:
+            continue
+        toks = r["caption"].split(" ")
+        if len(toks) < 2 or any(d in r["caption"] for d in ("drop", "null")):
+            continue
+        if align_score_x1e6(px, r["caption"]) < 100_000:
+            continue
+        if quality_features_int(px)["sharpness_x100"] < 450:
+            continue
+        f = hashlib.md5(r["bytes"]).hexdigest()
+        if f in seen_qfp:
+            continue
+        seen_qfp.add(f)
+        if r["image_id"] in ph_losers:
+            continue
+        qfr_rows.append({"image_id": r["image_id"], "w": w, "h": h,
+                         "n_caption_tokens": len(toks)})
+    out["crawl_curate_images_quality"] = _values_sql(
+        qfr_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "n_caption_tokens": "BIGINT"},
+    )
     out["crawl_lineage_stats"] = _values_sql(
         [
             {"seed_url": seed_urls[root], "n_urls": s[0], "max_depth": s[1]}
@@ -1409,7 +1452,7 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     # quality features: sequential all-integer recompute with the SHARED
     # quality_features_int over the oracle's image rows (1:1, the
     # crawl_image_stats independence argument)
-    from spiderman_ray.functions.imaging import aspect_bucket_ids, quality_features_int
+    from spiderman_ray.functions.imaging import aspect_bucket_ids
     from spiderman_ray.functions.imaging import ASPECT_LABELS as _ALAB
 
     qual_rows = [

@@ -494,16 +494,22 @@ class _CurateImagesStage:
     like text._CurateStage. Emits candidates only."""
 
     def __init__(self, min_caption_tokens: int = 2,
-                 align_min_x1e6: int | None = None):
+                 align_min_x1e6: int | None = None,
+                 min_sharpness_x100: int | None = None):
         self.min_tokens = min_caption_tokens
         self.dirty = ("drop", "null")
         self.align_min = align_min_x1e6
+        self.min_sharpness = min_sharpness_x100
         if align_min_x1e6 is not None:
             # the dual-encoder "model" binds once per actor (a real CLIP
             # gate loads its weights here; functions/alignment.py)
             from spiderman_ray.functions.alignment import align_score_x1e6
 
             self._align = align_score_x1e6
+        if min_sharpness_x100 is not None:
+            from spiderman_ray.functions.imaging import quality_features_int
+
+            self._quality = quality_features_int
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -521,6 +527,12 @@ class _CurateImagesStage:
             # LAION-style alignment gate BEFORE dedup: a low-alignment
             # copy must not shadow a well-captioned duplicate
             if self.align_min is not None and self._align(px, cap) < self.align_min:
+                continue
+            # blur gate BEFORE dedup for the same reason: a blurry copy
+            # must not shadow a sharp duplicate (gates are conjunctive, so
+            # their relative order never changes the surviving set)
+            if (self.min_sharpness is not None
+                    and self._quality(px)["sharpness_x100"] < self.min_sharpness):
                 continue
             out["image_id"].append(row["image_id"])
             out["w"].append(w)
@@ -544,6 +556,7 @@ def curate_images(
     max_hamming: int = 3,
     driver_pair_cap: int = 2_000_000,
     align_min_x1e6: int | None = None,
+    min_sharpness_x100: int | None = None,
 ) -> rd.Dataset:
     """The multimodal curation FLAGSHIP — the image-axis ``curate``: the
     end-to-end pass a multimodal training-data user runs over a crawled
@@ -577,7 +590,8 @@ def curate_images(
         read_dataset(images_uri)
         .map_batches(
             _CurateImagesStage,
-            fn_constructor_args=(min_caption_tokens, align_min_x1e6),
+            fn_constructor_args=(min_caption_tokens, align_min_x1e6,
+                                 min_sharpness_x100),
             batch_format="pyarrow",
             batch_size=64,
             concurrency=pool_size(10**6),

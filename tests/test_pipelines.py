@@ -2490,3 +2490,25 @@ def test_wav_fingerprints_contract():
     assert all(-(1 << 63) <= v < (1 << 63) for v in f)  # int64 range
     with pytest.raises(ValueError):
         wav_fingerprints(p, window=100)  # not a multiple of 64
+
+
+def test_curate_images_sharpness_gate(images_table):
+    """The blur gate drops exactly the images under the threshold and the
+    result is a subset of the ungated curation."""
+    from spiderman_ray.functions.imaging import decode_image, quality_features_int
+    from spiderman_ray.pipelines.images import curate_images
+
+    base = set(curate_images(images_table).to_pandas()["image_id"])
+    src = {r["image_id"]: r["bytes"] for r in pq.read_table(images_table).to_pylist()}
+    sharp = {i: quality_features_int(decode_image(b))["sharpness_x100"]
+             for i, b in src.items()}
+    thresh = sorted(sharp.values())[len(sharp) // 2]  # drops ~half
+    gated = set(
+        curate_images(images_table, min_sharpness_x100=thresh)
+        .to_pandas()["image_id"]
+    )
+    assert gated <= base
+    assert all(sharp[i] >= thresh for i in gated)
+    # everything the gate removed really is below threshold OR was shadowed
+    # by a dedup winner change; at minimum some removal happened
+    assert len(gated) < len(base)
