@@ -703,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
+        "pca_embed": lambda sf: V.pca_embed(sf),
         # product-quantization codes (k-means codebooks are not SQL-
         # expressible -> frozen-VALUES pin from the single-process
         # reference; pytest bounds distortion + determinism)
@@ -1565,6 +1566,13 @@ def _pin_oracle_sqls() -> dict[str, str]:
     out["audio_near_dups"] = _values_sql(
         audio_near_dups_reference(sf, window=128, min_shared=1),
         {"a": "VARCHAR", "b": "VARCHAR", "n_shared": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.vectors import pca_embed_reference
+
+    out["pca_embed"] = _values_sql(
+        pca_embed_reference(sf, k=4),
+        {"vec_id": "BIGINT", "p0": "BIGINT", "p1": "BIGINT",
+         "p2": "BIGINT", "p3": "BIGINT"},
     )
     return out
 

@@ -1103,3 +1103,133 @@ def ann_ivfpq_topk(
         local_topk, batch_format="pandas", batch_size=4096
     )
     return _reduce_topk_ds(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (exact-integer Gram -> order-invariant components)
+# ---------------------------------------------------------------------------
+
+#: quantization scales for the exact-integer PCA path. |x| < 1 in the
+#: embeddings table; 2^16 on the data and 2^20 on the components keep every
+#: product and 64-dim dot comfortably inside int64.
+_PCA_QX = 1 << 16
+_PCA_QV = 1 << 20
+
+
+def _pca_quantize(X: np.ndarray) -> np.ndarray:
+    """float32 embeddings -> exact int64 lattice (round-half-even, the
+    numpy default — deterministic and shared engine/oracle)."""
+    return np.rint(X.astype(np.float64) * _PCA_QX).astype(np.int64)
+
+
+def _pca_components(gram: np.ndarray, s: np.ndarray, n: int, k: int,
+                    iters: int = 200) -> np.ndarray:
+    """Top-k principal components from the EXACT integer Gram/sum
+    accumulators — float enters only here, on integers every worker
+    ordering produces identically, so the result is partition-invariant
+    by construction (the integer-fixed-point argument of graph.py).
+
+    Covariance C = G/n - mean meanT in float64; deterministic power
+    iteration with Hotelling deflation, fixed iteration count, fixed
+    start vector (normalized ones), sign fixed by the largest-|coord|
+    convention. d x d work on the driver: d is the embedding width (64),
+    never the corpus."""
+    d = gram.shape[0]
+    mean = s.astype(np.float64) / (n * _PCA_QX)
+    C = gram.astype(np.float64) / (n * _PCA_QX * _PCA_QX) - np.outer(mean, mean)
+    comps = np.empty((k, d), dtype=np.float64)
+    for c in range(k):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            v = C @ v
+            nv = float(np.linalg.norm(v))
+            if nv == 0.0:
+                v = np.full(d, 1.0 / np.sqrt(d))
+                break
+            v /= nv
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps[c] = v
+        lam = float(v @ C @ v)
+        C = C - lam * np.outer(v, v)
+    return comps
+
+
+def pca_embed(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """Distributed PCA projection of the embeddings table — the
+    dimensionality-reduction step an embedding pipeline runs before
+    ANN/clustering (the sq8/pq compression family's linear sibling).
+
+    Scale shape: stage 1 accumulates the d x d Gram matrix and d-sum as
+    EXACT int64 on the 2^16 lattice — one tiny partial row per block,
+    Python-bigint-summed on the driver (O(blocks x d^2) ints, never the
+    corpus), so the covariance is bit-identical under ANY partitioning or
+    reduce order; no float-summation contract anywhere. Stage 2 broadcasts
+    the k quantized components and projects per batch as an exact int64
+    matmul. Output: (vec_id, p0..p{k-1}) integer lattice projections."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "gram": [(Q.T @ Q).reshape(-1)],  # (d*d,) int64, exact
+                "s": [Q.sum(axis=0)],
+                "n": np.array([len(Q)], dtype="int64"),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(_pq(sf_dir), columns=["embedding"])
+        .map_batches(partial, batch_format="pandas")
+        .take_all()
+    )  # O(blocks) tiny summary rows by construction
+    d = int(np.sqrt(len(rows[0]["gram"])))
+    gram = np.zeros(d * d, dtype=object)  # Python ints: overflow-free sum
+    s = np.zeros(d, dtype=object)
+    n = 0
+    for r in rows:
+        gram += np.asarray(r["gram"], dtype=object)
+        s += np.asarray(r["s"], dtype=object)
+        n += int(r["n"])
+    comps = _pca_components(
+        np.array([int(x) for x in gram], dtype=np.int64).reshape(d, d),
+        np.array([int(x) for x in s], dtype=np.int64), n, k,
+    )
+    qv = np.rint(comps.T * _PCA_QV).astype(np.int64)  # (d, k), broadcast
+
+    def project(batch: pd.DataFrame, qv=qv) -> pd.DataFrame:
+        Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
+        P = Q @ qv  # exact int64: |q|<=2^16, |qv|<=2^20, d=64 -> <=2^42
+        out = {"vec_id": batch["vec_id"].to_numpy().astype("int64")}
+        for c in range(qv.shape[1]):
+            out[f"p{c}"] = P[:, c]
+        return pd.DataFrame(out)
+
+    return rd.read_parquet(_pq(sf_dir)).map_batches(project, batch_format="pandas")
+
+
+def pca_embed_reference(sf_dir: str, k: int = 4) -> list[dict]:
+    """Single-process recompute of pca_embed — the frozen-VALUES oracle
+    pin. Because the Gram/sum accumulators are exact integers, this
+    sequential loop and the distributed engine produce bit-identical
+    components and projections by construction."""
+    t = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    Q = _pca_quantize(X)
+    gram = np.zeros((Q.shape[1], Q.shape[1]), dtype=object)
+    s = np.zeros(Q.shape[1], dtype=object)
+    for row in Q:  # row-at-a-time: deliberately a DIFFERENT order than the
+        gram += np.outer(row, row).astype(object)  # engine's block matmuls
+        s += row.astype(object)
+    comps = _pca_components(
+        np.array([[int(x) for x in r] for r in gram], dtype=np.int64),
+        np.array([int(x) for x in s], dtype=np.int64), len(Q), k,
+    )
+    qv = np.rint(comps.T * _PCA_QV).astype(np.int64)
+    P = Q @ qv
+    ids = t["vec_id"].to_pylist()
+    return [
+        {"vec_id": int(ids[i]), **{f"p{c}": int(P[i, c]) for c in range(k)}}
+        for i in range(len(ids))
+    ]

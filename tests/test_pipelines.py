@@ -2512,3 +2512,18 @@ def test_curate_images_sharpness_gate(images_table):
     # everything the gate removed really is below threshold OR was shadowed
     # by a dedup winner change; at minimum some removal happened
     assert len(gated) < len(base)
+
+
+def test_pca_embed_matches_sequential_and_orders_variance():
+    """The exact-integer Gram makes the distributed PCA bit-identical to a
+    row-at-a-time sequential recompute; component variances come out in
+    descending order (power iteration + deflation found the top of the
+    spectrum)."""
+    from spiderman_ray.pipelines.vectors import pca_embed, pca_embed_reference
+
+    sf = "/root/testdata/sf0.001"
+    got = pca_embed(sf, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    want = pd.DataFrame(pca_embed_reference(sf, k=4)).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    v = got[[f"p{c}" for c in range(4)]].to_numpy(dtype=np.float64).var(axis=0)
+    assert (np.diff(v) <= v[:-1] * 1e-6).all()  # non-increasing (tolerates ties)
