@@ -180,6 +180,13 @@ def run_bench() -> dict:
 
         return entrymod.queries()["pii_redaction"](SF_DIR)
 
+    def _modal_near_dups(kind: str):
+        # the driver-gate inputs (documents-derived SPV1/WAV tables with
+        # planted dups) at bench scale — synth + decode + pair exchange
+        import __ray_entry__ as entrymod
+
+        return entrymod.queries()[f"{kind}_near_dups"](SF_DIR).count()
+
     # -- data pipelines over $GRAFT_SF_DIR ---------------------------------
     for name, fn in [
         ("grouped_returns", lambda: R.grouped_returns(SF_DIR).to_pandas()),
@@ -213,6 +220,9 @@ def run_bench() -> dict:
         # the exact knn_graph line above
         ("knn_graph_ivf", lambda: V.knn_graph_ivf(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),
+        ("pca_embed", lambda: V.pca_embed(SF_DIR).count()),
+        ("video_near_dups", lambda: _modal_near_dups("video")),
+        ("audio_near_dups", lambda: _modal_near_dups("audio")),
     ]:
         timed(name, fn)
 
