@@ -245,6 +245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_image_survivors_quality(sf_dir: str) -> Any:
+        return I.image_dedup_survivors_quality(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
+
     def crawl_phash_clusters(sf_dir: str) -> Any:
         return I.image_phash_clusters(
             os.path.join(_crawl_out("t1"), "tables", "images")
@@ -478,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_image_dedup": crawl_image_dedup,
         # image-axis dedup family: exact + pHash-component survivors
         "crawl_image_survivors": crawl_image_survivors,
+        "crawl_image_survivors_quality": crawl_image_survivors_quality,
         # audit view: pHash component label per image (minhash_clusters analog)
         "crawl_phash_clusters": crawl_phash_clusters,
         # multimodal curation flagship: decode gate + caption gates +
@@ -1465,6 +1471,21 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         {"image_id": "VARCHAR", "sharpness_x100": "BIGINT",
          "contrast_x100": "BIGINT", "brightness_x1000": "BIGINT",
          "n_gray_levels": "BIGINT", "gray_p50": "BIGINT"},
+    )
+    # quality-priority dedup survivors: per pHash component keep the
+    # SHARPEST member (tie -> min image_id); exact losers still first-wins
+    sharp_of = {r["image_id"]: r["sharpness_x100"] for r in qual_rows}
+    comps: dict[str, list] = {}
+    for n in uf.parent:
+        comps.setdefault(uf.find(n), []).append(n)
+    q_losers = set()
+    for ms in comps.values():
+        ms = sorted(ms, key=lambda i: (-sharp_of[i], i))
+        q_losers.update(ms[1:])
+    out["crawl_image_survivors_quality"] = _values_sql(
+        [{"image_id": i} for i in ids
+         if i not in exact_losers and i not in q_losers],
+        {"image_id": "VARCHAR"},
     )
     # aspect-bucketed batch packing: sequential recompute with the SHARED
     # integer bucket argmin; seq = rank of image_id within its bucket

@@ -369,6 +369,95 @@ def image_dedup_survivors(
     return anti_join_ids(imgs, drop, "image_id", key_type=pa.string())
 
 
+def image_dedup_survivors_quality(
+    images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
+) -> rd.Dataset:
+    """``image_dedup_survivors`` with QUALITY-priority winner selection:
+    each pHash near-dup component keeps its SHARPEST member
+    (Laplacian-variance sharpness, tie -> min image_id) instead of the min
+    image_id — real curation keeps the best copy of a duplicate group, not
+    the lexicographically first. Exact byte duplicates still resolve
+    first-wins (identical bytes have identical sharpness, so the two rules
+    agree there).
+
+    Scale shape: sharpness comes from ONE actor-pool decode pass over the
+    table (bytes never shuffle — only (image_id, sharpness) rows enter the
+    exchanges); scores attach to the pair-bounded member map on an
+    image_id-hash shard, winners resolve per cluster on a cluster_id-hash
+    shard, and losers anti-join via the string-keyed ``anti_join_ids``.
+    Sentinel columns (sharp=-1 on member rows, cluster='' on score rows)
+    keep every int column null-free through the pandas transit — the
+    anti_join_ids zero-padding invariant."""
+    from spiderman_ray.pipelines.text import _shard64_of, anti_join_ids
+
+    members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+    scores = image_quality(images_uri)
+
+    def m_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": pc.cast(t["image_id"], pa.string()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.string()),
+                "sharp": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "_ishard": pa.array(_shard64_of(t["image_id"].to_pylist())),
+            }
+        )
+
+    def s_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": pc.cast(t["image_id"], pa.string()),
+                "cluster_id": pa.array([""] * t.num_rows, type=pa.string()),
+                "sharp": pc.cast(t["sharpness_x100"], pa.int64()),
+                "_ishard": pa.array(_shard64_of(t["image_id"].to_pylist())),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # per image: one score row (sharp >= 0), member rows carry sharp=-1
+        sc = g[g["sharp"] >= 0]
+        sharp_of = dict(zip(sc["image_id"], sc["sharp"]))
+        m = g[g["sharp"] < 0]
+        sharp = m["image_id"].map(sharp_of).astype("int64")
+        return pd.DataFrame(
+            {
+                "image_id": m["image_id"].astype(str),
+                "cluster_id": m["cluster_id"].astype(str),
+                "sharp": sharp.to_numpy(),
+                "_cshard": _shard64_of(list(m["cluster_id"])),
+            }
+        )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["image_id", "cluster_id"])
+        # winner per cluster: max sharpness, tie -> min image_id
+        g = g.sort_values(["cluster_id", "sharp", "image_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        keep = g["cluster_id"].ne(g["cluster_id"].shift())
+        return pd.DataFrame({"image_id": g.loc[~keep, "image_id"].astype(str)})
+
+    ph_losers = (
+        members.map_batches(m_rows, batch_format="pyarrow")
+        .union(scores.map_batches(s_rows, batch_format="pyarrow"))
+        .groupby("_ishard")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_cshard")
+        .map_groups(losers, batch_format="pandas")
+    )
+
+    def exact_losers(batch: pa.Table) -> pa.Table:
+        dup = pc.equal(batch["is_first"], 0)
+        return pa.table(
+            {"image_id": pc.cast(batch.filter(dup)["image_id"], pa.string())}
+        )
+
+    drop = image_dedup_exact(images_uri).map_batches(
+        exact_losers, batch_format="pyarrow"
+    ).union(ph_losers)
+    imgs = read_dataset(images_uri, columns=["image_id"])
+    return anti_join_ids(imgs, drop, "image_id", key_type=pa.string())
+
+
 def image_phash_clusters(
     images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
 ) -> rd.Dataset:

@@ -2527,3 +2527,26 @@ def test_pca_embed_matches_sequential_and_orders_variance():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     v = got[[f"p{c}" for c in range(4)]].to_numpy(dtype=np.float64).var(axis=0)
     assert (np.diff(v) <= v[:-1] * 1e-6).all()  # non-increasing (tolerates ties)
+
+
+def test_image_dedup_survivors_quality_prefers_sharpest(images_table):
+    """Per pHash component the SHARPEST member survives (tie -> min id);
+    the planted pair (ID000 png, ID999 jpeg re-encode) keeps exactly one."""
+    from spiderman_ray.functions.imaging import decode_image, quality_features_int
+    from spiderman_ray.pipelines.images import (
+        image_dedup_survivors,
+        image_dedup_survivors_quality,
+    )
+
+    got = set(image_dedup_survivors_quality(images_table).to_pandas()["image_id"])
+    src = {r["image_id"]: r["bytes"] for r in pq.read_table(images_table).to_pylist()}
+    sharp = {i: quality_features_int(decode_image(b))["sharpness_x100"]
+             for i, b in src.items()}
+    # exactly one of the planted near-dup pair survives, and it is the
+    # sharpness-preferred member
+    pair = ["ID000", "ID999"]
+    winner = sorted(pair, key=lambda i: (-sharp[i], i))[0]
+    assert (winner in got) and (set(pair) - {winner}).isdisjoint(got)
+    # same cardinality as min-id dedup (same components, different winners)
+    base = set(image_dedup_survivors(images_table).to_pandas()["image_id"])
+    assert len(got) == len(base)
