@@ -1170,6 +1170,8 @@ def pca_embed(sf_dir: str, k: int = 4) -> rd.Dataset:
     matmul. Output: (vec_id, p0..p{k-1}) integer lattice projections."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # empty block: contribute nothing
+            return pd.DataFrame({"gram": [], "s": [], "n": []})
         Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
         return pd.DataFrame(
             {
@@ -1184,6 +1186,11 @@ def pca_embed(sf_dir: str, k: int = 4) -> rd.Dataset:
         .map_batches(partial, batch_format="pandas")
         .take_all()
     )  # O(blocks) tiny summary rows by construction
+    if not rows:
+        return rd.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             **{f"p{c}": pa.array([], pa.int64()) for c in range(k)}}
+        ))
     d = int(np.sqrt(len(rows[0]["gram"])))
     gram = np.zeros(d * d, dtype=object)  # Python ints: overflow-free sum
     s = np.zeros(d, dtype=object)
@@ -1199,6 +1206,12 @@ def pca_embed(sf_dir: str, k: int = 4) -> rd.Dataset:
     qv = np.rint(comps.T * _PCA_QV).astype(np.int64)  # (d, k), broadcast
 
     def project(batch: pd.DataFrame, qv=qv) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"vec_id": np.array([], dtype="int64"),
+                 **{f"p{c}": np.array([], dtype="int64")
+                    for c in range(qv.shape[1])}}
+            )
         Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
         P = Q @ qv  # exact int64: |q|<=2^16, |qv|<=2^20, d=64 -> <=2^42
         out = {"vec_id": batch["vec_id"].to_numpy().astype("int64")}
