@@ -556,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
         # per-stratum deterministic sampling (corpus rebalancing)
         "stratified_sample": lambda sf: T.stratified_sample(sf),
+        # per-domain quota cap (CCNet/RefinedWeb domain balancing)
+        "domain_quota_sample": lambda sf: T.domain_quota_sample(sf),
         # overlapping token-window chunking (LLM indexing/training prep)
         "doc_chunks": lambda sf: T.doc_chunks(sf),
         # content-defined chunking (Rabin/FastCDC family), chunk-level fps
@@ -710,6 +712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
         "pca_embed": lambda sf: V.pca_embed(sf),
+        # exact-integer distributed Lloyd k-means (cluster-then-curate);
+        # iterative fit is not SQL-expressible -> frozen-VALUES pin
+        "kmeans_embed": lambda sf: V.kmeans_embed(sf),
         # product-quantization codes (k-means codebooks are not SQL-
         # expressible -> frozen-VALUES pin from the single-process
         # reference; pytest bounds distortion + determinism)
@@ -1595,6 +1600,12 @@ def _pin_oracle_sqls() -> dict[str, str]:
         {"vec_id": "BIGINT", "p0": "BIGINT", "p1": "BIGINT",
          "p2": "BIGINT", "p3": "BIGINT"},
     )
+    from spiderman_ray.pipelines.vectors import kmeans_embed_reference
+
+    out["kmeans_embed"] = _values_sql(
+        kmeans_embed_reference(sf, k=8, iters=6),
+        {"vec_id": "BIGINT", "cluster": "BIGINT", "dist": "BIGINT"},
+    )
     return out
 
 
@@ -2116,6 +2127,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 "
             "AS BIGINT) AS pos FROM k"
+        ),
+        "domain_quota_sample": (
+            # same md5-prefix priority as hash_sample; cap=10 per source
+            "SELECT source, doc_id, rank FROM ("
+            "SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT), doc_id) AS rank FROM documents) WHERE rank <= 10"
         ),
         "hash_sample": (
             # same md5-prefix arithmetic as pipelines.text.hash_sample

@@ -1409,6 +1409,45 @@ def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None,
     )
 
 
+def domain_quota_sample(sf_dir: str, cap: int = 10) -> rd.Dataset:
+    """Per-domain quota sampling: keep at most ``cap`` documents per source
+    domain, chosen by a deterministic hash priority — the CCNet/RefinedWeb
+    domain-balancing move that stops a handful of giant hosts from dominating
+    a web corpus. Priority is the same md5-prefix arithmetic as
+    ``hash_sample`` (hash(doc_id) ascending, doc_id tie-break), so the keep
+    set is reproducible across runs, layouts and cluster sizes. Grouping is
+    by a hash shard of source (O(parallelism) dispatch, the
+    ``top_docs_per_lang`` shape); inside a shard one vectorized pandas sort
+    + groupby-cumcount ranks every domain at once. The shuffle moves only
+    the 3 projected columns; per-group output is O(cap)."""
+
+    def shard(batch: pa.Table) -> pa.Table:
+        hv = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+             for d in batch["doc_id"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        return batch.append_column(
+            "_hkey", pa.array(hv, type=pa.int64())
+        ).append_column(
+            "_sshard", pa.array(_shard64_of(batch["source"].to_pylist()))
+        )
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "_hkey", "doc_id"],
+                          ascending=[True, True, True])
+        rank = g.groupby("source", sort=False).cumcount() + 1
+        out = g[rank <= cap].assign(rank=rank[rank <= cap].astype("int64"))
+        return out[["source", "doc_id", "rank"]]
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "source"])
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sshard")
+        .map_groups(quota, batch_format="pandas")
+    )
+
+
 def doc_chunks(sf_dir: str, chunk: int = 64, stride: int = 48) -> rd.Dataset:
     """Document chunking for LLM training/indexing: overlapping windows of
     ``chunk`` whitespace tokens every ``stride`` tokens. Chunk-count

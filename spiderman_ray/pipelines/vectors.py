@@ -1246,3 +1246,137 @@ def pca_embed_reference(sf_dir: str, k: int = 4) -> list[dict]:
         {"vec_id": int(ids[i]), **{f"p{c}": int(P[i, c]) for c in range(k)}}
         for i in range(len(ids))
     ]
+
+
+def _kmeans_assign_int(Q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-int64 nearest-centroid assignment: squared L2 on the 2^16
+    lattice (|diff| <= 2^17 -> diff^2 <= 2^34, x d=64 -> <= 2^40, no
+    overflow). Ties break to the LOWEST cluster index (np.argmin), the
+    same rule on engine and reference."""
+    # (n, k) distance matrix in int64; k and d are small (k<=64, d=64)
+    d2 = np.empty((len(Q), len(cents)), dtype=np.int64)
+    for j, c in enumerate(cents):
+        diff = Q - c[None, :]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    a = d2.argmin(axis=1)
+    return a, d2[np.arange(len(Q)), a]
+
+
+def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 6) -> rd.Dataset:
+    """Distributed Lloyd k-means over the embeddings table — the
+    cluster-then-curate stage of semantic data-mixing pipelines (SemDeDup
+    clusters first, then dedups inside clusters; domain discovery and
+    cluster-balanced sampling reuse the same assignment).
+
+    Scale shape (the ``pca_embed`` exact-integer discipline applied to an
+    ITERATIVE fit): vectors are quantized to the 2^16 int lattice once per
+    batch; each Lloyd round is one streaming pass emitting O(k x d) int64
+    partial sums + counts per block, Python-bigint-merged on the driver
+    (O(blocks x k x d) ints, never the corpus), and the new centroid is an
+    exact floor-div back onto the lattice. Every round is therefore
+    bit-identical under ANY partitioning or reduce order — no float
+    summation anywhere, so the fit needs no seed and no sample. Init is
+    the k lowest-vec_id vectors (a distributed sort+limit of k rows).
+    Empty clusters keep their previous centroid. Final pass emits
+    (vec_id, cluster, dist) with the exact integer squared distance."""
+
+    def load_q(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch["vec_id"].to_numpy().astype("int64")
+        Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
+        return ids, Q
+
+    seed_rows = (
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
+        .sort("vec_id").limit(k).take_all()
+    )
+    if not seed_rows:
+        return rd.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}
+        ))
+    cents = _pca_quantize(
+        np.array([r["embedding"] for r in seed_rows], dtype=np.float32)
+    )
+
+    for _ in range(iters):
+        def partial(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame({"cl": [], "s": [], "n": []})
+            _, Q = load_q(batch)
+            a, _d = _kmeans_assign_int(Q, cents)
+            out_cl, out_s, out_n = [], [], []
+            for j in np.unique(a):
+                m = a == j
+                out_cl.append(int(j))
+                out_s.append(Q[m].sum(axis=0))  # block-local: <= 2^16 * rows
+                out_n.append(int(m.sum()))
+            return pd.DataFrame({"cl": out_cl, "s": out_s, "n": out_n})
+
+        rows = (
+            rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pandas")
+            .take_all()
+        )  # O(blocks x k) tiny summary rows
+        sums = {j: np.zeros(cents.shape[1], dtype=object) for j in range(k)}
+        cnts = {j: 0 for j in range(k)}
+        for r in rows:
+            j = int(r["cl"])
+            sums[j] += np.asarray(r["s"], dtype=object)
+            cnts[j] += int(r["n"])
+        new = cents.copy()
+        for j in range(k):
+            if cnts[j] > 0:
+                new[j] = np.array(
+                    [int(x) // cnts[j] for x in sums[j]], dtype=np.int64
+                )
+        cents = new
+
+    def assign(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"vec_id": np.array([], dtype="int64"),
+                 "cluster": np.array([], dtype="int64"),
+                 "dist": np.array([], dtype="int64")}
+            )
+        ids, Q = load_q(batch)
+        a, d = _kmeans_assign_int(Q, cents)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": a.astype("int64"), "dist": d}
+        )
+
+    return rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pandas"
+    )
+
+
+def kmeans_embed_reference(sf_dir: str, k: int = 8, iters: int = 6) -> list[dict]:
+    """Single-process recompute of kmeans_embed — the frozen-VALUES oracle
+    pin. Exact-integer accumulators make the sequential loop and the
+    distributed engine bit-identical by construction (deliberately a
+    different summation order)."""
+    t = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return []
+    Q = _pca_quantize(np.array(t["embedding"].to_pylist(), dtype=np.float32))
+    order = np.argsort(ids, kind="stable")
+    cents = Q[order[:k]].copy()
+    for _ in range(iters):
+        a, _d = _kmeans_assign_int(Q, cents)
+        new = cents.copy()
+        for j in range(len(cents)):
+            m = a == j
+            if m.any():
+                s = np.zeros(Q.shape[1], dtype=object)
+                for row in Q[m]:  # row-at-a-time, unlike the engine's blocks
+                    s += row.astype(object)
+                new[j] = np.array(
+                    [int(x) // int(m.sum()) for x in s], dtype=np.int64
+                )
+        cents = new
+    a, d = _kmeans_assign_int(Q, cents)
+    return [
+        {"vec_id": int(ids[i]), "cluster": int(a[i]), "dist": int(d[i])}
+        for i in range(len(ids))
+    ]

@@ -2550,3 +2550,43 @@ def test_image_dedup_survivors_quality_prefers_sharpest(images_table):
     # same cardinality as min-id dedup (same components, different winners)
     base = set(image_dedup_survivors(images_table).to_pandas()["image_id"])
     assert len(got) == len(base)
+
+
+def test_domain_quota_sample_caps_and_priority():
+    """Per-source quota: at most cap rows per source, chosen by the
+    hash_sample md5 priority (hash asc, doc_id tie) — identical to a
+    single-process pandas recompute, so the keep set is layout-free."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import domain_quota_sample
+
+    sf = "/root/testdata/sf0.01"
+    cap = 10
+    got = domain_quota_sample(sf, cap=cap).to_pandas().sort_values(
+        ["source", "rank"]).reset_index(drop=True)
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    docs["_h"] = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+    docs = docs.sort_values(["source", "_h", "doc_id"])
+    docs["rank"] = docs.groupby("source").cumcount() + 1
+    want = docs[docs["rank"] <= cap][["source", "doc_id", "rank"]].reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.groupby("source")["doc_id"].count() <= cap).all()
+
+
+def test_kmeans_embed_matches_sequential_reference():
+    """Exact-integer Lloyd rounds make the distributed fit bit-identical to
+    the row-at-a-time sequential recompute; dist is the exact squared-L2 to
+    the assigned (nearest) final centroid."""
+    from spiderman_ray.pipelines.vectors import kmeans_embed, kmeans_embed_reference
+
+    sf = "/root/testdata/sf0.001"
+    got = kmeans_embed(sf, k=8, iters=6).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    want = pd.DataFrame(kmeans_embed_reference(sf, k=8, iters=6)).sort_values(
+        "vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["cluster"].between(0, 7).all()
+    assert (got["dist"] >= 0).all()
