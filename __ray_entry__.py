@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph — the corpus-scale composition; seeded hyperplanes are
         # not SQL-expressible -> frozen-VALUES pin
         "semantic_dedup_lsh": lambda sf: V.semantic_dedup_lsh_survivors(sf),
+        # SemDeDup as published: within-kmeans-cluster pair graph, same
+        # survivor resolution; the cluster partition bounds pair compute
+        "semantic_dedup_clustered": lambda sf: V.semantic_dedup_clustered(sf),
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
@@ -1579,6 +1582,12 @@ def _pin_oracle_sqls() -> dict[str, str]:
     )
     out["semantic_dedup_lsh"] = _values_sql(
         semantic_dedup_lsh_reference(sf),
+        {"vec_id": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.vectors import semantic_dedup_clustered_reference
+
+    out["semantic_dedup_clustered"] = _values_sql(
+        semantic_dedup_clustered_reference(sf),
         {"vec_id": "BIGINT"},
     )
     from spiderman_ray.pipelines.multimodal import video_near_dups_reference

@@ -220,7 +220,11 @@ def run_bench() -> dict:
         # the exact knn_graph line above
         ("knn_graph_ivf", lambda: V.knn_graph_ivf(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),
+        ("semantic_dedup_clustered",
+         lambda: V.semantic_dedup_clustered(SF_DIR).count()),
         ("pca_embed", lambda: V.pca_embed(SF_DIR).count()),
+        ("kmeans_embed", lambda: V.kmeans_embed(SF_DIR).count()),
+        ("domain_quota_sample", lambda: T.domain_quota_sample(SF_DIR).count()),
         ("video_near_dups", lambda: _modal_near_dups("video")),
         ("audio_near_dups", lambda: _modal_near_dups("audio")),
     ]:

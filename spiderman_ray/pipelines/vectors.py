@@ -760,6 +760,112 @@ def semantic_dedup_lsh_survivors(
     return _survivors_from_pairs(sf_dir, pairs, driver_pair_cap)
 
 
+def cluster_cosine_pairs_ds(
+    sf_dir: str, threshold: float = 0.45, k: int = 8, iters: int = 6
+) -> rd.Dataset:
+    """Within-cluster exact-cosine near-dup pairs (a < b, sim > threshold)
+    over the ``kmeans_fit_int`` partition — the SemDeDup paper's actual
+    search structure: pairs are only sought INSIDE a k-means cluster, so
+    compute drops from O(n^2) to O(sum n_c^2) and k is the knob that
+    bounds the per-group matrix (pick k ~ n/target_cluster_rows so a
+    cluster fits a worker; cross-cluster near-dups are missed BY DESIGN —
+    that approximation is the algorithm, not a shortcut). Assignment
+    broadcasts the tiny (k x d) int64 centroid lattice in the task
+    closure; the groupby key is the cluster id (k = the parallelism).
+    Rows inside a group are sorted by vec_id before the matmul so the
+    sequential reference recompute sees the bit-identical matrix."""
+    cents = kmeans_fit_int(sf_dir, k, iters)
+    if cents is None:
+        return rd.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        ))
+
+    def tag(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"vec_id": [], "cluster": [], "embedding": []})
+        ids, Q = _kmeans_load_q(batch)
+        a, _d = _kmeans_assign_int(Q, cents)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": a.astype("int64"),
+             "embedding": list(batch["embedding"].to_numpy())}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"].to_numpy()])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ai, bj = np.nonzero(sims > threshold)
+        keep = ids[ai] < ids[bj]
+        return pd.DataFrame(
+            {"a": ids[ai][keep].astype("int64"), "b": ids[bj][keep].astype("int64")}
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def semantic_dedup_clustered(
+    sf_dir: str, threshold: float = 0.45, k: int = 8, iters: int = 6,
+    driver_pair_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """SemDeDup as published: k-means-cluster the embeddings
+    (``kmeans_fit_int`` — exact-integer, partition-invariant), find
+    cosine near-dup pairs only WITHIN clusters, keep min vec_id per
+    component. Same survivor resolution as the exact/LSH variants
+    (fold-with-bailout driver UF / distributed label propagation /
+    fp-shard anti-join); the three differ only in the pair graph:
+    exact O(n^2), LSH buckets, or k-means clusters."""
+    pairs = cluster_cosine_pairs_ds(sf_dir, threshold, k, iters)
+    return _survivors_from_pairs(sf_dir, pairs, driver_pair_cap)
+
+
+def semantic_dedup_clustered_reference(
+    sf_dir: str, threshold: float = 0.45, k: int = 8, iters: int = 6
+) -> list[dict]:
+    """Single-process recompute of semantic_dedup_clustered — the frozen-
+    VALUES oracle pin. The fit is exact-integer (bit-identical to the
+    distributed one by construction); per-cluster matrices are sorted by
+    vec_id on both sides, so the float sims see identical inputs."""
+    ref = kmeans_embed_reference(sf_dir, k, iters)
+    if not ref:
+        return []
+    t = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
+    emb = {int(i): np.asarray(v, dtype=np.float64)
+           for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    by_cluster: dict[int, list[int]] = {}
+    for r in ref:
+        by_cluster.setdefault(int(r["cluster"]), []).append(int(r["vec_id"]))
+    parent: dict[int, int] = {i: i for i in emb}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in by_cluster.values():
+        ids = np.array(sorted(members), dtype=np.int64)
+        m = np.stack([emb[int(i)] for i in ids])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ai, bj = np.nonzero(sims > threshold)
+        for x, y in zip(ids[ai], ids[bj]):
+            if x < y:
+                rx, ry = find(int(x)), find(int(y))
+                if rx != ry:
+                    # min-label union: smaller root wins
+                    lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                    parent[hi] = lo
+    survivors = sorted(i for i in emb if find(i) == i)
+    return [{"vec_id": int(i)} for i in survivors]
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ codes + ADC approximate search)
 # ---------------------------------------------------------------------------
@@ -1262,43 +1368,29 @@ def _kmeans_assign_int(Q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np
     return a, d2[np.arange(len(Q)), a]
 
 
-def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 6) -> rd.Dataset:
-    """Distributed Lloyd k-means over the embeddings table — the
-    cluster-then-curate stage of semantic data-mixing pipelines (SemDeDup
-    clusters first, then dedups inside clusters; domain discovery and
-    cluster-balanced sampling reuse the same assignment).
+def _kmeans_load_q(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy().astype("int64")
+    Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
+    return ids, Q
 
-    Scale shape (the ``pca_embed`` exact-integer discipline applied to an
-    ITERATIVE fit): vectors are quantized to the 2^16 int lattice once per
-    batch; each Lloyd round is one streaming pass emitting O(k x d) int64
-    partial sums + counts per block, Python-bigint-merged on the driver
-    (O(blocks x k x d) ints, never the corpus), and the new centroid is an
-    exact floor-div back onto the lattice. Every round is therefore
-    bit-identical under ANY partitioning or reduce order — no float
-    summation anywhere, so the fit needs no seed and no sample. Init is
-    the k lowest-vec_id vectors (a distributed sort+limit of k rows).
-    Empty clusters keep their previous centroid. Final pass emits
-    (vec_id, cluster, dist) with the exact integer squared distance."""
 
-    def load_q(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        ids = batch["vec_id"].to_numpy().astype("int64")
-        Q = _pca_quantize(np.stack(batch["embedding"].to_numpy()))
-        return ids, Q
-
+def kmeans_fit_int(sf_dir: str, k: int = 8, iters: int = 6) -> np.ndarray | None:
+    """Distributed exact-integer Lloyd fit (see ``kmeans_embed``): returns
+    the (k, d) int64 centroid lattice, or None for an empty table. Each
+    round is one streaming pass emitting O(k x d) int64 partial sums +
+    counts per block, Python-bigint-merged on the driver — bit-identical
+    under ANY partitioning, no seed, no sample."""
     seed_rows = (
         rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
         .sort("vec_id").limit(k).take_all()
     )
     if not seed_rows:
-        return rd.from_arrow(pa.table(
-            {"vec_id": pa.array([], pa.int64()),
-             "cluster": pa.array([], pa.int64()),
-             "dist": pa.array([], pa.int64())}
-        ))
+        return None
     cents = _pca_quantize(
         np.array([r["embedding"] for r in seed_rows], dtype=np.float32)
     )
 
+    load_q = _kmeans_load_q
     for _ in range(iters):
         def partial(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
             if len(batch) == 0:
@@ -1331,6 +1423,34 @@ def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 6) -> rd.Dataset:
                     [int(x) // cnts[j] for x in sums[j]], dtype=np.int64
                 )
         cents = new
+    return cents
+
+
+def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 6) -> rd.Dataset:
+    """Distributed Lloyd k-means over the embeddings table — the
+    cluster-then-curate stage of semantic data-mixing pipelines (SemDeDup
+    clusters first, then dedups inside clusters; domain discovery and
+    cluster-balanced sampling reuse the same assignment).
+
+    Scale shape (the ``pca_embed`` exact-integer discipline applied to an
+    ITERATIVE fit): vectors are quantized to the 2^16 int lattice once per
+    batch; each Lloyd round is one streaming pass emitting O(k x d) int64
+    partial sums + counts per block, Python-bigint-merged on the driver
+    (O(blocks x k x d) ints, never the corpus), and the new centroid is an
+    exact floor-div back onto the lattice. Every round is therefore
+    bit-identical under ANY partitioning or reduce order — no float
+    summation anywhere, so the fit needs no seed and no sample. Init is
+    the k lowest-vec_id vectors (a distributed sort+limit of k rows).
+    Empty clusters keep their previous centroid. Final pass emits
+    (vec_id, cluster, dist) with the exact integer squared distance."""
+    cents = kmeans_fit_int(sf_dir, k, iters)
+    if cents is None:
+        return rd.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}
+        ))
+    load_q = _kmeans_load_q
 
     def assign(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
         if len(batch) == 0:

@@ -2590,3 +2590,22 @@ def test_kmeans_embed_matches_sequential_reference():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["cluster"].between(0, 7).all()
     assert (got["dist"] >= 0).all()
+
+
+def test_semantic_dedup_clustered_matches_reference_and_supersets_exact():
+    """SemDeDup as published: the within-cluster pair graph gives the
+    sequential reference bit-for-bit (integer fit + sorted per-cluster
+    matrices); survivors are a SUPERSET of the exact all-pairs variant
+    (only cross-cluster pairs can be missed, none invented)."""
+    from spiderman_ray.pipelines.vectors import (
+        semantic_dedup_clustered,
+        semantic_dedup_clustered_reference,
+        semantic_dedup_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(semantic_dedup_clustered(sf).to_pandas()["vec_id"])
+    want = [r["vec_id"] for r in semantic_dedup_clustered_reference(sf)]
+    assert got == want
+    exact = set(semantic_dedup_survivors(sf).to_pandas()["vec_id"])
+    assert exact <= set(got)
