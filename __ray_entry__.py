@@ -558,6 +558,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: T.stratified_sample(sf),
         # per-domain quota cap (CCNet/RefinedWeb domain balancing)
         "domain_quota_sample": lambda sf: T.domain_quota_sample(sf),
+        # zlib ratio quality/repetition signal (Gopher-family filter);
+        # DEFLATE is not SQL-expressible -> frozen-VALUES pin
+        "compression_ratio": lambda sf: T.compression_ratio(sf),
         # overlapping token-window chunking (LLM indexing/training prep)
         "doc_chunks": lambda sf: T.doc_chunks(sf),
         # content-defined chunking (Rabin/FastCDC family), chunk-level fps
@@ -711,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup as published: within-kmeans-cluster pair graph, same
         # survivor resolution; the cluster partition bounds pair compute
         "semantic_dedup_clustered": lambda sf: V.semantic_dedup_clustered(sf),
+        # cluster-balanced sampling (embedding-space domain_quota analog)
+        "cluster_quota_sample": lambda sf: V.cluster_quota_sample(sf),
         "embedding_norms": V.embedding_norms,
         # int8 scalar quantization (vector compression), checksum-verified
         "sq8_quantize": V.sq8_quantize,
@@ -1589,6 +1594,18 @@ def _pin_oracle_sqls() -> dict[str, str]:
     out["semantic_dedup_clustered"] = _values_sql(
         semantic_dedup_clustered_reference(sf),
         {"vec_id": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.vectors import cluster_quota_sample_reference
+
+    out["cluster_quota_sample"] = _values_sql(
+        cluster_quota_sample_reference(sf),
+        {"cluster": "BIGINT", "vec_id": "BIGINT", "rank": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.text import compression_ratio_reference
+
+    out["compression_ratio"] = _values_sql(
+        compression_ratio_reference(sf),
+        {"doc_id": "BIGINT", "ratio_x10000": "BIGINT"},
     )
     from spiderman_ray.pipelines.multimodal import video_near_dups_reference
 

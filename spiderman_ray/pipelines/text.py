@@ -1448,6 +1448,48 @@ def domain_quota_sample(sf_dir: str, cap: int = 10) -> rd.Dataset:
     )
 
 
+def compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
+    """Per-document zlib compression ratio — the classic cheap quality /
+    repetition signal (highly repetitive or templated text compresses far
+    below natural prose; Gopher-family pipelines threshold on it).
+    Emits (doc_id, ratio_x10000 = floor(compressed_bytes * 10000 /
+    raw_bytes)) — integer contract, no float rounding. Pure per-batch map
+    (the per-row call is one C zlib invocation), no shuffle; DEFLATE
+    output is a deterministic function of (bytes, level) for a given
+    zlib build, so the frozen-pin oracle recompute is exact."""
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids, out = batch["doc_id"], []
+        for t in batch["text"].to_pylist():
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, level))
+            out.append(comp * 10000 // max(1, len(raw)))
+        return pa.table(
+            {"doc_id": ids, "ratio_x10000": pa.array(out, type=pa.int64())}
+        )
+
+    return _read_docs(sf_dir).map_batches(ratio, batch_format="pyarrow")
+
+
+def compression_ratio_reference(sf_dir: str, level: int = 6) -> list[dict]:
+    """Single-process recompute of compression_ratio — the frozen-VALUES
+    oracle pin (same zlib build, same level, same integer floor)."""
+    import zlib
+
+    import pyarrow.parquet as _pq_mod
+
+    t = _pq_mod.read_table(_pq(sf_dir), columns=["doc_id", "text"])
+    out = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        raw = txt.encode("utf-8")
+        out.append({"doc_id": int(did),
+                    "ratio_x10000": len(zlib.compress(raw, level)) * 10000
+                    // max(1, len(raw))})
+    return out
+
+
 def doc_chunks(sf_dir: str, chunk: int = 64, stride: int = 48) -> rd.Dataset:
     """Document chunking for LLM training/indexing: overlapping windows of
     ``chunk`` whitespace tokens every ``stride`` tokens. Chunk-count

@@ -825,6 +825,78 @@ def semantic_dedup_clustered(
     return _survivors_from_pairs(sf_dir, pairs, driver_pair_cap)
 
 
+def cluster_quota_sample(
+    sf_dir: str, cap: int = 40, k: int = 8, iters: int = 6
+) -> rd.Dataset:
+    """Cluster-balanced sampling: keep at most ``cap`` vectors per k-means
+    cluster — the data-mixing move that stops one dense semantic region
+    from dominating a training set (the embedding-space analog of
+    ``domain_quota_sample``). Priority is the hash_sample md5 arithmetic
+    on vec_id (hash asc, id tie), so the keep set is reproducible at any
+    cluster size/layout. Assignment broadcasts the tiny integer centroid
+    lattice; ranking is one groupby on the cluster id (k = the
+    parallelism); per-group output is O(cap)."""
+    import hashlib as _hl
+
+    cents = kmeans_fit_int(sf_dir, k, iters)
+    if cents is None:
+        return rd.from_arrow(pa.table(
+            {"cluster": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        ))
+
+    def tag(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"vec_id": [], "cluster": [], "_hkey": []})
+        ids, Q = _kmeans_load_q(batch)
+        a, _d = _kmeans_assign_int(Q, cents)
+        hv = np.fromiter(
+            (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": a.astype("int64"), "_hkey": hv}
+        )
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_hkey", "vec_id"])
+        rank = np.arange(1, len(g) + 1, dtype=np.int64)
+        out = g.iloc[: min(cap, len(g))]
+        return pd.DataFrame(
+            {"cluster": out["cluster"].astype("int64"),
+             "vec_id": out["vec_id"].astype("int64"),
+             "rank": rank[: len(out)]}
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(quota, batch_format="pandas")
+    )
+
+
+def cluster_quota_sample_reference(
+    sf_dir: str, cap: int = 40, k: int = 8, iters: int = 6
+) -> list[dict]:
+    """Single-process recompute of cluster_quota_sample — the frozen-
+    VALUES oracle pin (same integer fit, same md5 priority)."""
+    import hashlib as _hl
+
+    ref = kmeans_embed_reference(sf_dir, k, iters)
+    by_cluster: dict[int, list[tuple[int, int]]] = {}
+    for r in ref:
+        i = int(r["vec_id"])
+        hv = int(_hl.md5(str(i).encode()).hexdigest()[:8], 16)
+        by_cluster.setdefault(int(r["cluster"]), []).append((hv, i))
+    out = []
+    for c in sorted(by_cluster):
+        for rank, (_hv, i) in enumerate(sorted(by_cluster[c])[:cap], start=1):
+            out.append({"cluster": c, "vec_id": i, "rank": rank})
+    return out
+
+
 def semantic_dedup_clustered_reference(
     sf_dir: str, threshold: float = 0.45, k: int = 8, iters: int = 6
 ) -> list[dict]:

@@ -2609,3 +2609,36 @@ def test_semantic_dedup_clustered_matches_reference_and_supersets_exact():
     assert got == want
     exact = set(semantic_dedup_survivors(sf).to_pandas()["vec_id"])
     assert exact <= set(got)
+
+
+def test_cluster_quota_sample_caps_and_matches_reference():
+    """Cluster-balanced sampling: <= cap rows per k-means cluster, chosen
+    by the hash_sample md5 priority — identical to the sequential
+    recompute over the same integer fit."""
+    from spiderman_ray.pipelines.vectors import (
+        cluster_quota_sample,
+        cluster_quota_sample_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = cluster_quota_sample(sf, cap=5).to_pandas().sort_values(
+        ["cluster", "rank"]).reset_index(drop=True)
+    want = pd.DataFrame(cluster_quota_sample_reference(sf, cap=5))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.groupby("cluster")["vec_id"].count() <= 5).all()
+
+
+def test_compression_ratio_orders_repetition():
+    """zlib ratio: a highly repetitive doc compresses below a diverse one;
+    engine equals the sequential recompute."""
+    from spiderman_ray.pipelines.text import (
+        compression_ratio,
+        compression_ratio_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = compression_ratio(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = pd.DataFrame(compression_ratio_reference(sf)).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["ratio_x10000"].between(1, 20000).all()
