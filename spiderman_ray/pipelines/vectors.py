@@ -65,7 +65,7 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
             out["sim"].extend(cand_sims[order])
         return pd.DataFrame(out)
 
-    partials = rd.read_parquet(_pq(sf_dir)).map_batches(
+    partials = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pandas", batch_size=4096
     )
     return _reduce_topk_ds(partials, k)
@@ -100,7 +100,7 @@ def cosine_pairs_ds(sf_dir: str, threshold: float = 0.45, chunk_rows: int = 2048
     approximate path for corpus-scale runs; this exact operator doubles as
     its recall oracle."""
     normed = (
-        rd.read_parquet(_pq(sf_dir))
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
         .map_batches(_normalize_chunk, batch_format="pandas", batch_size=chunk_rows)
         .repartition(target_num_rows_per_block=chunk_rows)
     )
@@ -239,7 +239,7 @@ def cosine_lsh_pairs_ds(
     # pair-scale on a skewed corpus, so only the unique verified pairs
     # leave the exchange
     return (
-        rd.read_parquet(_pq(sf_dir))
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
         .map_batches(sig_rows, batch_format="pandas", batch_size=2048)
         .map_batches(shard, batch_format="pyarrow")
         .groupby("_bshard")
@@ -376,7 +376,7 @@ def ann_ivf_topk(
             out["sim"].extend(sims[order])
         return pd.DataFrame(out)
 
-    partials = rd.read_parquet(_pq(sf_dir)).map_batches(
+    partials = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pandas", batch_size=4096
     )
     return _reduce_topk_ds(partials, k)
@@ -395,7 +395,7 @@ def embedding_norms(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return rd.read_parquet(_pq(sf_dir)).map_batches(norms, batch_format="pandas")
+    return rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(norms, batch_format="pandas")
 
 
 def sq8_quantize(sf_dir: str) -> rd.Dataset:
@@ -425,7 +425,7 @@ def sq8_quantize(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return rd.read_parquet(_pq(sf_dir)).map_batches(quant, batch_format="pandas")
+    return rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(quant, batch_format="pandas")
 
 
 def _sq8_codes(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -456,7 +456,7 @@ def knn_graph(sf_dir: str, k: int = 3, chunk_rows: int = 2048) -> rd.Dataset:
     from spiderman_ray.pipelines.text import _shard64_of
 
     normed = (
-        rd.read_parquet(_pq(sf_dir))
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
         .map_batches(_normalize_chunk, batch_format="pandas", batch_size=chunk_rows)
         .repartition(target_num_rows_per_block=chunk_rows)
     )
@@ -666,7 +666,7 @@ def knn_graph_ivf(
         return g[["vec_id", "neighbor_id", "sim_x1m", "rank"]].astype("int64")
 
     return (
-        rd.read_parquet(_pq(sf_dir))
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
         .map_batches(assign, batch_format="pandas", batch_size=chunk_rows)
         .groupby("_gshard")
         .map_groups(local_knn, batch_format="pandas")
@@ -1081,7 +1081,7 @@ def pq_quantize(
             }
         )
 
-    return rd.read_parquet(_pq(sf_dir)).map_batches(encode, batch_format="pandas")
+    return rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(encode, batch_format="pandas")
 
 
 def pq_quantize_reference(
@@ -1147,7 +1147,7 @@ def ann_pq_topk(
             out["sim"].extend(exact)
         return pd.DataFrame(out)
 
-    partials = rd.read_parquet(_pq(sf_dir)).map_batches(
+    partials = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pandas", batch_size=4096
     )
     return _reduce_topk_ds(partials, k)
@@ -1181,7 +1181,7 @@ def lang_centroids(sf_dir: str) -> pa.Table:
         out.insert(0, "vec_id", batch["vec_id"].to_numpy())
         return out
 
-    embs = rd.read_parquet(_pq(sf_dir)).map_batches(widen, batch_format="pandas")
+    embs = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(widen, batch_format="pandas")
     joined = embs.join(docs, join_type="inner", num_partitions=16,
                        on=("vec_id",), right_on=("doc_id",))
 
@@ -1277,7 +1277,7 @@ def ann_ivfpq_topk(
             out["sim"].extend(exact[keep])
         return pd.DataFrame(out)
 
-    partials = rd.read_parquet(_pq(sf_dir)).map_batches(
+    partials = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pandas", batch_size=4096
     )
     return _reduce_topk_ds(partials, k)
@@ -1397,7 +1397,7 @@ def pca_embed(sf_dir: str, k: int = 4) -> rd.Dataset:
             out[f"p{c}"] = P[:, c]
         return pd.DataFrame(out)
 
-    return rd.read_parquet(_pq(sf_dir)).map_batches(project, batch_format="pandas")
+    return rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(project, batch_format="pandas")
 
 
 def pca_embed_reference(sf_dir: str, k: int = 4) -> list[dict]:
