@@ -1451,23 +1451,37 @@ def kmeans_fit_int(sf_dir: str, k: int = 8, iters: int = 6) -> np.ndarray | None
     the (k, d) int64 centroid lattice, or None for an empty table. Each
     round is one streaming pass emitting O(k x d) int64 partial sums +
     counts per block, Python-bigint-merged on the driver — bit-identical
-    under ANY partitioning, no seed, no sample."""
-    seed_rows = (
+    under ANY partitioning, no seed, no sample.
+
+    The quantized working set is materialized ONCE into the object store
+    (distributed + spillable — the iterative-algorithm exception to the
+    no-mid-pipeline-materialize rule, same as the BSP graph shards): the
+    6 Lloyd rounds then iterate over resident int64 blocks instead of
+    re-reading and re-quantizing storage per round."""
+
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"vec_id": [], "q": []})
+        ids, Q = _kmeans_load_q(batch)
+        return pd.DataFrame({"vec_id": ids, "q": list(Q)})
+
+    qds = (
         rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
-        .sort("vec_id").limit(k).take_all()
+        .map_batches(quant, batch_format="pandas")
+        .materialize()
     )
+    seed_rows = qds.sort("vec_id").limit(k).take_all()
     if not seed_rows:
         return None
-    cents = _pca_quantize(
-        np.array([r["embedding"] for r in seed_rows], dtype=np.float32)
+    cents = np.stack(
+        [np.asarray(r["q"], dtype=np.int64) for r in seed_rows]
     )
 
-    load_q = _kmeans_load_q
     for _ in range(iters):
         def partial(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
             if len(batch) == 0:
                 return pd.DataFrame({"cl": [], "s": [], "n": []})
-            _, Q = load_q(batch)
+            Q = np.stack(batch["q"].to_numpy()).astype(np.int64)
             a, _d = _kmeans_assign_int(Q, cents)
             out_cl, out_s, out_n = [], [], []
             for j in np.unique(a):
@@ -1478,8 +1492,7 @@ def kmeans_fit_int(sf_dir: str, k: int = 8, iters: int = 6) -> np.ndarray | None
             return pd.DataFrame({"cl": out_cl, "s": out_s, "n": out_n})
 
         rows = (
-            rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"])
-            .map_batches(partial, batch_format="pandas")
+            qds.map_batches(partial, batch_format="pandas")
             .take_all()
         )  # O(blocks x k) tiny summary rows
         sums = {j: np.zeros(cents.shape[1], dtype=object) for j in range(k)}
