@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": lambda sf: T.curate(sf),
         # full-strength flagship: curate + MinHash near-dup removal
         "curate_full": lambda sf: T.curate_full(sf),
+        # round-4 flagship: curate + zlib-band gate + per-domain quota
+        # (pin = independent DuckDB-manifest + python zlib/quota recompute)
+        "curate_v2": lambda sf: T.curate_v2(sf),
         # HyperLogLog distinct sketch. The estimate is approximate VS THE
         # TRUTH but a deterministic pure function of the registers — the
         # SQL oracle re-derives registers + the exact-integer harmonic
@@ -1631,6 +1634,48 @@ def _pin_oracle_sqls() -> dict[str, str]:
     out["kmeans_embed"] = _values_sql(
         kmeans_embed_reference(sf, k=8, iters=6),
         {"vec_id": "BIGINT", "cluster": "BIGINT", "dist": "BIGINT"},
+    )
+
+    # curate_v2: an INDEPENDENT recompute — curate's SQL manifest (each
+    # stage the already-hash-verified per-op oracle) run in DuckDB, then
+    # the zlib band gate + md5-priority domain quota applied in plain
+    # python (DEFLATE is not SQL-expressible; quota arithmetic is the
+    # domain_quota_sample contract).
+    import hashlib as _hl
+    import zlib as _zlib
+
+    import pyarrow.parquet as _pqm
+
+    con_v2 = duckdb.connect()
+    con_v2.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs_pq}'")
+    cur = con_v2.execute(_curate_sql()).df()
+    dtab = _pqm.read_table(
+        os.path.join(sf, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    raw = {int(i): t.encode("utf-8")
+           for i, t in zip(dtab["doc_id"].to_pylist(), dtab["text"].to_pylist())}
+    src = {int(i): s
+           for i, s in zip(dtab["doc_id"].to_pylist(), dtab["source"].to_pylist())}
+    by_src: dict[str, list] = {}
+    for r in cur.itertuples(index=False):
+        b = raw[int(r.doc_id)]
+        ratio = len(_zlib.compress(b, 6)) * 10000 // max(1, len(b))
+        if 4300 <= ratio <= 8400:
+            hv = int(_hl.md5(str(int(r.doc_id)).encode()).hexdigest()[:8], 16)
+            by_src.setdefault(src[int(r.doc_id)], []).append(
+                (hv, int(r.doc_id), str(r.lang_pred), int(r.n_tokens))
+            )
+    pin = []
+    for s_key in sorted(by_src):
+        ranked = sorted(by_src[s_key])[:15]
+        for rank, (_hv, did, lp, nt) in enumerate(ranked, start=1):
+            pin.append({"doc_id": did, "lang_pred": lp, "n_tokens": nt,
+                        "source": s_key, "rank": rank})
+    out["curate_v2"] = _values_sql(
+        pin,
+        {"doc_id": "BIGINT", "lang_pred": "VARCHAR", "n_tokens": "BIGINT",
+         "source": "VARCHAR", "rank": "BIGINT"},
     )
     return out
 

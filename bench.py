@@ -215,6 +215,7 @@ def run_bench() -> dict:
             "spiderman_ray.pipelines.graph", fromlist=["x"]
         ).pagerank_bsp(SF_DIR).count()),
         ("curate", lambda: T.curate(SF_DIR).count()),
+        ("curate_v2", lambda: T.curate_v2(SF_DIR).count()),
         ("knn_graph", lambda: V.knn_graph(SF_DIR).count()),
         # approximate nprobe (the corpus-scale graph build) — timed against
         # the exact knn_graph line above

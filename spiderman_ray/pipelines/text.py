@@ -2124,6 +2124,116 @@ class _CurateStage(LangId):
         return out[ok.to_numpy()]
 
 
+class _CurateV2Stage(_CurateStage):
+    """v2 fused gate pass: everything _CurateStage computes PLUS the zlib
+    compression-ratio band gate (repetition/randomness filter) and the
+    source column carried through for the downstream domain quota — still
+    ONE corpus read, rows failing any gate dropped inside the stage."""
+
+    def __init__(self, min_tokens: int, bench_thresh: int,
+                 ratio_lo: int, ratio_hi: int):
+        super().__init__(min_tokens, bench_thresh)
+        self.ratio_lo, self.ratio_hi = ratio_lo, ratio_hi
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        out = super().__call__(batch)
+        if len(out) == 0:
+            return out.assign(source=pd.Series([], dtype="object"))
+        by_id = batch.set_index("doc_id")
+        texts = by_id["text"]
+        ratios = np.fromiter(
+            (len(zlib.compress(texts[i].encode("utf-8"), 6)) * 10000
+             // max(1, len(texts[i].encode("utf-8")))
+             for i in out["doc_id"]),
+            dtype=np.int64, count=len(out),
+        )
+        out = out.assign(source=by_id["source"].loc[out["doc_id"]].to_numpy())
+        keep = (ratios >= self.ratio_lo) & (ratios <= self.ratio_hi)
+        return out[keep]
+
+
+def curate_v2(
+    sf_dir: str, min_tokens: int = 5, bench_pct: int = 10,
+    ratio_lo: int = 4300, ratio_hi: int = 8400, domain_cap: int = 15,
+) -> rd.Dataset:
+    """The round-4 curation flagship: ``curate``'s gates + exact dedup +
+    decontamination, EXTENDED with the two new corpus-curation signals —
+
+    1. the fused gate pass additionally drops docs outside the zlib
+       compression-ratio band [ratio_lo, ratio_hi] (too repetitive OR too
+       random — the Gopher-family filter) and carries ``source``,
+    2. after dedup + decontamination, a per-domain quota caps survivors
+       at ``domain_cap`` docs per source (CCNet/RefinedWeb balancing),
+       priority = the hash_sample md5 arithmetic.
+
+    Same scale shape as ``curate`` (fp-shard dedup, Dataset anti-join,
+    nothing corpus-sized on the driver) plus ONE more exchange for the
+    source-shard quota rank. Output: (doc_id, lang_pred, n_tokens,
+    source, rank) — the balanced curated-corpus manifest."""
+    bench_thresh = (bench_pct << 32) // 100
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_fshard", pa.array(_shard64_of(batch["fp"].to_pylist()))
+        )
+
+    def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort")
+        keep = g["fp"].ne(g["fp"].shift())
+        return g.loc[keep, ["doc_id", "lang_pred", "n_tokens", "source"]]
+
+    survivors = (
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "text", "source"])
+        .map_batches(
+            _CurateV2Stage,
+            fn_constructor_args=(min_tokens, bench_thresh, ratio_lo, ratio_hi),
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=pool_size(2),
+        )
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(first_per_fp, batch_format="pandas")
+    )
+
+    contaminated = decontaminate(sf_dir, bench_pct=bench_pct)
+    clean = anti_join_ids(
+        survivors,
+        contaminated,
+        "doc_id",
+        payload={"lang_pred": pa.string(), "n_tokens": pa.int64(),
+                 "source": pa.string()},
+    )
+
+    def qshard(batch: pa.Table) -> pa.Table:
+        hv = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+             for d in batch["doc_id"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        return batch.append_column(
+            "_hkey", pa.array(hv, type=pa.int64())
+        ).append_column(
+            "_sshard", pa.array(_shard64_of(batch["source"].to_pylist()))
+        )
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "_hkey", "doc_id"],
+                          ascending=[True, True, True])
+        rank = g.groupby("source", sort=False).cumcount() + 1
+        out = g[rank <= domain_cap].assign(
+            rank=rank[rank <= domain_cap].astype("int64"))
+        return out[["doc_id", "lang_pred", "n_tokens", "source", "rank"]]
+
+    return (
+        clean.map_batches(qshard, batch_format="pyarrow")
+        .groupby("_sshard")
+        .map_groups(quota, batch_format="pandas")
+    )
+
+
 def curate(sf_dir: str, min_tokens: int = 5, bench_pct: int = 10) -> rd.Dataset:
     """Composed corpus-curation flagship: the end-to-end pass a training-data
     user runs before tokenization, as ONE streaming Dataset —

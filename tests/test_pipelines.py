@@ -2642,3 +2642,30 @@ def test_compression_ratio_orders_repetition():
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["ratio_x10000"].between(1, 20000).all()
+
+
+def test_curate_v2_band_quota_contracts():
+    """v2 flagship: survivors are a subset of curate's manifest, every
+    survivor's zlib ratio is inside the band, each source holds <= cap
+    rows, and rank follows the md5-priority order."""
+    import hashlib
+    import zlib
+
+    from spiderman_ray.pipelines.text import curate, curate_v2
+
+    sf = "/root/testdata/sf0.001"
+    got = curate_v2(sf).to_pandas()
+    base = curate(sf).to_pandas()
+    assert set(got["doc_id"]) <= set(base["doc_id"])
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    raw = {r.doc_id: r.text.encode("utf-8") for r in docs.itertuples()}
+    for d in got["doc_id"]:
+        ratio = len(zlib.compress(raw[d], 6)) * 10000 // max(1, len(raw[d]))
+        assert 4300 <= ratio <= 8400, (d, ratio)
+    assert (got.groupby("source")["doc_id"].count() <= 15).all()
+    for _, g in got.groupby("source"):
+        prio = g["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+        order = g.assign(_p=prio).sort_values(["_p", "doc_id"])
+        assert list(order["rank"]) == list(range(1, len(g) + 1))
