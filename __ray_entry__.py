@@ -1592,16 +1592,20 @@ def _pin_oracle_sqls() -> dict[str, str]:
         semantic_dedup_lsh_reference(sf),
         {"vec_id": "BIGINT"},
     )
-    from spiderman_ray.pipelines.vectors import semantic_dedup_clustered_reference
+    from spiderman_ray.pipelines.vectors import (
+        cluster_quota_sample_reference,
+        kmeans_embed_reference,
+        semantic_dedup_clustered_reference,
+    )
 
+    # one sequential Lloyd fit shared by the three kmeans-family pins
+    kref = kmeans_embed_reference(sf, k=8, iters=6)
     out["semantic_dedup_clustered"] = _values_sql(
-        semantic_dedup_clustered_reference(sf),
+        semantic_dedup_clustered_reference(sf, ref=kref),
         {"vec_id": "BIGINT"},
     )
-    from spiderman_ray.pipelines.vectors import cluster_quota_sample_reference
-
     out["cluster_quota_sample"] = _values_sql(
-        cluster_quota_sample_reference(sf),
+        cluster_quota_sample_reference(sf, ref=kref),
         {"cluster": "BIGINT", "vec_id": "BIGINT", "rank": "BIGINT"},
     )
     from spiderman_ray.pipelines.text import compression_ratio_reference
@@ -1629,10 +1633,8 @@ def _pin_oracle_sqls() -> dict[str, str]:
         {"vec_id": "BIGINT", "p0": "BIGINT", "p1": "BIGINT",
          "p2": "BIGINT", "p3": "BIGINT"},
     )
-    from spiderman_ray.pipelines.vectors import kmeans_embed_reference
-
     out["kmeans_embed"] = _values_sql(
-        kmeans_embed_reference(sf, k=8, iters=6),
+        kref,
         {"vec_id": "BIGINT", "cluster": "BIGINT", "dist": "BIGINT"},
     )
 
@@ -1646,9 +1648,10 @@ def _pin_oracle_sqls() -> dict[str, str]:
 
     import pyarrow.parquet as _pqm
 
-    con_v2 = duckdb.connect()
-    con_v2.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs_pq}'")
-    cur = con_v2.execute(_curate_sql()).df()
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM '{docs_pq}'"
+    )
+    cur = con.execute(_curate_sql()).df()
     dtab = _pqm.read_table(
         os.path.join(sf, "documents.parquet"),
         columns=["doc_id", "text", "source"],

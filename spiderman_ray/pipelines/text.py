@@ -1409,42 +1409,58 @@ def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None,
     )
 
 
+def _md5_priority(ids: list) -> np.ndarray:
+    """The hash_sample md5-prefix priority (hash of doc_id, ascending) —
+    the ONE copy of the arithmetic every quota/rank op shares with its
+    DuckDB UBIGINT-cast oracle."""
+    return np.fromiter(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in ids),
+        dtype=np.int64, count=len(ids),
+    )
+
+
+def _quota_by_key(
+    ds: rd.Dataset, key: str, cap: int, out_cols: list[str]
+) -> rd.Dataset:
+    """Per-key quota rank shared by ``domain_quota_sample`` and
+    ``curate_v2``: md5(doc_id) priority (hash asc, doc_id tie), hash-shard
+    dispatch on ``key`` (O(parallelism) group keys, the
+    ``top_docs_per_lang`` shape), vectorized rank inside the shard, keep
+    rank <= cap. Per-group output is O(cap)."""
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_hkey",
+            pa.array(_md5_priority(batch["doc_id"].to_pylist()),
+                     type=pa.int64()),
+        ).append_column(
+            "_kshard", pa.array(_shard64_of(batch[key].to_pylist()))
+        )
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "_hkey", "doc_id"], ascending=True)
+        rank = g.groupby(key, sort=False).cumcount() + 1
+        out = g[rank <= cap].assign(rank=rank[rank <= cap].astype("int64"))
+        return out[out_cols]
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(quota, batch_format="pandas")
+    )
+
+
 def domain_quota_sample(sf_dir: str, cap: int = 10) -> rd.Dataset:
     """Per-domain quota sampling: keep at most ``cap`` documents per source
     domain, chosen by a deterministic hash priority — the CCNet/RefinedWeb
     domain-balancing move that stops a handful of giant hosts from dominating
     a web corpus. Priority is the same md5-prefix arithmetic as
     ``hash_sample`` (hash(doc_id) ascending, doc_id tie-break), so the keep
-    set is reproducible across runs, layouts and cluster sizes. Grouping is
-    by a hash shard of source (O(parallelism) dispatch, the
-    ``top_docs_per_lang`` shape); inside a shard one vectorized pandas sort
-    + groupby-cumcount ranks every domain at once. The shuffle moves only
-    the 3 projected columns; per-group output is O(cap)."""
-
-    def shard(batch: pa.Table) -> pa.Table:
-        hv = np.fromiter(
-            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-             for d in batch["doc_id"].to_pylist()),
-            dtype=np.int64, count=batch.num_rows,
-        )
-        return batch.append_column(
-            "_hkey", pa.array(hv, type=pa.int64())
-        ).append_column(
-            "_sshard", pa.array(_shard64_of(batch["source"].to_pylist()))
-        )
-
-    def quota(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["source", "_hkey", "doc_id"],
-                          ascending=[True, True, True])
-        rank = g.groupby("source", sort=False).cumcount() + 1
-        out = g[rank <= cap].assign(rank=rank[rank <= cap].astype("int64"))
-        return out[["source", "doc_id", "rank"]]
-
-    return (
-        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "source"])
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby("_sshard")
-        .map_groups(quota, batch_format="pandas")
+    set is reproducible across runs, layouts and cluster sizes. One
+    ``_quota_by_key`` exchange; only the 3 projected columns move."""
+    return _quota_by_key(
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "source"]),
+        "source", cap, ["source", "doc_id", "rank"],
     )
 
 
@@ -2142,11 +2158,10 @@ class _CurateV2Stage(_CurateStage):
         if len(out) == 0:
             return out.assign(source=pd.Series([], dtype="object"))
         by_id = batch.set_index("doc_id")
-        texts = by_id["text"]
+        raws = [by_id["text"][i].encode("utf-8") for i in out["doc_id"]]
         ratios = np.fromiter(
-            (len(zlib.compress(texts[i].encode("utf-8"), 6)) * 10000
-             // max(1, len(texts[i].encode("utf-8")))
-             for i in out["doc_id"]),
+            (len(zlib.compress(b, 6)) * 10000 // max(1, len(b))
+             for b in raws),
             dtype=np.int64, count=len(out),
         )
         out = out.assign(source=by_id["source"].loc[out["doc_id"]].to_numpy())
@@ -2207,30 +2222,9 @@ def curate_v2(
                  "source": pa.string()},
     )
 
-    def qshard(batch: pa.Table) -> pa.Table:
-        hv = np.fromiter(
-            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-             for d in batch["doc_id"].to_pylist()),
-            dtype=np.int64, count=batch.num_rows,
-        )
-        return batch.append_column(
-            "_hkey", pa.array(hv, type=pa.int64())
-        ).append_column(
-            "_sshard", pa.array(_shard64_of(batch["source"].to_pylist()))
-        )
-
-    def quota(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["source", "_hkey", "doc_id"],
-                          ascending=[True, True, True])
-        rank = g.groupby("source", sort=False).cumcount() + 1
-        out = g[rank <= domain_cap].assign(
-            rank=rank[rank <= domain_cap].astype("int64"))
-        return out[["doc_id", "lang_pred", "n_tokens", "source", "rank"]]
-
-    return (
-        clean.map_batches(qshard, batch_format="pyarrow")
-        .groupby("_sshard")
-        .map_groups(quota, batch_format="pandas")
+    return _quota_by_key(
+        clean, "source", domain_cap,
+        ["doc_id", "lang_pred", "n_tokens", "source", "rank"],
     )
 
 

@@ -782,7 +782,11 @@ def cluster_cosine_pairs_ds(
 
     def tag(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"vec_id": [], "cluster": [], "embedding": []})
+            return pd.DataFrame(
+                {"vec_id": np.array([], dtype="int64"),
+                 "cluster": np.array([], dtype="int64"),
+                 "embedding": []}
+            )
         ids, Q = _kmeans_load_q(batch)
         a, _d = _kmeans_assign_int(Q, cents)
         return pd.DataFrame(
@@ -848,15 +852,18 @@ def cluster_quota_sample(
 
     def tag(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"vec_id": [], "cluster": [], "_hkey": []})
+            return pd.DataFrame(
+                {"vec_id": np.array([], dtype="int64"),
+                 "cluster": np.array([], dtype="int64"),
+                 "_hkey": np.array([], dtype="int64")}
+            )
+        from spiderman_ray.pipelines.text import _md5_priority
+
         ids, Q = _kmeans_load_q(batch)
         a, _d = _kmeans_assign_int(Q, cents)
-        hv = np.fromiter(
-            (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
-            dtype=np.int64, count=len(ids),
-        )
         return pd.DataFrame(
-            {"vec_id": ids, "cluster": a.astype("int64"), "_hkey": hv}
+            {"vec_id": ids, "cluster": a.astype("int64"),
+             "_hkey": _md5_priority(list(ids))}
         )
 
     def quota(g: pd.DataFrame) -> pd.DataFrame:
@@ -878,13 +885,17 @@ def cluster_quota_sample(
 
 
 def cluster_quota_sample_reference(
-    sf_dir: str, cap: int = 40, k: int = 8, iters: int = 6
+    sf_dir: str, cap: int = 40, k: int = 8, iters: int = 6,
+    ref: list[dict] | None = None,
 ) -> list[dict]:
     """Single-process recompute of cluster_quota_sample — the frozen-
-    VALUES oracle pin (same integer fit, same md5 priority)."""
+    VALUES oracle pin (same integer fit, same md5 priority). Pass a
+    precomputed ``kmeans_embed_reference`` result as ``ref`` to share
+    one sequential fit across the pin family."""
     import hashlib as _hl
 
-    ref = kmeans_embed_reference(sf_dir, k, iters)
+    if ref is None:
+        ref = kmeans_embed_reference(sf_dir, k, iters)
     by_cluster: dict[int, list[tuple[int, int]]] = {}
     for r in ref:
         i = int(r["vec_id"])
@@ -898,13 +909,17 @@ def cluster_quota_sample_reference(
 
 
 def semantic_dedup_clustered_reference(
-    sf_dir: str, threshold: float = 0.45, k: int = 8, iters: int = 6
+    sf_dir: str, threshold: float = 0.45, k: int = 8, iters: int = 6,
+    ref: list[dict] | None = None,
 ) -> list[dict]:
     """Single-process recompute of semantic_dedup_clustered — the frozen-
     VALUES oracle pin. The fit is exact-integer (bit-identical to the
     distributed one by construction); per-cluster matrices are sorted by
-    vec_id on both sides, so the float sims see identical inputs."""
-    ref = kmeans_embed_reference(sf_dir, k, iters)
+    vec_id on both sides, so the float sims see identical inputs. Pass a
+    precomputed ``kmeans_embed_reference`` result as ``ref`` to share
+    one sequential fit across the pin family."""
+    if ref is None:
+        ref = kmeans_embed_reference(sf_dir, k, iters)
     if not ref:
         return []
     t = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
@@ -1461,7 +1476,9 @@ def kmeans_fit_int(sf_dir: str, k: int = 8, iters: int = 6) -> np.ndarray | None
 
     def quant(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"vec_id": [], "q": []})
+            return pd.DataFrame(
+                {"vec_id": np.array([], dtype="int64"), "q": []}
+            )
         ids, Q = _kmeans_load_q(batch)
         return pd.DataFrame({"vec_id": ids, "q": list(Q)})
 
@@ -1499,7 +1516,9 @@ def kmeans_fit_int(sf_dir: str, k: int = 8, iters: int = 6) -> np.ndarray | None
         cnts = {j: 0 for j in range(k)}
         for r in rows:
             j = int(r["cl"])
-            sums[j] += np.asarray(r["s"], dtype=object)
+            # int(x) per element: genuine Python-bigint accumulation (a
+            # bare np.int64 += would wrap at 2^63 instead of promoting)
+            sums[j] += np.array([int(x) for x in r["s"]], dtype=object)
             cnts[j] += int(r["n"])
         new = cents.copy()
         for j in range(k):
