@@ -561,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib ratio quality/repetition signal (Gopher-family filter);
         # DEFLATE is not SQL-expressible -> frozen-VALUES pin
         "compression_ratio": lambda sf: T.compression_ratio(sf),
+        # incremental ingest dedup vs a base-corpus snapshot (fp-shard
+        # membership; base/new split = the hash_sample md5 rule)
+        "incremental_dedup": lambda sf: T.incremental_dedup(sf),
         # overlapping token-window chunking (LLM indexing/training prep)
         "doc_chunks": lambda sf: T.doc_chunks(sf),
         # content-defined chunking (Rabin/FastCDC family), chunk-level fps
@@ -2201,6 +2204,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 "
             "AS BIGINT) AS pos FROM k"
+        ),
+        "incremental_dedup": (
+            # same md5-split arithmetic as hash_sample (base = hash < 50%);
+            # fp membership + first-wins mirror pipelines.text
+            "WITH t AS (SELECT doc_id, md5(text) AS fp, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) >= {(50 << 32) // 100} AS is_new FROM documents), "
+            "old AS (SELECT DISTINCT fp FROM t WHERE NOT is_new), "
+            "nw AS (SELECT doc_id, fp, ROW_NUMBER() OVER "
+            "(PARTITION BY fp ORDER BY doc_id) AS rn FROM t "
+            "WHERE is_new AND fp NOT IN (SELECT fp FROM old)) "
+            "SELECT doc_id, fp FROM nw WHERE rn = 1"
         ),
         "domain_quota_sample": (
             # same md5-prefix priority as hash_sample; cap=10 per source

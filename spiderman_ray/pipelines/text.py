@@ -1464,6 +1464,51 @@ def domain_quota_sample(sf_dir: str, cap: int = 10) -> rd.Dataset:
     )
 
 
+def incremental_dedup(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
+    """Incremental ingest dedup: the production shape where a NEW batch of
+    documents lands against an EXISTING corpus snapshot — keep only new
+    docs whose content fingerprint (md5, the ``dedup_exact`` contract)
+    appears nowhere in the base corpus, first-wins within the new batch.
+    The base/new split is the hash_sample md5 rule on doc_id (base =
+    hash < base_pct), so the split is deterministic at any layout.
+
+    Scale shape: ONE read tags split membership + fp, ONE fp-shard
+    exchange (hash64(fp) % 64 — keys O(parallelism)); inside a shard the
+    base-fp set is complete, so membership is a vectorized isin and
+    first-wins is the ``curate`` shift-compare — no base-corpus
+    fingerprint set ever materializes outside its shard (at a real 100-TB
+    snapshot the base side would be the stored fp column, columns-pruned
+    at the read). Output: (doc_id, fp) — the admitted new docs."""
+    thresh = (base_pct << 32) // 100
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hv = _md5_priority(batch["doc_id"].to_pylist())
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": pa.array(fps, type=pa.string()),
+                "is_new": pa.array((hv >= thresh).tolist(), type=pa.bool_()),
+                "_fshard": pa.array(_shard64_of(fps)),
+            }
+        )
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        old_fps = g.loc[~g["is_new"], "fp"]
+        out = g[g["is_new"] & ~g["fp"].isin(set(old_fps))]
+        out = out.sort_values(["fp", "doc_id"], kind="mergesort")
+        keep = out["fp"].ne(out["fp"].shift())
+        return out.loc[keep, ["doc_id", "fp"]]
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(admit, batch_format="pandas")
+    )
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
     """Per-document zlib compression ratio — the classic cheap quality /
     repetition signal (highly repetitive or templated text compresses far

@@ -2669,3 +2669,35 @@ def test_curate_v2_band_quota_contracts():
             lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
         order = g.assign(_p=prio).sort_values(["_p", "doc_id"])
         assert list(order["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_incremental_dedup_plants_cross_split_and_within_new_dups(tmp_path):
+    """Planted collisions: a new doc duplicating a BASE doc is rejected, a
+    pair of new docs sharing text admits only the min doc_id, and unique
+    new docs are admitted — on a crafted corpus where the gate data's
+    all-unique texts can't exercise the branches."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import incremental_dedup
+
+    def is_new(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) >= (50 << 32) // 100
+
+    base_id = next(d for d in range(1000) if not is_new(d))
+    new_ids = [d for d in range(1000) if is_new(d)][:4]
+    rows = {
+        base_id: "shared with base",
+        new_ids[0]: "shared with base",     # cross-split dup -> rejected
+        new_ids[1]: "dup inside new",
+        new_ids[2]: "dup inside new",       # within-new dup -> min id wins
+        new_ids[3]: "genuinely fresh",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(rows), type=pa.int64()),
+            "text": pa.array(list(rows.values()), type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = sorted(incremental_dedup(str(tmp_path)).to_pandas()["doc_id"])
+    assert got == sorted([min(new_ids[1], new_ids[2]), new_ids[3]])
