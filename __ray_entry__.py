@@ -564,6 +564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental ingest dedup vs a base-corpus snapshot (fp-shard
         # membership; base/new split = the hash_sample md5 rule)
         "incremental_dedup": lambda sf: T.incremental_dedup(sf),
+        # its MinHash sibling: admit a new doc only if its near-dup
+        # component holds no base doc (one admission per component)
+        "incremental_dedup_minhash": lambda sf: T.incremental_dedup_minhash(sf),
         # overlapping token-window chunking (LLM indexing/training prep)
         "doc_chunks": lambda sf: T.doc_chunks(sf),
         # content-defined chunking (Rabin/FastCDC family), chunk-level fps
@@ -2112,6 +2115,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
             "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
             "SELECT DISTINCT lbl AS doc_id FROM m"
+        ),
+        "incremental_dedup_minhash": (
+            # dedup_minhash's component labels + the hash_sample md5 split:
+            # all-new components admit their min node, base-touched none
+            f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
+            "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node), "
+            "s AS (SELECT node, lbl, "
+            "CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) >= {(50 << 32) // 100} AS is_new FROM m), "
+            "bc AS (SELECT DISTINCT lbl FROM s WHERE NOT is_new) "
+            "SELECT CAST(MIN(node) AS BIGINT) AS doc_id, "
+            "CAST(lbl AS BIGINT) AS cluster_id FROM s "
+            "WHERE is_new AND lbl NOT IN (SELECT lbl FROM bc) GROUP BY lbl"
         ),
         "minhash_clusters": (
             # same recursive component labels, every node kept

@@ -228,6 +228,8 @@ def run_bench() -> dict:
         ("domain_quota_sample", lambda: T.domain_quota_sample(SF_DIR).count()),
         ("compression_ratio", lambda: T.compression_ratio(SF_DIR).count()),
         ("incremental_dedup", lambda: T.incremental_dedup(SF_DIR).count()),
+        ("incremental_dedup_minhash",
+         lambda: T.incremental_dedup_minhash(SF_DIR).count()),
         ("video_near_dups", lambda: _modal_near_dups("video")),
         ("audio_near_dups", lambda: _modal_near_dups("audio")),
     ]:

@@ -1509,6 +1509,50 @@ def incremental_dedup(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
     )
 
 
+def incremental_dedup_minhash(
+    sf_dir: str, base_pct: int = 50, threshold: float = 0.6
+) -> rd.Dataset:
+    """NEAR-dup incremental ingest — ``incremental_dedup``'s MinHash
+    sibling: a new doc is admitted only if its verified near-dup component
+    (the ``minhash_clusters`` labels) contains NO base-corpus doc, and each
+    all-new component admits exactly one representative (min doc_id). The
+    base/new split is the hash_sample md5 rule, shared with the SQL
+    oracle's UBIGINT cast.
+
+    Scale shape: the component machinery is ``minhash_clusters`` unchanged
+    (LSH banding, size-gated UF / distributed label propagation); on top,
+    ONE cluster-shard exchange (hash64(cluster_id) % 64) — inside a shard
+    every member of a cluster is present, so base-contamination and the
+    min-new pick are vectorized pandas groupbys. Output:
+    (doc_id, cluster_id) — the admitted new docs."""
+    thresh = (base_pct << 32) // 100
+    clusters = minhash_clusters(sf_dir, threshold)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hv = _md5_priority(batch["doc_id"].to_pylist())
+        return batch.append_column(
+            "is_new", pa.array((hv >= thresh).tolist(), type=pa.bool_())
+        ).append_column(
+            "_cshard", pa.array(_shard64_of(batch["cluster_id"].to_pylist()))
+        )
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        contaminated = set(g.loc[~g["is_new"], "cluster_id"])
+        new = g[g["is_new"] & ~g["cluster_id"].isin(contaminated)]
+        adm = (new.groupby("cluster_id", sort=False)["doc_id"].min()
+               .reset_index())
+        return pd.DataFrame(
+            {"doc_id": adm["doc_id"].astype("int64"),
+             "cluster_id": adm["cluster_id"].astype("int64")}
+        )
+
+    return (
+        clusters.map_batches(tag, batch_format="pyarrow")
+        .groupby("_cshard")
+        .map_groups(admit, batch_format="pandas")
+    )
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
     """Per-document zlib compression ratio — the classic cheap quality /
     repetition signal (highly repetitive or templated text compresses far

@@ -2701,3 +2701,32 @@ def test_incremental_dedup_plants_cross_split_and_within_new_dups(tmp_path):
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     got = sorted(incremental_dedup(str(tmp_path)).to_pandas()["doc_id"])
     assert got == sorted([min(new_ids[1], new_ids[2]), new_ids[3]])
+
+
+def test_incremental_dedup_minhash_component_contracts():
+    """Near-dup ingest: admitted docs are new, each is the min NEW member
+    of its component, and no admitted component contains a base doc —
+    checked directly against the minhash_clusters labels."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import (
+        incremental_dedup_minhash,
+        minhash_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = incremental_dedup_minhash(sf).to_pandas()
+    labels = minhash_clusters(sf).to_pandas()
+
+    def is_new(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) >= (50 << 32) // 100
+
+    labels["is_new"] = labels["doc_id"].map(is_new)
+    by_cluster = labels.groupby("cluster_id")
+    want = []
+    for cid, g in by_cluster:
+        if (~g["is_new"]).any():
+            continue
+        want.append((int(g["doc_id"].min()), int(cid)))
+    got_pairs = sorted(zip(got["doc_id"], got["cluster_id"]))
+    assert got_pairs == sorted(want)
