@@ -707,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_lsh": lambda sf: V.cosine_dup_pairs_lsh(sf),
         # exact k-NN graph over every vector (SemDeDup building block)
         "knn_graph": lambda sf: V.knn_graph(sf),
+        # leave-one-out kNN majority-label eval (the embedding-space
+        # quality check; first consumer of the label column)
+        "knn_label_agreement": lambda sf: V.knn_label_agreement(sf),
         # IVF-bucketed kNN graph (the sub-O(n^2) graph build) at
         # nprobe=n_centroids: exhaustive probe == exact knn_graph
         # row-for-row, so it shares that hash oracle; pytest covers the
@@ -846,6 +849,25 @@ _SIMHASH_CTE = (
 )
 
 #: 3-word shingle sets (split-on-space), == pipelines.text._shingle_hashes
+def _knn_graph_sql(k: int) -> str:
+    """Exact k-NN graph oracle shared by knn_graph (k=3), knn_graph_ivf
+    and knn_label_agreement (k=5): rank on int64 sims quantized x1e6
+    (double-cast lists so DuckDB computes in float64 like the engine's
+    normalized matmul); ties by neighbor_id — mirrors
+    pipelines.vectors.knn_graph."""
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) "
+        "AS BIGINT) AS sim_x1m FROM e a JOIN e b ON a.vec_id != b.vec_id) "
+        "SELECT vec_id, neighbor_id, sim_x1m, CAST(rank AS BIGINT) AS rank "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY sim_x1m DESC, neighbor_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
 _SHINGLES_CTE = (
     "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
     "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
@@ -2075,19 +2097,21 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node) "
             "SELECT DISTINCT lbl AS vec_id FROM m"
         ),
-        "knn_graph": (
-            # rank on int64 sims quantized x1e6 (double-cast lists so DuckDB
-            # computes in float64 like the engine's normalized matmul); ties
-            # by neighbor_id — mirrors pipelines.vectors.knn_graph
-            "WITH e AS (SELECT vec_id, list_transform(embedding, "
-            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
-            "scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
-            "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) "
-            "AS BIGINT) AS sim_x1m FROM e a JOIN e b ON a.vec_id != b.vec_id) "
-            "SELECT vec_id, neighbor_id, sim_x1m, CAST(rank AS BIGINT) AS rank "
-            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
-            "ORDER BY sim_x1m DESC, neighbor_id) AS rank FROM scored) "
-            "WHERE rank <= 3"
+        "knn_graph": _knn_graph_sql(3),
+        "knn_label_agreement": (
+            # majority label among the k=5 exact neighbors vs own label;
+            # vote ties: count desc, then smallest label — mirrors
+            # pipelines.vectors.knn_label_agreement
+            f"WITH nn AS ({_knn_graph_sql(5)}), "
+            "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label "
+            "FROM embeddings), "
+            "v AS (SELECT nn.vec_id, l.label AS nbr_label, COUNT(*) AS c "
+            "FROM nn JOIN lab l ON l.vec_id = nn.neighbor_id GROUP BY 1, 2), "
+            "p AS (SELECT vec_id, nbr_label AS pred, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY c DESC, nbr_label) AS rn FROM v) "
+            "SELECT p.vec_id, lab.label, p.pred, "
+            "CAST(lab.label = p.pred AS BIGINT) AS agree "
+            "FROM p JOIN lab ON lab.vec_id = p.vec_id WHERE rn = 1"
         ),
         # -- round-2 oracles for previously no_oracle queries ---------------
         "lang_id": _lang_id_sql(),

@@ -220,6 +220,7 @@ def run_bench() -> dict:
         # approximate nprobe (the corpus-scale graph build) — timed against
         # the exact knn_graph line above
         ("knn_graph_ivf", lambda: V.knn_graph_ivf(SF_DIR).count()),
+        ("knn_label_agreement", lambda: V.knn_label_agreement(SF_DIR).count()),
         ("semantic_dedup", lambda: V.semantic_dedup_survivors(SF_DIR).count()),
         ("semantic_dedup_clustered",
          lambda: V.semantic_dedup_clustered(SF_DIR).count()),

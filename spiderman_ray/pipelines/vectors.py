@@ -829,6 +829,120 @@ def semantic_dedup_clustered(
     return _survivors_from_pairs(sf_dir, pairs, driver_pair_cap)
 
 
+def knn_label_agreement(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Embedding-space quality eval: leave-one-out kNN label agreement —
+    for every vector, the majority label among its k exact cosine nearest
+    neighbors (``knn_graph``, whose int64-quantized sims make the
+    neighbor sets SQL-reproducible) versus its own label; the standard
+    check that an embedding space separates its classes, and the first
+    consumer of the table's ``label`` column. Vote tie-break: highest
+    count, then SMALLEST label — shared with the SQL oracle's
+    ROW_NUMBER order.
+
+    Scale shape: THREE shard-bucketed exchanges on the pinned
+    sort-shuffle (NOT the native hash join — its aggregator actors
+    deadlock under a tight single-node CPU quota, the BASELINE
+    "hash-shuffle experiment"; the union-mark-merge bucketed join is the
+    house pattern): attach each neighbor's label where the neighbor
+    lives, vote per vec_id (per-group state O(k)), attach the self label.
+    Union transit columns are ZERO-padded ints, never nulls (the pandas
+    int64->float64 widening invariant). Output:
+    (vec_id, label, pred, agree)."""
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    nbrs = knn_graph(sf_dir, k=k).drop_columns(["sim_x1m", "rank"])
+
+    def mark_nbr(batch: pa.Table) -> pa.Table:
+        key = batch["neighbor_id"].cast(pa.int64())
+        n = batch.num_rows
+        return pa.table(
+            {"key": key,
+             "vec_id": batch["vec_id"].cast(pa.int64()),
+             "val": pa.array([0] * n, type=pa.int64()),
+             "side": pa.array([0] * n, type=pa.int64()),
+             "_kshard": pa.array(_shard64_of(key.to_pylist()))}
+        )
+
+    def mark_label(batch: pa.Table) -> pa.Table:
+        key = batch["vec_id"].cast(pa.int64())
+        n = batch.num_rows
+        return pa.table(
+            {"key": key,
+             "vec_id": pa.array([0] * n, type=pa.int64()),
+             "val": batch["label"].cast(pa.int64()),
+             "side": pa.array([1] * n, type=pa.int64()),
+             "_kshard": pa.array(_shard64_of(key.to_pylist()))}
+        )
+
+    labels = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "label"])
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        nb = g[g["side"] == 0]
+        lb = g.loc[g["side"] == 1, ["key", "val"]]
+        m = nb.merge(lb, on="key", how="inner", suffixes=("", "_l"))
+        return pd.DataFrame(
+            {"vec_id": m["vec_id"].astype("int64"),
+             "nbr_label": m["val_l"].astype("int64")}
+        )
+
+    nl = (
+        nbrs.map_batches(mark_nbr, batch_format="pyarrow")
+        .union(labels.map_batches(mark_label, batch_format="pyarrow"))
+        .groupby("_kshard")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def vshard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_vshard", pa.array(_shard64_of(batch["vec_id"].to_pylist()))
+        )
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["vec_id", "nbr_label"]).size().reset_index(name="c")
+        t = t.sort_values(["vec_id", "c", "nbr_label"],
+                          ascending=[True, False, True])
+        t = t.drop_duplicates("vec_id")
+        return pd.DataFrame(
+            {"vec_id": t["vec_id"].astype("int64"),
+             "pred": t["nbr_label"].astype("int64")}
+        )
+
+    voted = (
+        nl.map_batches(vshard, batch_format="pyarrow")
+        .groupby("_vshard")
+        .map_groups(vote, batch_format="pandas")
+    )
+
+    def mark_pred(batch: pa.Table) -> pa.Table:
+        key = batch["vec_id"].cast(pa.int64())
+        n = batch.num_rows
+        return pa.table(
+            {"key": key,
+             "vec_id": key,
+             "val": batch["pred"].cast(pa.int64()),
+             "side": pa.array([0] * n, type=pa.int64()),
+             "_kshard": pa.array(_shard64_of(key.to_pylist()))}
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g.loc[g["side"] == 0, ["key", "val"]]
+        lb = g.loc[g["side"] == 1, ["key", "val"]]
+        m = pr.merge(lb, on="key", how="inner", suffixes=("_p", "_l"))
+        lbl = m["val_l"].astype("int64")
+        prd = m["val_p"].astype("int64")
+        return pd.DataFrame(
+            {"vec_id": m["key"].astype("int64"), "label": lbl, "pred": prd,
+             "agree": (lbl == prd).astype("int64")}
+        )
+
+    return (
+        voted.map_batches(mark_pred, batch_format="pyarrow")
+        .union(labels.map_batches(mark_label, batch_format="pyarrow"))
+        .groupby("_kshard")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def cluster_quota_sample(
     sf_dir: str, cap: int = 40, k: int = 8, iters: int = 6
 ) -> rd.Dataset:

@@ -2730,3 +2730,28 @@ def test_incremental_dedup_minhash_component_contracts():
         want.append((int(g["doc_id"].min()), int(cid)))
     got_pairs = sorted(zip(got["doc_id"], got["cluster_id"]))
     assert got_pairs == sorted(want)
+
+
+def test_knn_label_agreement_equals_vote_recompute():
+    """Engine == a pandas recompute from knn_graph(k=5) + the label column
+    with the same vote rule (count desc, smallest label tie)."""
+    from spiderman_ray.pipelines.vectors import knn_graph, knn_label_agreement
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_label_agreement(sf).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    nbrs = knn_graph(sf, k=5).to_pandas()
+    lab = pq.read_table(sf + "/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    lmap = dict(zip(lab["vec_id"], lab["label"].astype("int64")))
+    nbrs["nbr_label"] = nbrs["neighbor_id"].map(lmap)
+    t = nbrs.groupby(["vec_id", "nbr_label"]).size().reset_index(name="c")
+    t = t.sort_values(["vec_id", "c", "nbr_label"],
+                      ascending=[True, False, True]).drop_duplicates("vec_id")
+    want = pd.DataFrame(
+        {"vec_id": t["vec_id"].astype("int64"),
+         "label": t["vec_id"].map(lmap).astype("int64"),
+         "pred": t["nbr_label"].astype("int64")}
+    ).sort_values("vec_id").reset_index(drop=True)
+    want["agree"] = (want["label"] == want["pred"]).astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
