@@ -763,6 +763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doris_buckets": lambda sf: __import__(
             "spiderman_ray.pipelines.storesinks", fromlist=["x"]
         ).doris_buckets(sf),
+        "kafka_topic": lambda sf: __import__(
+            "spiderman_ray.pipelines.storesinks", fromlist=["x"]
+        ).kafka_topic(sf),
         # ES analog is index BUILD + distributed AND-of-terms search
         "es_search": lambda sf: __import__(
             "spiderman_ray.pipelines.storesinks", fromlist=["x"]
@@ -848,7 +851,6 @@ _SIMHASH_CTE = (
     "ELSE 0 END) AS t FROM acc GROUP BY doc_id))"
 )
 
-#: 3-word shingle sets (split-on-space), == pipelines.text._shingle_hashes
 def _knn_graph_sql(k: int) -> str:
     """Exact k-NN graph oracle shared by knn_graph (k=3), knn_graph_ivf
     and knn_label_agreement (k=5): rank on int64 sims quantized x1e6
@@ -868,6 +870,7 @@ def _knn_graph_sql(k: int) -> str:
     )
 
 
+#: 3-word shingle sets (split-on-space), == pipelines.text._shingle_hashes
 _SHINGLES_CTE = (
     "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
     "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
@@ -2594,6 +2597,23 @@ def oracle_sql() -> dict[str, str]:
             "AS keyid FROM orders) "
             "SELECT CAST(CAST(('0x' || substr(md5(keyid), 1, 8)) AS UBIGINT) % 4 "
             "AS BIGINT) AS bucket, count(*) AS n FROM k GROUP BY 1 ORDER BY 1"
+        ),
+        # pipelines_kafka.py:17-44 message shape: key=tablename, value=
+        # JSON of str()'d fields + content keyid + meta; partition =
+        # doris_bucket_of(keyid) % 4 (deterministic analog of the
+        # reference's random.choice), reconstructed here so the oracle
+        # verifies message PLACEMENT as well as contents
+        "kafka_topic": (
+            "WITH k AS (SELECT '2026-01-01_' || upper(md5(concat_ws(chr(1), "
+            "'supplier_kafka', CAST(s_suppkey AS VARCHAR), s_name, "
+            "CAST(s_nationkey AS VARCHAR)))) AS keyid, "
+            "CAST(s_suppkey AS VARCHAR) AS s_suppkey, s_name, "
+            "CAST(s_nationkey AS VARCHAR) AS s_nationkey FROM supplier) "
+            "SELECT CAST(CAST(('0x' || substr(md5(keyid), 1, 8)) AS UBIGINT) % 4 "
+            "AS BIGINT) AS part_id, 'supplier_kafka' AS msg_key, keyid, "
+            "s_suppkey, s_name, s_nationkey, "
+            "'2026-01-01' AS bizdate, '2026-01-01 00:00:00' AS ctime, "
+            "'zhifang_sim' AS spider FROM k"
         ),
         # ES inverted index + AND-of-terms search: whitespace tokens
         # (the shared top_tokens convention), tf per (doc, term),

@@ -193,7 +193,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         print(json.dumps(res))
         ray.shutdown()
         return 0
-    elif args.fmt in ("hbase", "mongo", "hdfs", "doris", "es"):
+    elif args.fmt in ("hbase", "mongo", "hdfs", "doris", "es", "kafka"):
         # external-store sink analogs (sources/sinks.py). Row stores get
         # the reference's str() coercion; binary payload columns are
         # dropped first (the reference's items never carry bytes —
@@ -229,6 +229,10 @@ def cmd_export(args: argparse.Namespace) -> int:
                 id_col=args.id_col,
                 text_col=args.text_col,
             )
+        elif args.fmt == "kafka":
+            # topic = the crawl/spider table name, key = tablename — the
+            # reference's (topic=spider.name, key=item.tablename) shape
+            res = sinks.write_topic_kafka(tbl, args.dest, args.table)
         else:
             writer = {
                 "hbase": sinks.write_table_hbase,
@@ -418,13 +422,13 @@ def main(argv=None) -> int:
     e = sub.add_parser(
         "export",
         help="export a crawled table to csv/parquet or an external-store "
-        "sink analog (hbase/mongo/hdfs/doris/es)",
+        "sink analog (hbase/mongo/hdfs/doris/es/kafka)",
     )
     e.add_argument("--out", required=True, help="crawl output dir")
     e.add_argument("--table", default="pages")
     e.add_argument("--fmt", default="csv",
                    choices=["csv", "parquet", "jsonl", "txt", "sqlite",
-                            "hbase", "mongo", "hdfs", "doris", "es"])
+                            "hbase", "mongo", "hdfs", "doris", "es", "kafka"])
     e.add_argument("--delimiter", default=",", help="txt format delimiter "
                    "(DATAFILE_DELIMITER parity)")
     e.add_argument("--dest", required=True)

@@ -53,3 +53,28 @@ def configure_shuffle(choice: str | None = None) -> str:
     strategy = ShuffleStrategy(_SHUFFLE_NAMES[choice])
     DataContext.get_current().shuffle_strategy = strategy
     return strategy.value
+
+
+#: SPIDERMAN_JOIN mirror of the shuffle knob (round-4 verdict ask #7):
+#: 'bucketed' (default) keeps the hand-rolled union-mark-merge / fp-shard
+#: exchanges that are safe under a tight single-node CPU quota (the
+#: BASELINE.md hash-shuffle/native-join deadlock experiments); 'native'
+#: switches the join SITES (text.anti_join_ids, vectors.
+#: knn_label_agreement) to ray.data Dataset.join so a real multi-node
+#: cluster can A/B the aggregator-actor model without code edits.
+_JOIN_CHOICES = ("bucketed", "native")
+
+
+def join_strategy(choice: str | None = None) -> str:
+    """Resolve the join-path knob: ``choice`` (or the SPIDERMAN_JOIN env
+    var) is 'bucketed' (default) or 'native'. Read at CALL TIME by the
+    join sites — pure code-path selection, no DataContext mutation, so
+    library code may call it freely."""
+    import os
+
+    choice = choice or os.environ.get("SPIDERMAN_JOIN", "bucketed")
+    if choice not in _JOIN_CHOICES:
+        raise ValueError(
+            f"SPIDERMAN_JOIN={choice!r}: expected one of {sorted(_JOIN_CHOICES)}"
+        )
+    return choice

@@ -127,3 +127,27 @@ def es_search(sf_dir: str) -> rd.Dataset:
     root = _root(sf_dir)
     sinks.write_index_es(docs, root, "documents_idx")
     return sinks.search_index_es(root, "documents_idx", ES_TERMS, k=ES_TOPK)
+
+
+#: the Kafka demo topic: partition count for the deterministic placement
+KAFKA_PARTITIONS = 4
+
+
+def kafka_topic(sf_dir: str) -> pa.Table:
+    """Supplier rows through the Kafka analog: one keyed JSON message per
+    row on topic 'zhifang_sim' (key = tablename, value = str()'d fields +
+    keyid + meta), hash-partitioned by keyid into 4 partitions, consumed
+    back key-filtered and sorted by keyid. Verifies write -> keyed topic
+    layout -> consumer parse end-to-end; placement (part_id) uses the
+    SQL-expressible doris_bucket_of hash so the oracle checks WHERE each
+    message landed, not just its contents."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    root = _root(sf_dir)
+    sinks.write_topic_kafka(
+        ds, root, SPIDER, tablename="supplier_kafka",
+        partitions=KAFKA_PARTITIONS, spider=SPIDER, bizdate=BIZDATE, ctime=CTIME,
+    )
+    return sinks.read_topic_kafka(root, SPIDER, key="supplier_kafka")

@@ -18,6 +18,9 @@ row-at-a-time and drop poison rows):
               `create table if not exists` DDL)
 - Doris       SP/pipelines/pipelines_doris.py:17-115 (streamload;
               auto-create `DISTRIBUTED BY HASH(keyid) BUCKETS 2`)
+- Kafka       SP/pipelines/pipelines_kafka.py:17-44 (keyed topic:
+              key=tablename, value=JSON item+ctime, partitioned sends;
+              consumer analog: kafka_mon.py:17-29)
 
 None of those servers exist in this container, so each analog targets
 the same LOGICAL layout on local files, preserving the behavioral
@@ -70,6 +73,8 @@ __all__ = [
     "read_table_hdfs",
     "write_table_doris",
     "read_table_doris",
+    "write_topic_kafka",
+    "read_topic_kafka",
 ]
 
 _META = ("bizdate", "ctime", "spider")
@@ -609,3 +614,140 @@ def read_table_doris(root: str, tablename: str, bucket: int | None = None) -> pa
     if not parts:
         return pa.table({"keyid": pa.array([], type=pa.string())})
     return pa.concat_tables(parts).sort_by([("keyid", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Kafka: keyed topic of JSON messages, deterministic hash partitions
+# ---------------------------------------------------------------------------
+
+
+def write_topic_kafka(
+    ds,
+    root: str,
+    topic: str,
+    tablename: str | None = None,
+    partitions: int = 4,
+    spider: str = "zhifang_sim",
+    bizdate: str = "2026-01-01",
+    ctime: str = "2026-01-01 00:00:00",
+) -> dict:
+    """KafkaPipeline analog (SP/pipelines/pipelines_kafka.py:17-44): every
+    row becomes one message on topic = spider name dir, key = tablename,
+    value = the item's fields as JSON + ctime. Messages land in
+    {topic}/partition=<p>/part-*.jsonl, one part per input block per
+    partition (the house distributed-sink discipline: content-keyed
+    tmp+rename parts, no driver funnel, idempotent under task retry).
+
+    Deviations, both documented house upgrades shared with the other five
+    analogs: the reference picks a RANDOM partition per send
+    (random.choice(partitions)) and has no stable message id — here the
+    partition is the deterministic doris_bucket_of hash of the content
+    keyid (SQL-expressible, so placement is oracle-verifiable) and the
+    value carries the md5 content keyid, making loads re-runnable instead
+    of duplicating every row. Business values go through the reference's
+    universal str() coercion; a _schema.<key>.json sidecar records the
+    value field order for the reader.
+
+    A topic carries MANY tables (the reference funnels every table of a
+    spider through one topic, dispatched by message key), so a load wipes
+    only THIS key's parts — each part name is prefixed by the key's hash
+    — and other keys' messages survive."""
+    if tablename is None:
+        tablename = topic
+    tdir = os.path.join(root, topic)
+    kh = md5_hex(tablename)[:8]
+    for p in range(partitions):
+        pdir = os.path.join(tdir, f"partition={p}")
+        os.makedirs(pdir, exist_ok=True)
+        for fn in os.listdir(pdir):  # whole-TABLE load: replace this key only
+            if fn.startswith(f"part-{kh}-"):
+                os.remove(os.path.join(pdir, fn))
+    names = (
+        [c for c in ds.column_names if c not in _META]
+        if isinstance(ds, pa.Table)
+        else [c for c in ds.schema().names if c not in _META]
+    )
+
+    def write_part(batch: pa.Table) -> int:
+        business = [c for c in batch.column_names if c not in _META]
+        cols_vals = _stringify_columns(batch, business)
+        keyids = _keyids(tablename, bizdate, cols_vals)
+        pk = doris_bucket_of(keyids, partitions)
+        lines = []
+        for i, kid in enumerate(keyids):
+            value = {"keyid": kid}
+            for j, c in enumerate(business):
+                value[c] = cols_vals[j][i]
+            value.update(bizdate=bizdate, ctime=ctime, spider=spider)
+            lines.append(json.dumps({"key": tablename, "value": value}))
+        for p in sorted(set(pk.tolist())):
+            sel = [lines[i] for i in np.nonzero(pk == p)[0]]
+            part_key = md5_hex("\n".join(sel))[:16]
+            path = os.path.join(
+                tdir, f"partition={p}", f"part-{kh}-{part_key}.jsonl"
+            )
+            _atomic_write(path, ("\n".join(sel) + "\n").encode("utf-8"))
+        return len(keyids)
+
+    n = _drive(ds, write_part)
+    _atomic_write(
+        os.path.join(tdir, f"_schema.{tablename}.json"),
+        json.dumps(
+            {"topic": topic, "key": tablename, "partitions": partitions,
+             "fields": ["keyid", *names, *_META]}
+        ).encode("utf-8"),
+    )
+    return {"rows_written": n, "topic": topic, "dir": tdir,
+            "partitions": partitions, "key": tablename}
+
+
+def read_topic_kafka(
+    root: str, topic: str, key: str | None = None
+) -> pa.Table:
+    """Consume a written topic back (kafka_mon.py:17-29 consumer analog):
+    parse every partition's JSONL messages, filter by message key (the
+    consumer's `msg.key == tablename` dispatch — required when the topic
+    carries several tables), unpack values into columns using the key's
+    sidecar field order, sorted by keyid. Output: (part_id, msg_key,
+    keyid, <business cols>, bizdate, ctime, spider) — all value columns
+    as strings, per the str() write coercion."""
+    tdir = os.path.join(root, topic)
+    metas = {}
+    for fn in os.listdir(tdir):
+        if fn.startswith("_schema.") and fn.endswith(".json"):
+            m = json.loads(open(os.path.join(tdir, fn), encoding="utf-8").read())
+            metas[m["key"]] = m
+    if key is None:
+        if len(metas) != 1:
+            raise ValueError(
+                f"topic {topic!r} carries keys {sorted(metas)}; pass key="
+            )
+        key = next(iter(metas))
+    fields = metas[key]["fields"]
+    rows = []
+    for pdir in sorted(os.listdir(tdir)):
+        if not pdir.startswith("partition="):
+            continue
+        p = int(pdir.split("=")[1])
+        for fn in sorted(os.listdir(os.path.join(tdir, pdir))):
+            if not fn.endswith(".jsonl"):
+                continue
+            with open(os.path.join(tdir, pdir, fn), encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    msg = json.loads(line)
+                    if key is not None and msg["key"] != key:
+                        continue
+                    rows.append((p, msg["key"], [msg["value"].get(c) for c in fields]))
+    rows.sort(key=lambda r: r[2][0])  # keyid is fields[0]
+    return pa.table(
+        {
+            "part_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "msg_key": pa.array([r[1] for r in rows], type=pa.string()),
+            **{
+                c: pa.array([r[2][j] for r in rows], type=pa.string())
+                for j, c in enumerate(fields)
+            },
+        }
+    )

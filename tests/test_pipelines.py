@@ -2755,3 +2755,164 @@ def test_knn_label_agreement_equals_vote_recompute():
     ).sort_values("vec_id").reset_index(drop=True)
     want["agree"] = (want["label"] == want["pred"]).astype("int64")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cluster_cosine_pairs_fat_cluster_chunked(ray_session, tmp_path):
+    """Round-4 verdict fix #1: a k-means partition where ONE cluster holds
+    ~all vectors must not pin a cluster-sized matrix in any task — the
+    within-cluster pair search is the cosine_pairs_ds chunk-pair block
+    join restricted to same-cluster chunk pairs (chunk_rows=32 over a
+    240-row blob forces >= 8 blocks, so the fat cluster spans many block
+    pairs). Pairs must equal the brute-force same-cluster enumeration
+    over the SAME integer fit."""
+    from spiderman_ray.pipelines.vectors import (
+        _kmeans_assign_int,
+        _pca_quantize,
+        cluster_cosine_pairs_ds,
+        kmeans_fit_int,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 240, 16
+    base = rng.standard_normal(dim)
+    X = (base[None, :] + 0.02 * rng.standard_normal((n, dim))).astype(np.float32)
+    # vecs 0..2 are far-apart outliers; the min-k seed init makes them
+    # (plus one blob member) the initial centroids, so Lloyd leaves the
+    # whole blob in ONE fat cluster
+    for i in range(3):
+        X[i] = 0.0
+        X[i, i] = 25.0 * (i + 1)
+    d = tmp_path / "fat"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [[float(v) for v in row] for row in X],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = (
+        cluster_cosine_pairs_ds(str(d), threshold=0.9, k=4, iters=2, chunk_rows=32)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    # brute force over the same deterministic integer fit
+    Xq = np.array(
+        pq.read_table(str(d / "embeddings.parquet"))["embedding"].to_pylist(),
+        dtype=np.float32,
+    )
+    cents = kmeans_fit_int(str(d), 4, 2)
+    a, _ = _kmeans_assign_int(_pca_quantize(Xq), cents)
+    assert (np.bincount(a, minlength=4).max()) >= n * 0.9  # genuinely fat
+    m = Xq.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want_pairs = sorted(
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if a[i] == a[j] and sims[i, j] > 0.9
+    )
+    assert want_pairs, "planted blob must produce in-cluster near-dups"
+    assert sorted(zip(got["a"], got["b"])) == want_pairs
+
+
+def test_fp_overlap_pairs_hot_bucket_cap_and_chunking(ray_session):
+    """Round-4 verdict fix #2: a degenerate fingerprint (all-black frame /
+    silent window) shared by more items than ``hot_fp_cap`` is DROPPED —
+    it carries no dedup signal for O(n^2) pair cost — while distinctive
+    shared fingerprints still pair up; and sub-cap enumeration sliced at
+    a tiny ``pair_chunk`` returns exactly the unchunked result."""
+    import ray.data as rd
+
+    from spiderman_ray.pipelines.multimodal import (
+        _fp_overlap_pairs,
+        _fp_overlap_pairs_reference,
+    )
+
+    ids, fs = [], []
+    for i in range(20):  # the black frame: fp=0 on every item
+        ids.append(f"C{i:02d}")
+        fs.append(0)
+    ids += ["C01", "C02"]          # distinctive shared frame
+    fs += [101, 101]
+    ids += ["C03", "C04", "C03", "C04"]  # two shared frames
+    fs += [102, 102, 103, 103]
+    ds = rd.from_arrow(
+        pa.table({"clip_id": pa.array(ids, pa.string()),
+                  "fp": pa.array(fs, pa.int64())})
+    )
+
+    capped = (
+        _fp_overlap_pairs(ds, "clip_id", 1, hot_fp_cap=10, pair_chunk=16)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert list(zip(capped["a"], capped["b"], capped["n_shared"])) == [
+        ("C01", "C02", 1), ("C03", "C04", 2),
+    ]
+
+    # sub-cap: tiny pair_chunk slices == the plain reference enumeration
+    full = (
+        _fp_overlap_pairs(ds, "clip_id", 1, hot_fp_cap=4096, pair_chunk=16)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    fps_map: dict[str, set] = {}
+    for cid, f in zip(ids, fs):
+        fps_map.setdefault(cid, set()).add(f)
+    want = _fp_overlap_pairs_reference(fps_map, 1)
+    assert [tuple(r.values()) for r in want] == list(
+        zip(full["a"], full["b"], full["n_shared"])
+    )
+    assert len(full) == 20 * 19 // 2  # hot bucket pairs present when uncapped
+    # reference mirrors the cap too
+    assert _fp_overlap_pairs_reference(fps_map, 1, hot_fp_cap=10) == [
+        {"a": "C01", "b": "C02", "n_shared": 1},
+        {"a": "C03", "b": "C04", "n_shared": 2},
+    ]
+
+
+def test_spiderman_join_native_equals_bucketed(ray_session, monkeypatch, tmp_path):
+    """SPIDERMAN_JOIN knob (round-4 verdict ask #7): the native
+    Dataset.join paths (anti_join_ids, knn_label_agreement) produce
+    exactly the bucketed exchanges' results, so a real cluster can A/B
+    the aggregator-actor join model with an env var, no code edits."""
+    from spiderman_ray.pipelines import join_strategy
+    from spiderman_ray.pipelines.text import anti_join_ids
+    from spiderman_ray.pipelines.vectors import knn_label_agreement
+
+    assert join_strategy() == "bucketed"  # default
+    with pytest.raises(ValueError, match="SPIDERMAN_JOIN"):
+        join_strategy("nope")
+
+    sf = "/root/testdata/sf0.001"
+    import ray.data as rd
+
+    left = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "v": pa.array(range(100), pa.int64())})
+    )
+    drop = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 5, 5, 7, 200], pa.int64())})
+    )
+    buck_aj = anti_join_ids(left, drop, "doc_id", payload={"v": pa.int64()})\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    buck_knn = knn_label_agreement(sf).to_pandas()\
+        .sort_values("vec_id").reset_index(drop=True)
+
+    monkeypatch.setenv("SPIDERMAN_JOIN", "native")
+    assert join_strategy() == "native"
+    nat_aj = anti_join_ids(left, drop, "doc_id", payload={"v": pa.int64()})\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    nat_knn = knn_label_agreement(sf).to_pandas()\
+        .sort_values("vec_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(buck_aj, nat_aj)
+    pd.testing.assert_frame_equal(buck_knn, nat_knn)
+    assert len(buck_aj) == 97  # dup + missing drop ids handled

@@ -213,3 +213,49 @@ def test_cli_export_to_sink_analogs(tmp_path, ray_session):
     assert r.returncode == 2
     err = json.loads(r.stdout.strip().splitlines()[-1])
     assert "id-col" in err["error"] and "pkey" in err["columns"]
+
+
+def test_kafka_topic_keyed_layout_and_consumer_dispatch(tmp_path):
+    """Kafka analog: one topic carries MANY tables dispatched by message
+    key (pipelines_kafka.py key=item.tablename); a reload replaces only
+    its own key's messages; partition placement is the deterministic
+    doris_bucket_of hash of the content keyid."""
+    root = str(tmp_path)
+    res = sinks.write_topic_kafka(_tbl(), root, "t_spider", "pages",
+                                  partitions=4, **PIN)
+    assert res["rows_written"] == 3 and res["partitions"] == 4
+    other = pa.table({"ikey": ["x", "y"], "url": ["u1", "u2"]})
+    sinks.write_topic_kafka(other, root, "t_spider", "images",
+                            partitions=4, **PIN)
+
+    pages = sinks.read_topic_kafka(root, "t_spider", key="pages")
+    assert pages.num_rows == 3
+    assert pages.column_names == [
+        "part_id", "msg_key", "keyid", "pkey", "price",
+        "bizdate", "ctime", "spider",
+    ]
+    assert set(pages["msg_key"].to_pylist()) == {"pages"}
+    assert pages["price"].to_pylist() == sorted(
+        ["10", "20", "30"],
+        key=lambda v: pages["price"].to_pylist().index(v),
+    )  # str()'d values
+    keyids = pages["keyid"].to_pylist()
+    assert keyids == sorted(keyids) and all(
+        k.startswith("2026-08-18_") for k in keyids
+    )
+    # placement matches the SQL-expressible hash
+    want_part = sinks.doris_bucket_of(keyids, 4)
+    assert pages["part_id"].to_pylist() == list(want_part)
+
+    imgs = sinks.read_topic_kafka(root, "t_spider", key="images")
+    assert imgs.num_rows == 2 and imgs.column_names[3] == "ikey"
+
+    # ambiguous read without a key names both
+    with pytest.raises(ValueError, match="images.*pages|pages.*images"):
+        sinks.read_topic_kafka(root, "t_spider")
+
+    # reload of pages replaces pages only; images messages survive
+    sinks.write_topic_kafka(_tbl(), root, "t_spider", "pages",
+                            partitions=4, **PIN)
+    assert sinks.read_topic_kafka(root, "t_spider", key="pages").num_rows == 3
+    assert sinks.read_topic_kafka(root, "t_spider", key="images").num_rows == 2
