@@ -658,6 +658,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 flagship: curate + zlib-band gate + per-domain quota
         # (pin = independent DuckDB-manifest + python zlib/quota recompute)
         "curate_v2": lambda sf: T.curate_v2(sf),
+        # the daily-increment flagship: v2 gates on the new md5-split side
+        # + exact dedup vs the base snapshot + decontamination + base-free
+        # near-dup representative + domain quota over the increment
+        "curate_v2_incremental": lambda sf: T.curate_v2_incremental(sf),
         # HyperLogLog distinct sketch. The estimate is approximate VS THE
         # TRUTH but a deterministic pure function of the registers — the
         # SQL oracle re-derives registers + the exact-integer harmonic
@@ -1708,6 +1712,82 @@ def _pin_oracle_sqls() -> dict[str, str]:
                         "source": s_key, "rank": rank})
     out["curate_v2"] = _values_sql(
         pin,
+        {"doc_id": "BIGINT", "lang_pred": "VARCHAR", "n_tokens": "BIGINT",
+         "source": "VARCHAR", "rank": "BIGINT"},
+    )
+
+    # curate_v2_incremental: independent recompute in the ENGINE's stage
+    # order — the per-op SQL oracles compose the SQL-expressible stages
+    # (gates, lang, md5 split, decontamination CTE, exact-Jaccard
+    # component labels = the minhash_clusters oracle), the zlib band /
+    # base-fp admission / representative pick / quota run in plain
+    # python over those intermediates.
+    split_thresh = (50 << 32) // 100
+
+    def _pri(d: int) -> int:
+        return int(_hl.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+
+    gates = con.execute(
+        f"WITH lang AS (SELECT * FROM ({_lang_id_sql()}) t), "
+        "flt AS (SELECT doc_id, source, md5(text) AS fp, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents "
+        "WHERE text NOT LIKE '%drop%' AND text NOT LIKE '%null%' "
+        "AND len(string_split(text, ' ')) >= 5 "
+        "AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) >= {(10 << 32) // 100} "
+        "AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) >= {split_thresh}) "
+        "SELECT f.doc_id, l.lang_pred, f.n_tokens, f.source, f.fp "
+        "FROM flt f JOIN lang l ON f.doc_id = l.doc_id"
+    ).df()
+    cand = []
+    for r in gates.itertuples(index=False):
+        b = raw[int(r.doc_id)]
+        ratio = len(_zlib.compress(b, 6)) * 10000 // max(1, len(b))
+        if 4300 <= ratio <= 8400:
+            cand.append((str(r.fp), int(r.doc_id), str(r.lang_pred),
+                         int(r.n_tokens), str(r.source)))
+    base_fps = {
+        _hl.md5(raw[d]).hexdigest() for d in raw if _pri(d) < split_thresh
+    }
+    admitted, seen_fp = [], set()
+    for fp, did, lp, nt, s_key in sorted(cand):  # first-wins by (fp, doc_id)
+        if fp in base_fps or fp in seen_fp:
+            continue
+        seen_fp.add(fp)
+        admitted.append((did, lp, nt, s_key))
+    contam = {
+        int(d) for d in con.execute(_decon_sql()).df()["doc_id"]
+    }
+    admitted = [t for t in admitted if t[0] not in contam]
+    labels = con.execute(
+        f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+        "edges AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION SELECT b, a FROM pairs), "
+        "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u) "
+        "SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node"
+    ).df()
+    lmap = {int(n): int(l) for n, l in zip(labels["node"], labels["lbl"])}
+    base_cl = {lmap[d] for d in lmap if _pri(d) < split_thresh}
+    by_cl: dict[int, tuple] = {}
+    for t in sorted(admitted):  # min doc_id per base-free component
+        c = lmap[t[0]]
+        if c not in base_cl:
+            by_cl.setdefault(c, t)
+    by_src2: dict[str, list] = {}
+    for did, lp, nt, s_key in sorted(by_cl.values()):
+        by_src2.setdefault(s_key, []).append((_pri(did), did, lp, nt))
+    pin2 = []
+    for s_key in sorted(by_src2):
+        for rank, (_hv, did, lp, nt) in enumerate(
+            sorted(by_src2[s_key])[:15], start=1
+        ):
+            pin2.append({"doc_id": did, "lang_pred": lp, "n_tokens": nt,
+                         "source": s_key, "rank": rank})
+    out["curate_v2_incremental"] = _values_sql(
+        pin2,
         {"doc_id": "BIGINT", "lang_pred": "VARCHAR", "n_tokens": "BIGINT",
          "source": "VARCHAR", "rank": "BIGINT"},
     )

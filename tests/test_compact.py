@@ -6,6 +6,10 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _make_store(tmp_path, n_parts=4, rows_per_part=100):
     """A tables/pages store with one gen= partition split into small parts

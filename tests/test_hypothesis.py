@@ -3,8 +3,11 @@
 import hashlib
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+pytestmark = pytest.mark.slow
 
 from spiderman_ray.functions.aescipher import CipherAES
 from spiderman_ray.functions.hashing import BLOOM_SEEDS, bloom_positions, fingerprints

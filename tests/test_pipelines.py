@@ -139,6 +139,7 @@ def test_phash_near_dups_skewed_bucket_matches_brute_force(tmp_path):
     assert got_pairs == want_pairs
 
 
+@pytest.mark.slow
 def test_image_dedup_survivors_exact_and_phash(tmp_path):
     """Survivors drop (a) exact byte dups (first image_id wins) and
     (b) pHash-dominated near-dups (component keeps min image_id);
@@ -620,6 +621,7 @@ def test_cosine_lsh_recall_vs_exact():
     assert len(exact & lsh) >= 0.8 * len(exact)
 
 
+@pytest.mark.slow
 def test_dedup_minhash_distributed_cc_equals_driver(tmp_path):
     """The distributed local-union-find label propagation must produce the
     same survivors as the driver union-find (forced via driver_pair_cap=0
@@ -870,6 +872,7 @@ def test_top_docs_per_lang_equals_window_rank():
     )
 
 
+@pytest.mark.slow
 def test_anti_join_ids_semantics_and_int64_stability():
     """The shared bucketed anti-join: drops exactly the drop-side keys,
     passes payload through, and int64 payloads survive the union+sort
@@ -1734,6 +1737,7 @@ def test_unigram_quality_equals_direct_recompute():
     want = pd.DataFrame(rows, columns=["doc_id", "logcount2_sum", "n_tokens"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+@pytest.mark.slow
 def test_pagerank_equals_python_power_iteration():
     """Integer fixed-point PageRank: the distributed supersteps equal a
     single-process power iteration exactly (integer ops are associative,
@@ -1821,6 +1825,7 @@ def test_crawl_host_authority_matches_sequential_lineage_recompute(tmp_path, ray
     assert len(img) and (img > teleport_floor).all()
 
 
+@pytest.mark.slow
 def test_table_diff_statuses_partition_the_perturbation():
     """Snapshot diff via FULL OUTER join: removed = keys % 13, added =
     spawned keys (offset 1e7), changed = repriced survivors (% 7 and not
@@ -1890,6 +1895,7 @@ def test_name_edit_dups_planted_variants(tmp_path):
     assert ("widget", "widgex") in got and ("wadgex", "widget") not in got
 
 
+@pytest.mark.slow
 def test_connected_components_equals_union_find():
     """Generic min-label CC: the label-propagation fixpoint equals a
     single-process union-find over the same undirected synthetic graph."""
@@ -2149,6 +2155,7 @@ def test_bigram_quality_equals_direct_recompute():
     want = pd.DataFrame(rows, columns=["doc_id", "logratio2_sum", "n_bigrams"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+@pytest.mark.slow
 def test_curate_full_removes_exactly_the_dominated_near_dups():
     from spiderman_ray.pipelines.text import curate, curate_full, minhash_loser_ids
 
@@ -2232,6 +2239,7 @@ def test_decontaminate_bloom_superset_no_false_negatives():
     fp_docs = set(bloom.index) - set(exact.index)
     assert len(fp_docs) <= max(5, len(exact) // 2)
 
+@pytest.mark.slow
 def test_minhash_clusters_distributed_path_equal():
     """Forcing driver_pair_cap=0 routes through the distributed label
     propagation + node-sharded attach; labels equal the driver-UF path."""
@@ -2878,6 +2886,7 @@ def test_fp_overlap_pairs_hot_bucket_cap_and_chunking(ray_session):
     ]
 
 
+@pytest.mark.slow
 def test_spiderman_join_native_equals_bucketed(ray_session, monkeypatch, tmp_path):
     """SPIDERMAN_JOIN knob (round-4 verdict ask #7): the native
     Dataset.join paths (anti_join_ids, knn_label_agreement) produce
@@ -2916,3 +2925,55 @@ def test_spiderman_join_native_equals_bucketed(ray_session, monkeypatch, tmp_pat
     pd.testing.assert_frame_equal(buck_aj, nat_aj)
     pd.testing.assert_frame_equal(buck_knn, nat_knn)
     assert len(buck_aj) == 97  # dup + missing drop ids handled
+
+
+@pytest.mark.slow
+def test_curate_v2_incremental_composition_invariants(ray_session):
+    """Daily-increment flagship: every admitted doc is (a) on the NEW side
+    of the md5 split, (b) exact-admitted (a subset of incremental_dedup's
+    fp admission), (c) not decontaminated, (d) the unique min-doc_id
+    representative of a base-free near-dup cluster, and (e) domain-quota
+    ranked. Deterministic across runs. (Exact equality vs the composed
+    DuckDB/python pin is the sf0.01 driver gate.)"""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import (
+        curate_v2_incremental,
+        decontaminate,
+        incremental_dedup,
+        minhash_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = curate_v2_incremental(sf).to_pandas().sort_values(
+        ["source", "rank"]).reset_index(drop=True)
+    again = curate_v2_incremental(sf).to_pandas().sort_values(
+        ["source", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+
+    split = (50 << 32) // 100
+    pri = lambda d: int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+    assert all(pri(d) >= split for d in got["doc_id"])  # (a)
+
+    exact_ok = set(incremental_dedup(sf).to_pandas()["doc_id"].astype(int))
+    assert set(got["doc_id"].astype(int)) <= exact_ok  # (b)
+
+    contam = set(decontaminate(sf).to_pandas()["doc_id"].astype(int))
+    assert not (set(got["doc_id"].astype(int)) & contam)  # (c)
+
+    cl = minhash_clusters(sf).to_pandas()
+    cmap = dict(zip(cl["doc_id"].astype(int), cl["cluster_id"].astype(int)))
+    base_cl = {c for d, c in cmap.items() if pri(d) < split}
+    clusters_seen = [cmap[int(d)] for d in got["doc_id"]]
+    assert len(set(clusters_seen)) == len(clusters_seen)  # one rep per cluster
+    assert not (set(clusters_seen) & base_cl)  # (d) base-free only
+    # the rep is the min admitted doc of its cluster
+    for d in got["doc_id"].astype(int):
+        mates = [m for m, c in cmap.items() if c == cmap[d] and m in exact_ok
+                 and m not in contam and pri(m) >= split]
+        assert d == min(mates)
+
+    per_src = got.groupby("source")["rank"].agg(["count", "min", "max"])
+    assert (per_src["count"] <= 15).all()
+    assert (per_src["min"] == 1).all()
+    assert (per_src["max"] == per_src["count"]).all()  # (e)

@@ -8,7 +8,7 @@ import pytest
 from spiderman_ray.policy import CrawlPolicy
 from spiderman_ray.simweb import SimParams
 
-pytestmark = pytest.mark.usefixtures("ray_session")
+pytestmark = [pytest.mark.usefixtures("ray_session"), pytest.mark.slow]
 
 CASES = [
     # heavy duplicate links + image dups
