@@ -64,6 +64,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # the bench contract is ONE JSON line on stdout: worker prints
+        # relayed to the driver (e.g. ray.data's log-dedup notices) have
+        # been observed landing BEFORE the JSON line — keep them off
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -226,11 +230,16 @@ def run_bench() -> dict:
          lambda: V.semantic_dedup_clustered(SF_DIR).count()),
         ("pca_embed", lambda: V.pca_embed(SF_DIR).count()),
         ("kmeans_embed", lambda: V.kmeans_embed(SF_DIR).count()),
+        # kmeans_fit_int is memoized per input file (r5): the three
+        # kmeans consumers in this list pay ONE fit between them
+        ("cluster_quota_sample", lambda: V.cluster_quota_sample(SF_DIR).count()),
         ("domain_quota_sample", lambda: T.domain_quota_sample(SF_DIR).count()),
         ("compression_ratio", lambda: T.compression_ratio(SF_DIR).count()),
         ("incremental_dedup", lambda: T.incremental_dedup(SF_DIR).count()),
         ("incremental_dedup_minhash",
          lambda: T.incremental_dedup_minhash(SF_DIR).count()),
+        ("curate_v2_incremental",
+         lambda: T.curate_v2_incremental(SF_DIR).count()),
         ("video_near_dups", lambda: _modal_near_dups("video")),
         ("audio_near_dups", lambda: _modal_near_dups("audio")),
     ]:
@@ -367,7 +376,8 @@ def run_deep() -> None:
     import ray
 
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
