@@ -564,6 +564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental ingest dedup vs a base-corpus snapshot (fp-shard
         # membership; base/new split = the hash_sample md5 rule)
         "incremental_dedup": lambda sf: T.incremental_dedup(sf),
+        # token-budget data mixing: keep per-source docs in md5-priority
+        # order while the source's token budget is not yet full
+        "token_budget_mixture": lambda sf: T.token_budget_mixture(sf),
         # its MinHash sibling: admit a new doc only if its near-dup
         # component holds no base doc (one admission per component)
         "incremental_dedup_minhash": lambda sf: T.incremental_dedup_minhash(sf),
@@ -2350,6 +2353,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source "
             "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS UBIGINT), doc_id) AS rank FROM documents) WHERE rank <= 10"
+        ),
+        "token_budget_mixture": (
+            # per-source running token sum in md5-priority order; keep a
+            # doc while the 600-token budget is not yet full when it
+            # arrives (cum - n_tokens < budget; 600 genuinely truncates
+            # at gate scale) — pipelines.text
+            # .token_budget_mixture contract
+            "WITH t AS (SELECT source, doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) AS pri FROM documents), "
+            "w AS (SELECT source, doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) "
+            "AS BIGINT) AS rank FROM t) "
+            "SELECT source, doc_id, n_tokens, cum_tokens, rank FROM w "
+            "WHERE cum_tokens - n_tokens < 600"
         ),
         "hash_sample": (
             # same md5-prefix arithmetic as pipelines.text.hash_sample

@@ -1549,6 +1549,56 @@ def domain_quota_sample(sf_dir: str, cap: int = 10) -> rd.Dataset:
     )
 
 
+def token_budget_mixture(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
+    """Token-budget data mixing: keep each source's docs in deterministic
+    md5-priority order until the source's TOKEN budget is exhausted — the
+    mixture-building step a training run does when the recipe says "N
+    tokens of source X", not "N documents" (domain_quota_sample's
+    token-weighted sibling; a doc is kept while the budget is not yet
+    full when it arrives, so the crossing doc is included and every
+    source ends at >= budget_tokens if it has them). Priority is the
+    hash_sample md5 arithmetic (hash(doc_id) asc, doc_id tie), so the
+    mixture is reproducible at any layout or cluster size.
+
+    Scale shape: one source-shard exchange (keys O(parallelism), the
+    _quota_by_key dispatch); inside a shard the per-source cumulative sum
+    is one vectorized pandas pass. Only (doc_id, source, n_tokens) cross
+    the exchange; per-source output is budget-bounded. Output: (source,
+    doc_id, n_tokens, cum_tokens, rank)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "source": batch["source"],
+             "n_tokens": pc.cast(toks, pa.int64()),
+             "_hkey": pa.array(_md5_priority(batch["doc_id"].to_pylist()),
+                               type=pa.int64()),
+             "_kshard": pa.array(_shard64_of(batch["source"].to_pylist()))}
+        )
+
+    def take_budget(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "_hkey", "doc_id"], kind="mergesort")
+        cum = g.groupby("source", sort=False)["n_tokens"].cumsum()
+        rank = g.groupby("source", sort=False).cumcount() + 1
+        keep = (cum - g["n_tokens"]) < budget_tokens  # budget not yet full
+        out = g[keep]
+        return pd.DataFrame(
+            {"source": out["source"],
+             "doc_id": out["doc_id"].astype("int64"),
+             "n_tokens": out["n_tokens"].astype("int64"),
+             "cum_tokens": cum[keep].astype("int64"),
+             "rank": rank[keep].astype("int64")}
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "text", "source"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(take_budget, batch_format="pandas")
+    )
+
+
 def incremental_dedup(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
     """Incremental ingest dedup: the production shape where a NEW batch of
     documents lands against an EXISTING corpus snapshot — keep only new
