@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-budget data mixing: keep per-source docs in md5-priority
         # order while the source's token budget is not yet full
         "token_budget_mixture": lambda sf: T.token_budget_mixture(sf),
+        # the T5 mixing rule: per-source weights ∝ sqrt(token count)
+        "mixture_weights": lambda sf: T.mixture_weights(sf),
         # its MinHash sibling: admit a new doc only if its near-dup
         # component holds no base doc (one admission per component)
         "incremental_dedup_minhash": lambda sf: T.incremental_dedup_minhash(sf),
@@ -724,6 +726,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ivf": lambda sf: V.knn_graph_ivf(sf, nprobe=16),
         # doc-metadata x vector native join -> per-language centroids
         "lang_centroids": lambda sf: V.lang_centroids(sf),
+        # per-label distance-to-centroid outliers (mislabel/noise screen;
+        # exact int64 squared-L2 on the 2^16 lattice)
+        "embedding_outliers": lambda sf: V.embedding_outliers(sf),
+        # pairwise cosine between label centroids (class-confusability
+        # diagnostic; exact bigint sums, float only in the last dot/sqrt)
+        "label_centroid_sim": lambda sf: V.label_centroid_sim(sf),
         # SemDeDup survivors: min vec_id per cosine near-dup component
         "semantic_dedup": lambda sf: V.semantic_dedup_survivors(sf),
         # same survivors over the LSH-candidate (exact-verified) pair
@@ -2167,6 +2175,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(sqrt(SUM((sv / n) * (sv / n))) * 1e6 + 0.5) AS BIGINT) "
             "AS centroid_norm_x1e6 FROM s GROUP BY lang"
         ),
+        "embedding_outliers": (
+            # exact-integer mirror of pipelines.vectors.embedding_outliers:
+            # floor(x*2^16 + 0.5) lattice, per-label HUGEINT component
+            # sums, centroid = FLOOR division (trunc-div corrected on
+            # negative sums to match Python //), squared-L2 rank desc.
+            # No float anywhere, so the hash match is exact by
+            # construction, not by quantization headroom.
+            "WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+            "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            "* 65536.0 + 0.5) AS BIGINT)) AS q FROM embeddings), "
+            "u AS (SELECT vec_id, label, generate_subscripts(q, 1) AS i, "
+            "unnest(q) AS qx FROM e), "
+            "c AS (SELECT label, i, SUM(qx) AS s, COUNT(*) AS n "
+            "FROM u GROUP BY label, i), "
+            "cf AS (SELECT label, i, CAST(s // n - CASE WHEN s % n <> 0 "
+            "AND s < 0 THEN 1 ELSE 0 END AS BIGINT) AS ci FROM c), "
+            "d AS (SELECT u.vec_id, u.label, CAST(SUM((u.qx - cf.ci) * "
+            "(u.qx - cf.ci)) AS BIGINT) AS d2 FROM u JOIN cf "
+            "ON u.label = cf.label AND u.i = cf.i GROUP BY u.vec_id, u.label) "
+            "SELECT label, vec_id, d2, rank FROM (SELECT label, vec_id, d2, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY label "
+            "ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank FROM d) "
+            "WHERE rank <= 10"
+        ),
+        "label_centroid_sim": (
+            # cosine is scale-invariant: run it on the RAW per-label
+            # lattice sums (exact HUGEINT dot/norms — same bigints as the
+            # engine driver merge); float enters only in the final
+            # dot/sqrt(na*nb), the identical IEEE expression, x1e6
+            "WITH e AS (SELECT CAST(label AS BIGINT) AS label, "
+            "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            "* 65536.0 + 0.5) AS BIGINT)) AS q FROM embeddings), "
+            "u AS (SELECT label, generate_subscripts(q, 1) AS i, "
+            "unnest(q) AS qx FROM e), "
+            "c AS (SELECT label, i, SUM(qx) AS s FROM u GROUP BY label, i), "
+            "p AS (SELECT a.label AS label_a, b.label AS label_b, "
+            "SUM(a.s * b.s) AS dot FROM c a JOIN c b ON a.i = b.i "
+            "AND a.label < b.label GROUP BY a.label, b.label), "
+            "nn AS (SELECT label, SUM(s * s) AS nsq FROM c GROUP BY label) "
+            "SELECT p.label_a, p.label_b, CAST(FLOOR(CAST(p.dot AS DOUBLE) "
+            "/ SQRT(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) "
+            "* 1000000 + 0.5) AS BIGINT) AS sim_x1m FROM p "
+            "JOIN nn na ON p.label_a = na.label "
+            "JOIN nn nb ON p.label_b = nb.label"
+        ),
         "semantic_dedup": (
             # survivors = min vec_id per connected component of the exact
             # cosine near-dup graph — same recursive min-label propagation
@@ -2371,6 +2424,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS rank FROM t) "
             "SELECT source, doc_id, n_tokens, cum_tokens, rank FROM w "
             "WHERE cum_tokens - n_tokens < 600"
+        ),
+        "mixture_weights": (
+            # T5 mixing rule w_s ∝ sqrt(n_s): exact BIGINT token sums per
+            # source, then sqrt + one division (both correctly rounded in
+            # IEEE 754 on numpy and DuckDB alike), quantized x1e6 —
+            # pipelines.text.mixture_weights contract
+            "WITH t AS (SELECT source, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY source), "
+            "w AS (SELECT source, n_tokens, "
+            "SQRT(CAST(n_tokens AS DOUBLE)) AS sw FROM t) "
+            "SELECT source, n_tokens, "
+            "CAST(FLOOR(sw / (SELECT SUM(sw) FROM w) * 1000000 + 0.5) "
+            "AS BIGINT) AS weight_x1m FROM w"
         ),
         "hash_sample": (
             # same md5-prefix arithmetic as pipelines.text.hash_sample

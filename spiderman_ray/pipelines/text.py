@@ -1599,6 +1599,53 @@ def token_budget_mixture(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
     )
 
 
+def mixture_weights(sf_dir: str) -> pa.Table:
+    """Temperature-sampled source mixture weights — the T5/mT5 mixing
+    rule w_s ∝ n_s^alpha with alpha = 1/2, which upsamples small sources
+    relative to proportional sampling (``token_budget_mixture`` then
+    realizes a recipe; this op WRITES the recipe). alpha is hardwired to
+    1/2 because SQRT is correctly rounded in IEEE 754 on both numpy and
+    DuckDB while general POWER is not — the only float ops are
+    sqrt + one division, identical both sides, quantized x1e6.
+
+    Scale shape: per-batch token-count partials pre-aggregate per source
+    (O(sources) rows per block), one tiny grouped SUM merges, and the
+    weight normalization is O(sources) driver work. Output:
+    (source, n_tokens, weight_x1m)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pylist(), "t": toks.to_pylist()}
+        )
+        agg = df.groupby("source", sort=False)["t"].sum().reset_index()
+        return pa.table(
+            {"source": pa.array(agg["source"], pa.string()),
+             "t": pa.array(agg["t"].astype("int64"))}
+        )
+
+    agg = (
+        rd.read_parquet(_pq(sf_dir), columns=["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("t", alias_name="n_tokens"))
+        .to_pandas()  # O(sources) rows — the answer, not the corpus
+        .sort_values("source")
+    )
+    n = agg["n_tokens"].to_numpy(dtype=np.int64)
+    w = np.sqrt(n.astype(np.float64))
+    weight = np.floor(w / w.sum() * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {"source": pa.array(list(agg["source"]), pa.string()),
+         "n_tokens": pa.array(n),
+         "weight_x1m": pa.array(weight)}
+    )
+
+
 def incremental_dedup(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
     """Incremental ingest dedup: the production shape where a NEW batch of
     documents lands against an EXISTING corpus snapshot — keep only new

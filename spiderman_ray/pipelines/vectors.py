@@ -1901,3 +1901,176 @@ def kmeans_embed_reference(sf_dir: str, k: int = 8, iters: int = 6) -> list[dict
         {"vec_id": int(ids[i]), "cluster": int(a[i]), "dist": int(d[i])}
         for i in range(len(ids))
     ]
+
+
+_Q16 = 65536.0  # 2^16 — exact power-of-two scale, see _q16
+
+
+def _q16(X: np.ndarray) -> np.ndarray:
+    """float32 embeddings -> exact int64 lattice via floor(x*2^16 + 0.5).
+    Deliberately NOT ``_pca_quantize``'s round-half-even: this lattice is
+    shared with a PURE-SQL oracle, and floor(x*65536.0 + 0.5) is the one
+    rounding both numpy and DuckDB spell with identical IEEE ops (the
+    *2^16 scale is exact, so engine and oracle quantize bit-equal; rint's
+    half-even has no cheap SQL twin)."""
+    return np.floor(X.astype(np.float64) * _Q16 + 0.5).astype(np.int64)
+
+
+def _label_centroid_sums(
+    sf_dir: str,
+) -> tuple[list[int], dict[int, np.ndarray], dict[int, int]]:
+    """Per-label EXACT integer centroid accumulators on the 2^16 lattice:
+    one streaming pass over embeddings emits O(labels x d) int64 partial
+    (label, component-sum, count) rows per block; the driver merges them
+    with Python bigints (the ``kmeans_fit_int`` accumulator shape — no
+    overflow at any corpus size, bit-identical under any partitioning).
+    Returns (sorted labels, label -> object-dtype bigint sum vector,
+    label -> count). Only summaries reach the driver, never vectors."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame | pa.Table:
+        if len(batch) == 0:  # typed empty (no null-typed Arrow columns)
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.list_(pa.int64())),
+                 "n": pa.array([], pa.int64())}
+            )
+        Q = _q16(np.stack(batch["embedding"].to_numpy()))
+        labels = batch["label"].to_numpy().astype(np.int64)
+        rows = []
+        for lb in np.unique(labels):
+            m = labels == lb
+            rows.append((int(lb), Q[m].sum(axis=0), int(m.sum())))
+        return pd.DataFrame(rows, columns=["label", "s", "n"])
+
+    rows = (
+        rd.read_parquet(_pq(sf_dir), columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pandas")
+        .take_all()
+    )  # O(blocks x labels) tiny summary rows
+    sums: dict[int, np.ndarray] = {}
+    cnts: dict[int, int] = {}
+    for r in rows:
+        lb = int(r["label"])
+        # int(x) per element: Python-bigint accumulation (np.int64 +=
+        # would wrap at 2^63 instead of promoting)
+        v = np.array([int(x) for x in r["s"]], dtype=object)
+        if lb in sums:
+            sums[lb] += v
+            cnts[lb] += int(r["n"])
+        else:
+            sums[lb] = v
+            cnts[lb] = int(r["n"])
+    return sorted(sums), sums, cnts
+
+
+def embedding_outliers(sf_dir: str, cap: int = 10) -> rd.Dataset:
+    """Per-label embedding outliers: the cap vectors FARTHEST (squared L2,
+    exact int64 on the 2^16 lattice) from their own label's centroid —
+    the mislabeled/noise screen a curation pipeline runs before using
+    labels for anything (the distance-to-centroid cousin of
+    ``knn_label_agreement``). Centroid = Python floor-division of the
+    exact bigint component sums (matching SQL's trunc-corrected ``//``),
+    so every distance is an exact integer and the rank order is
+    hash-verifiable with no float anywhere.
+
+    Scale shape: centroid fit is the O(blocks x labels) partial pass of
+    ``_label_centroid_sums``; the tiny (labels x d) centroid table rides
+    the task closure (broadcast once, never per batch). Ranking never
+    builds a corpus-sized group: each BATCH keeps its local top-cap per
+    label first, so the label-shard exchange moves only
+    O(blocks x labels x cap) rows. Output: (label, vec_id, d2, rank),
+    rank <= cap by (d2 desc, vec_id asc)."""
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    labels, sums, cnts = _label_centroid_sums(sf_dir)
+    if not labels:
+        return rd.from_arrow(
+            pa.table({"label": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+        )
+    # floor-division on bigints == SQL's HUGEINT trunc-div + negative
+    # correction; centroid components are back on the |v| ~ 2^17 lattice,
+    # so diff^2 x d fits int64 with ~20 bits to spare at ANY corpus size
+    cent = {
+        lb: np.array([int(x) // cnts[lb] for x in sums[lb]], dtype=np.int64)
+        for lb in labels
+    }
+    lb_row = {lb: i for i, lb in enumerate(labels)}
+    C = np.stack([cent[lb] for lb in labels])
+
+    def partial_top(batch: pd.DataFrame) -> pd.DataFrame | pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "d2": pa.array([], pa.int64()),
+                 "_lshard": pa.array([], pa.int64())}
+            )
+        Q = _q16(np.stack(batch["embedding"].to_numpy()))
+        lbs = batch["label"].to_numpy().astype(np.int64)
+        diff = Q - C[np.vectorize(lb_row.__getitem__)(lbs)]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        out = pd.DataFrame(
+            {"label": lbs,
+             "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+             "d2": d2}
+        ).sort_values(["label", "d2", "vec_id"],
+                      ascending=[True, False, True], kind="mergesort")
+        out = out.groupby("label", sort=False).head(cap)
+        out["_lshard"] = _shard64_of(list(out["label"]))
+        return out
+
+    def rank_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["label", "d2", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("label", sort=False).cumcount() + 1
+        g = g[g["rank"] <= cap]
+        return pd.DataFrame(
+            {"label": g["label"].astype("int64"),
+             "vec_id": g["vec_id"].astype("int64"),
+             "d2": g["d2"].astype("int64"),
+             "rank": g["rank"].astype("int64")}
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding", "label"])
+        .map_batches(partial_top, batch_format="pandas")
+        .groupby("_lshard")
+        .map_groups(rank_top, batch_format="pandas")
+    )
+
+
+def label_centroid_sim(sf_dir: str) -> pa.Table:
+    """Pairwise cosine between label centroids — the class-confusability /
+    embedding-drift diagnostic (which labels' semantic mass overlaps).
+    Cosine is scale-invariant, so it runs on the RAW exact bigint
+    component sums of ``_label_centroid_sums`` (sum_a / n_a has the same
+    direction as sum_a): dot products and norms are exact integers on
+    both engine and oracle (DuckDB HUGEINT), and float enters only in the
+    final dot/sqrt(na*nb) — the identical IEEE expression both sides —
+    quantized x1e6. Driver work is O(labels^2 x d) on ints; the corpus
+    contributes one O(blocks x labels) partial pass. Output:
+    (label_a, label_b, sim_x1m) for label_a < label_b."""
+    labels, sums, _cnts = _label_centroid_sums(sf_dir)
+    la, lb_, sim = [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            dot = int(sum(int(x) * int(y) for x, y in zip(sums[a], sums[b])))
+            naa = int(sum(int(x) * int(x) for x in sums[a]))
+            nbb = int(sum(int(x) * int(x) for x in sums[b]))
+            la.append(a)
+            lb_.append(b)
+            if naa == 0 or nbb == 0:
+                sim.append(0)
+            else:
+                import math
+
+                s = float(dot) / math.sqrt(float(naa) * float(nbb))
+                sim.append(int(math.floor(s * 1e6 + 0.5)))
+    return pa.table(
+        {"label_a": pa.array(la, pa.int64()),
+         "label_b": pa.array(lb_, pa.int64()),
+         "sim_x1m": pa.array(sim, pa.int64())}
+    )

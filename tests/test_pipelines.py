@@ -2977,3 +2977,98 @@ def test_curate_v2_incremental_composition_invariants(ray_session):
     assert (per_src["count"] <= 15).all()
     assert (per_src["min"] == 1).all()
     assert (per_src["max"] == per_src["count"]).all()  # (e)
+
+def test_mixture_weights_matches_direct_recompute():
+    """T5 sqrt-mixing weights: per-source token sums and the x1e6
+    quantized sqrt-normalized weights match a pandas recompute; weights
+    sum to ~1e6 and small sources are upsampled vs proportional."""
+    from spiderman_ray.pipelines.text import mixture_weights
+
+    sf = "/root/testdata/sf0.001"
+    got = mixture_weights(sf).to_pandas().set_index("source")
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["source", "text"]).to_pandas()
+    docs["t"] = docs["text"].str.split(" ").map(len)
+    n = docs.groupby("source")["t"].sum().sort_index()
+    assert (got["n_tokens"].sort_index() == n).all()
+    w = np.sqrt(n.to_numpy(dtype=np.float64))
+    want = np.floor(w / w.sum() * 1e6 + 0.5).astype(np.int64)
+    assert (got["weight_x1m"].sort_index().to_numpy() == want).all()
+    assert abs(got["weight_x1m"].sum() - 1_000_000) <= len(got)
+    # sqrt mixing upsamples the smallest source relative to proportional
+    frac = n / n.sum()
+    smallest = frac.idxmin()
+    assert got.loc[smallest, "weight_x1m"] >= int(frac[smallest] * 1e6)
+
+def test_embedding_outliers_exact_vs_direct_recompute():
+    """Per-label distance-to-centroid top-cap: exact int64 lattice
+    distances and (d2 desc, vec_id) ranks match a single-process bigint
+    recompute bit-for-bit."""
+    from spiderman_ray.pipelines.vectors import embedding_outliers
+
+    sf = "/root/testdata/sf0.001"
+    cap = 7
+    got = (
+        embedding_outliers(sf, cap=cap)
+        .to_pandas()
+        .sort_values(["label", "rank"])
+        .reset_index(drop=True)
+    )
+
+    embs = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    Q = np.floor(
+        np.stack(embs["embedding"].to_numpy()).astype(np.float64) * 65536.0 + 0.5
+    ).astype(np.int64)
+    labels = embs["label"].to_numpy().astype(np.int64)
+    rows = []
+    for lb in np.unique(labels):
+        m = labels == lb
+        # python-bigint centroid, floor-div — the engine/oracle contract
+        cent = np.array(
+            [int(s) // int(m.sum()) for s in Q[m].astype(object).sum(axis=0)],
+            dtype=np.int64,
+        )
+        diff = Q[m] - cent
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        sub = pd.DataFrame(
+            {"label": lb, "vec_id": embs["vec_id"].to_numpy()[m], "d2": d2}
+        ).sort_values(["d2", "vec_id"], ascending=[False, True], kind="mergesort")
+        sub = sub.head(cap).reset_index(drop=True)
+        sub["rank"] = np.arange(1, len(sub) + 1, dtype=np.int64)
+        rows.append(sub)
+    want = (
+        pd.concat(rows)
+        .sort_values(["label", "rank"])
+        .reset_index(drop=True)
+        .astype({"label": "int64", "vec_id": "int64", "d2": "int64", "rank": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["label", "vec_id", "d2", "rank"]], want)
+
+def test_label_centroid_sim_matches_direct_recompute():
+    """Centroid-pair cosine: exact bigint dot/norms on the raw lattice
+    sums, float only in the final division — matches recompute."""
+    import math
+
+    from spiderman_ray.pipelines.vectors import label_centroid_sim
+
+    sf = "/root/testdata/sf0.001"
+    got = label_centroid_sim(sf).to_pandas().set_index(["label_a", "label_b"])
+
+    embs = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    Q = np.floor(
+        np.stack(embs["embedding"].to_numpy()).astype(np.float64) * 65536.0 + 0.5
+    ).astype(np.int64)
+    labels = embs["label"].to_numpy().astype(np.int64)
+    sums = {
+        int(lb): [int(x) for x in Q[labels == lb].astype(object).sum(axis=0)]
+        for lb in np.unique(labels)
+    }
+    ls = sorted(sums)
+    assert len(got) == len(ls) * (len(ls) - 1) // 2
+    for i, a in enumerate(ls):
+        for b in ls[i + 1:]:
+            dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+            na = sum(x * x for x in sums[a])
+            nb = sum(x * x for x in sums[b])
+            want = int(math.floor(float(dot) / math.sqrt(float(na) * float(nb)) * 1e6 + 0.5))
+            assert got.loc[(a, b), "sim_x1m"] == want
