@@ -546,10 +546,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": lambda sf: T.minhash_clusters(sf),
         "simhash": T.simhash_table,
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
+        # detector-vs-gold eval: simhash pairs scored against exact
+        # Jaccard gold (precision/recall of the approximate dedup pass)
+        "simhash_eval": lambda sf: T.simhash_eval(sf),
         # exact inverted-index member of the dedup family (no LSH)
         "ngram_jaccard_pairs": lambda sf: T.ngram_jaccard_pairs(sf),
+        # cross-source shingle contamination matrix (pairwise exact
+        # intersection/union of per-source distinct shingle sets)
+        "source_overlap": lambda sf: T.source_overlap(sf),
         # deterministic hash sampling (reproducible at any cluster size)
         "hash_sample": lambda sf: T.hash_sample(sf),
+        # deterministic md5 train/val/test split manifest per source
+        "data_splits": lambda sf: T.data_splits(sf),
         # exact heavy hitters (sharded wordcount + provable per-shard top-k)
         "top_tokens": lambda sf: T.top_tokens(sf),
         # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
@@ -2262,6 +2270,59 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS a, b.doc_id AS b FROM sim a JOIN sim b "
             "ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "simhash_eval": (
+            # confusion counts of the simhash detector vs exact Jaccard
+            # gold; x1m ratios are one double division, identical IEEE
+            # expression both sides — pipelines.text.simhash_eval
+            f"WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}, {_SIMHASH_CTE}, "
+            "sp AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sim a "
+            "JOIN sim b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3), "
+            "ep AS (SELECT a, b FROM pairs), "
+            "c AS (SELECT "
+            "CAST((SELECT COUNT(*) FROM sp s JOIN ep e "
+            "ON s.a = e.a AND s.b = e.b) AS BIGINT) AS tp, "
+            "CAST((SELECT COUNT(*) FROM sp s ANTI JOIN ep e "
+            "ON s.a = e.a AND s.b = e.b) AS BIGINT) AS fp, "
+            "CAST((SELECT COUNT(*) FROM ep e ANTI JOIN sp s "
+            "ON s.a = e.a AND s.b = e.b) AS BIGINT) AS fn) "
+            "SELECT tp, fp, fn, "
+            "CASE WHEN tp + fp = 0 THEN 0 ELSE CAST(FLOOR(CAST(tp AS DOUBLE) "
+            "/ (tp + fp) * 1000000 + 0.5) AS BIGINT) END AS precision_x1m, "
+            "CASE WHEN tp + fn = 0 THEN 0 ELSE CAST(FLOOR(CAST(tp AS DOUBLE) "
+            "/ (tp + fn) * 1000000 + 0.5) AS BIGINT) END AS recall_x1m "
+            "FROM c"
+        ),
+        "source_overlap": (
+            # exact per-source distinct shingle sets -> pairwise
+            # intersection/union counts, pure integers —
+            # pipelines.text.source_overlap
+            f"WITH {_SHINGLES_CTE}, "
+            "g AS (SELECT DISTINCT doc.source AS source, u.gram AS gram "
+            "FROM (SELECT doc_id, unnest(s) AS gram FROM sh) u "
+            "JOIN documents doc ON u.doc_id = doc.doc_id), "
+            "n AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source), "
+            "p AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS inter FROM g a JOIN g b "
+            "ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT p.source_a, p.source_b, p.inter, "
+            "CAST(na.n + nb.n - p.inter AS BIGINT) AS union_sz FROM p "
+            "JOIN n na ON p.source_a = na.source "
+            "JOIN n nb ON p.source_b = nb.source"
+        ),
+        "data_splits": (
+            # hash_sample md5-prefix arithmetic, 80/10/10 thresholds —
+            # pipelines.text.data_splits
+            "WITH t AS (SELECT source, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) AS pri, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks "
+            "FROM documents) "
+            f"SELECT CASE WHEN pri < {(80 << 32) // 100} THEN 'train' "
+            f"WHEN pri < {(90 << 32) // 100} THEN 'val' ELSE 'test' END "
+            "AS split, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(toks) AS BIGINT) AS n_tokens FROM t GROUP BY 1, 2"
         ),
         "minhash_pairs": (
             f"WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS} "

@@ -3448,3 +3448,216 @@ def nb_classify(sf_dir: str) -> rd.Dataset:
         .groupby("_dshard")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+def source_overlap(sf_dir: str) -> pa.Table:
+    """Cross-source contamination matrix: for every SOURCE pair, the
+    exact intersection / union of their distinct 3-word shingle sets —
+    the "is source B a re-crawl of source A" diagnostic a mixture
+    designer runs before trusting per-source quotas (a source pair with
+    high overlap double-counts its mass under proportional or sqrt
+    mixing; see ``mixture_weights``).
+
+    Plan (one bounded exchange, never doc-pair-scale): docs explode to
+    batch-distinct (shingle_hash, source) rows sharded by hash; inside a
+    shard one vectorized pass dedups to shard-distinct grams, counts
+    per-source distinct grams (emitted as the diagonal (s, s, n)) and
+    per-PAIR co-occurring grams aggregated to at most |sources|^2 rows
+    per shard; a tiny multi-key groupby merges shards and the
+    O(sources^2) finish runs on the driver — the answer, not the corpus.
+    Hashed-shingle set semantics equal distinct shingle strings up to
+    ~2^-64 collisions (the ``ngram_jaccard_pairs`` contract). Output:
+    (source_a, source_b, inter, union_sz) for source_a < source_b with
+    inter >= 1, all exact integers."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        shs = _shingle_hashes_batch(list(batch["text"]))
+        lens = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+        src = np.repeat(batch["source"].to_numpy(), lens)
+        h = np.concatenate(shs) if len(shs) else np.array([], dtype=np.uint64)
+        df = pd.DataFrame({"h": h.view(np.int64), "source": src})
+        df = df.drop_duplicates(["h", "source"])  # batch-local dedup
+        df["_hshard"] = (df["h"].to_numpy().view(np.uint64) % np.uint64(64)).astype(np.int64)
+        return df
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "source"]).sort_values(
+            ["h", "source"], kind="mergesort"
+        )
+        empty = pd.DataFrame(
+            {"source_a": pd.Series(dtype="object"),
+             "source_b": pd.Series(dtype="object"),
+             "cnt": pd.Series(dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        # diagonal: per-source distinct gram count in this shard
+        diag = g.groupby("source", sort=False).size().reset_index(name="cnt")
+        diag = pd.DataFrame(
+            {"source_a": diag["source"], "source_b": diag["source"],
+             "cnt": diag["cnt"].astype("int64")}
+        )
+        # pairs: equal-size gram buckets batch into one (R, L) matrix +
+        # a single triu gather (the co_pairs technique); sources are
+        # factorized so the matrix is int codes, mapped back at the end
+        codes, uniq = pd.factorize(g["source"])
+        h_ = g["h"].to_numpy()
+        new = np.ones(len(h_), dtype=bool)
+        new[1:] = h_[1:] != h_[:-1]
+        counts = np.bincount(np.cumsum(new) - 1)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pa_, pb_ = [], []
+        for L in np.unique(counts):
+            if L < 2:
+                continue
+            sel = np.nonzero(counts == L)[0]
+            idxmat = starts[sel][:, None] + np.arange(L)[None, :]
+            mc = codes[idxmat]
+            iu0, iu1 = np.triu_indices(L, 1)
+            pa_.append(mc[:, iu0].ravel())
+            pb_.append(mc[:, iu1].ravel())
+        frames = [diag]
+        if pa_:
+            pairs = pd.DataFrame(
+                {"ca": np.concatenate(pa_), "cb": np.concatenate(pb_)}
+            )
+            agg = pairs.groupby(["ca", "cb"], sort=False).size().reset_index(name="cnt")
+            frames.append(pd.DataFrame(
+                {"source_a": uniq[agg["ca"]],
+                 "source_b": uniq[agg["cb"]],
+                 "cnt": agg["cnt"].astype("int64")}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    merged = (
+        _read_docs(sf_dir, columns=("source", "text"))
+        .map_batches(explode, batch_format="pandas", batch_size=512)
+        .groupby("_hshard")
+        .map_groups(shard_counts, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= sources^2 rows — the answer, not the corpus
+    )
+    n_of = {
+        r.source_a: int(r.cnt)
+        for r in merged.itertuples()
+        if r.source_a == r.source_b
+    }
+    off = merged[merged["source_a"] != merged["source_b"]].copy()
+    inter = off["cnt"].astype("int64")
+    union = np.array(
+        [n_of[a] + n_of[b] for a, b in zip(off["source_a"], off["source_b"])],
+        dtype=np.int64,
+    ) - inter.to_numpy()
+    out = pd.DataFrame(
+        {"source_a": off["source_a"], "source_b": off["source_b"],
+         "inter": inter.to_numpy(), "union_sz": union}
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    return pa.table(
+        {"source_a": pa.array(list(out["source_a"]), pa.string()),
+         "source_b": pa.array(list(out["source_b"]), pa.string()),
+         "inter": pa.array(out["inter"].to_numpy()),
+         "union_sz": pa.array(out["union_sz"].to_numpy())}
+    )
+
+
+def data_splits(sf_dir: str, pct_train: int = 80, pct_val: int = 10) -> rd.Dataset:
+    """Deterministic train/val/test split manifest: assignment by the
+    ``hash_sample`` md5-prefix priority of doc_id (layout- and
+    scale-invariant — a doc keeps its split under any repartition or
+    corpus growth, the property random_split cannot give), reported as
+    per-(split, source) doc and token counts — the sanity table checked
+    before training that the split is source-balanced. One partial pass
+    (O(splits x sources) rows per batch) + a tiny multi-key groupby; no
+    doc-level materialization. Output: (split, source, n_docs, n_tokens)."""
+    from ray.data.aggregate import Sum
+
+    t_train = (pct_train << 32) // 100
+    t_val = ((pct_train + pct_val) << 32) // 100
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pri = _md5_priority(list(batch["doc_id"]))
+        split = np.where(
+            pri < t_train, "train", np.where(pri < t_val, "val", "test")
+        )
+        toks = np.fromiter(
+            (t.count(" ") + 1 for t in batch["text"]),
+            dtype=np.int64, count=len(batch),
+        )
+        df = pd.DataFrame({"split": split, "source": batch["source"], "t": toks})
+        agg = df.groupby(["split", "source"], sort=False).agg(
+            d=("t", "size"), t=("t", "sum")
+        ).reset_index()
+        return agg.astype({"d": "int64", "t": "int64"})
+
+    return (
+        _read_docs(sf_dir, columns=("doc_id", "source", "text"))
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["split", "source"])
+        .aggregate(Sum("d", alias_name="n_docs"), Sum("t", alias_name="n_tokens"))
+    )
+
+
+def simhash_eval(sf_dir: str, max_hamming: int = 3, threshold_pct: int = 60) -> pa.Table:
+    """Detector-vs-gold evaluation: precision/recall counts of the
+    SimHash near-dup detector (``simhash_near_dups``, hamming <=
+    max_hamming) against EXACT n-gram Jaccard >= threshold as gold
+    (``ngram_jaccard_pairs``) — the "measure, don't guess" step before
+    trusting an approximate dedup pass at corpus scale. Both pair sets
+    stay pair-shard-bucketed through the confusion count: tagged pair
+    rows union, one exchange co-locates each pair, per-shard partial
+    (tp, fp, fn) rows sum on the driver (O(shards), never pair-scale
+    uncounted). Output: one row (tp, fp, fn, precision_x1m, recall_x1m)
+    with the x1m ratios floor-quantized — single division, exact both
+    sides."""
+    sim = simhash_near_dups(sf_dir, max_hamming=max_hamming)
+    sim_ds = rd.from_arrow(
+        sim.append_column("m", pa.array(np.ones(len(sim), dtype=np.int64)))
+           .append_column("e", pa.array(np.zeros(len(sim), dtype=np.int64)))
+    )
+
+    def tag_exact(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"],
+             "m": pa.array(np.zeros(len(batch), dtype=np.int64)),
+             "e": pa.array(np.ones(len(batch), dtype=np.int64))}
+        )
+
+    ex_ds = ngram_jaccard_pairs(sf_dir, threshold_pct=threshold_pct).map_batches(
+        tag_exact, batch_format="pyarrow"
+    )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        sh = _pair_shard64(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+        return batch.append_column("_pshard", pa.array(sh))
+
+    def confuse(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"], sort=False).agg(
+            m=("m", "max"), e=("e", "max")
+        )
+        return pd.DataFrame(
+            {"tp": [int(((per["m"] == 1) & (per["e"] == 1)).sum())],
+             "fp": [int(((per["m"] == 1) & (per["e"] == 0)).sum())],
+             "fn": [int(((per["m"] == 0) & (per["e"] == 1)).sum())]}
+        ).astype("int64")
+
+    parts = (
+        sim_ds.union(ex_ds)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(confuse, batch_format="pandas")
+        .to_pandas()  # O(shards) partial confusion rows
+    )
+    tp, fp, fn = int(parts["tp"].sum()), int(parts["fp"].sum()), int(parts["fn"].sum())
+    prec = int(np.floor(tp / (tp + fp) * 1e6 + 0.5)) if tp + fp else 0
+    rec = int(np.floor(tp / (tp + fn) * 1e6 + 0.5)) if tp + fn else 0
+    return pa.table(
+        {"tp": pa.array([tp], pa.int64()), "fp": pa.array([fp], pa.int64()),
+         "fn": pa.array([fn], pa.int64()),
+         "precision_x1m": pa.array([prec], pa.int64()),
+         "recall_x1m": pa.array([rec], pa.int64())}
+    )

@@ -3072,3 +3072,78 @@ def test_label_centroid_sim_matches_direct_recompute():
             nb = sum(x * x for x in sums[b])
             want = int(math.floor(float(dot) / math.sqrt(float(na) * float(nb)) * 1e6 + 0.5))
             assert got.loc[(a, b), "sim_x1m"] == want
+
+def test_source_overlap_matches_direct_recompute():
+    """Pairwise source shingle intersection/union equals a single-process
+    string-shingle-set recompute (hashed-set semantics == string sets)."""
+    from spiderman_ray.pipelines.text import source_overlap
+
+    sf = "/root/testdata/sf0.001"
+    got = source_overlap(sf).to_pandas().set_index(["source_a", "source_b"])
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["source", "text"]).to_pandas()
+    def shingles(t):
+        ws = t.split(" ")
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    per_src = {}
+    for s, t in zip(docs["source"], docs["text"]):
+        per_src.setdefault(s, set()).update(shingles(t))
+    srcs = sorted(per_src)
+    n_pairs = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(per_src[a] & per_src[b])
+            if inter == 0:
+                assert (a, b) not in got.index
+                continue
+            n_pairs += 1
+            assert got.loc[(a, b), "inter"] == inter
+            assert got.loc[(a, b), "union_sz"] == len(per_src[a] | per_src[b])
+    assert len(got) == n_pairs and n_pairs > 0
+
+def test_data_splits_deterministic_and_complete():
+    """Split manifest partitions every doc exactly once, token sums match
+    a direct recompute, and assignment is layout-invariant (pure f(doc_id))."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import data_splits
+
+    sf = "/root/testdata/sf0.001"
+    got = data_splits(sf).to_pandas()
+
+    docs = pq.read_table(sf + "/documents.parquet").to_pandas()
+    pri = docs["doc_id"].map(lambda d: int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16))
+    t80, t90 = (80 << 32) // 100, (90 << 32) // 100
+    docs["split"] = np.where(pri < t80, "train", np.where(pri < t90, "val", "test"))
+    docs["t"] = docs["text"].str.count(" ") + 1
+    want = docs.groupby(["split", "source"]).agg(
+        n_docs=("t", "size"), n_tokens=("t", "sum")).reset_index()
+    g = got.sort_values(["split", "source"]).reset_index(drop=True)
+    w = want.sort_values(["split", "source"]).reset_index(drop=True).astype(
+        {"n_docs": "int64", "n_tokens": "int64"})
+    pd.testing.assert_frame_equal(g[["split", "source", "n_docs", "n_tokens"]], w)
+    assert got["n_docs"].sum() == len(docs)
+    # split fractions are in the md5-priority ballpark (80/10/10)
+    frac = got.groupby("split")["n_docs"].sum() / len(docs)
+    assert 0.7 < frac["train"] < 0.9
+
+def test_simhash_eval_confusion_counts_consistent():
+    """tp+fp == |simhash pairs|, tp+fn == |exact pairs|, and the x1m
+    ratios match the integer counts."""
+    from spiderman_ray.pipelines.text import (
+        ngram_jaccard_pairs, simhash_eval, simhash_near_dups)
+
+    sf = "/root/testdata/sf0.001"
+    got = simhash_eval(sf).to_pandas().iloc[0]
+    n_sim = len(simhash_near_dups(sf))
+    n_ex = len(ngram_jaccard_pairs(sf).to_pandas())
+    assert got["tp"] + got["fp"] == n_sim
+    assert got["tp"] + got["fn"] == n_ex
+    if got["tp"] + got["fp"]:
+        assert got["precision_x1m"] == int(
+            np.floor(got["tp"] / (got["tp"] + got["fp"]) * 1e6 + 0.5))
+    if got["tp"] + got["fn"]:
+        assert got["recall_x1m"] == int(
+            np.floor(got["tp"] / (got["tp"] + got["fn"]) * 1e6 + 0.5))
