@@ -732,6 +732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-for-row, so it shares that hash oracle; pytest covers the
         # approximate nprobe<n_centroids recall path
         "knn_graph_ivf": lambda sf: V.knn_graph_ivf(sf, nprobe=16),
+        # measured IVF recall vs the exact graph at nprobe < n_centroids
+        # (the "how much does the sub-O(n^2) path give up" eval)
+        "ann_recall_eval": lambda sf: V.ann_recall_eval(sf),
         # doc-metadata x vector native join -> per-language centroids
         "lang_centroids": lambda sf: V.lang_centroids(sf),
         # per-label distance-to-centroid outliers (mislabel/noise screen;
@@ -1661,6 +1664,12 @@ def _pin_oracle_sqls() -> dict[str, str]:
     out["cluster_quota_sample"] = _values_sql(
         cluster_quota_sample_reference(sf, ref=kref),
         {"cluster": "BIGINT", "vec_id": "BIGINT", "rank": "BIGINT"},
+    )
+    from spiderman_ray.pipelines.vectors import ann_recall_eval_reference
+
+    out["ann_recall_eval"] = _values_sql(
+        ann_recall_eval_reference(sf),
+        {"hits": "BIGINT", "total": "BIGINT", "recall_x1m": "BIGINT"},
     )
     from spiderman_ray.pipelines.text import compression_ratio_reference
 

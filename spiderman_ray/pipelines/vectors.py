@@ -2074,3 +2074,112 @@ def label_centroid_sim(sf_dir: str) -> pa.Table:
          "label_b": pa.array(lb_, pa.int64()),
          "sim_x1m": pa.array(sim, pa.int64())}
     )
+
+
+def ann_recall_eval(
+    sf_dir: str, k: int = 5, nprobe: int = 4, n_centroids: int = 16,
+) -> pa.Table:
+    """ANN quality eval: recall of the IVF-bucketed k-NN graph
+    (``knn_graph_ivf`` at nprobe < n_centroids, the corpus-scale path)
+    against the exact graph (``knn_graph``) — the measured answer to
+    "how much recall does the sub-O(n^2) path give up", run before
+    trusting IVF parameters at 100 TB (the ANN sibling of
+    ``simhash_eval``). Both edge sets stay vec-shard-bucketed through
+    the hit count: tagged (vec_id, neighbor_id) rows union, one
+    exchange co-locates each edge, per-shard partial (hits, n_ivf,
+    n_exact) rows sum on the driver. Output: one row
+    (hits, total, recall_x1m) where total = |exact edges| = n*k and
+    recall is floor-quantized (single double division both sides)."""
+    from spiderman_ray.pipelines.text import _pair_shard64
+
+    ivf = knn_graph_ivf(sf_dir, k=k, nprobe=nprobe, n_centroids=n_centroids)
+    exact = knn_graph(sf_dir, k=k)
+
+    def tag(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {"vec_id": batch["vec_id"], "neighbor_id": batch["neighbor_id"],
+                 "i": pa.array(np.full(n, which, dtype=np.int64)),
+                 "e": pa.array(np.full(n, 1 - which, dtype=np.int64))}
+            )
+        return fn
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pshard",
+            pa.array(_pair_shard64(
+                batch["vec_id"].to_numpy(zero_copy_only=False),
+                batch["neighbor_id"].to_numpy(zero_copy_only=False),
+            )),
+        )
+
+    def confuse(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["vec_id", "neighbor_id"], sort=False).agg(
+            i=("i", "max"), e=("e", "max")
+        )
+        return pd.DataFrame(
+            {"hits": [int(((per["i"] == 1) & (per["e"] == 1)).sum())],
+             "n_ivf": [int((per["i"] == 1).sum())],
+             "n_exact": [int((per["e"] == 1).sum())]}
+        ).astype("int64")
+
+    parts = (
+        ivf.map_batches(tag(1), batch_format="pyarrow")
+        .union(exact.map_batches(tag(0), batch_format="pyarrow"))
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(confuse, batch_format="pandas")
+        .to_pandas()  # O(shards) partial rows
+    )
+    hits, total = int(parts["hits"].sum()), int(parts["n_exact"].sum())
+    rec = int(np.floor(hits / total * 1e6 + 0.5)) if total else 0
+    return pa.table(
+        {"hits": pa.array([hits], pa.int64()),
+         "total": pa.array([total], pa.int64()),
+         "recall_x1m": pa.array([rec], pa.int64())}
+    )
+
+
+def ann_recall_eval_reference(
+    sf_dir: str, k: int = 5, nprobe: int = 4, n_centroids: int = 16,
+    fit_sample_rows: int = 4096,
+) -> list[dict]:
+    """Single-process recompute of ``ann_recall_eval`` — the frozen-
+    VALUES oracle pin (no Ray): same file-order fit sample, same
+    ``_kmeans`` fit, same stable primary/probe assignment, same
+    floor(sim x 1e6 + 0.5) quantization and (sim desc, neighbor asc)
+    ranking as the distributed path."""
+    tab = pq.read_table(_pq(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    n = len(ids)
+
+    def topk_pairs(qi: np.ndarray, ci: np.ndarray, sims: np.ndarray, kk: int) -> set:
+        pairs = set()
+        for r in range(len(qi)):
+            s = np.floor(sims[r] * 1e6 + 0.5).astype(np.int64)
+            mask = ci != qi[r]
+            order = sorted(zip(-s[mask], ci[mask]))[: min(kk, mask.sum())]
+            pairs.update((int(qi[r]), int(c)) for _, c in order)
+        return pairs
+
+    exact = topk_pairs(ids, ids, m @ m.T, k)
+
+    nc = min(n_centroids, n)
+    cents = _kmeans(m[: min(fit_sample_rows, n)], nc)
+    npr = min(nprobe, nc)
+    order = np.argsort(-(m @ cents.T), axis=1, kind="stable")[:, :npr]
+    primary = order[:, 0]
+    ivf_pairs: set = set()
+    for q in range(n):
+        cand = np.nonzero(np.isin(primary, order[q]))[0]
+        # per-cluster top-k then global top-k == global top-k over the
+        # union (the engine's local_knn + reduce_topk merge)
+        sims = (m[q : q + 1] @ m[cand].T)
+        ivf_pairs |= topk_pairs(ids[q : q + 1], ids[cand], sims, k)
+    hits = len(ivf_pairs & exact)
+    total = len(exact)
+    rec = int(np.floor(hits / total * 1e6 + 0.5)) if total else 0
+    return [{"hits": hits, "total": total, "recall_x1m": rec}]

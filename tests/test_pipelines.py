@@ -484,6 +484,26 @@ def test_knn_graph_ivf_exhaustive_equals_exact_and_recall_monotone():
     assert r8 >= r4, (r4, r8)
 
 
+def test_ann_recall_eval_engine_matches_reference_and_exhaustive_is_perfect():
+    """The distributed recall eval must agree with the single-process
+    recompute (the frozen-VALUES pin), and at nprobe == n_centroids the
+    IVF graph is the exact graph so recall is exactly 1.0."""
+    from spiderman_ray.pipelines.vectors import (
+        ann_recall_eval,
+        ann_recall_eval_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eng = ann_recall_eval(sf).to_pandas().iloc[0].to_dict()
+    ref = ann_recall_eval_reference(sf)[0]
+    assert eng == ref, (eng, ref)
+    assert 0 < eng["recall_x1m"] <= 1_000_000
+
+    full = ann_recall_eval(sf, nprobe=16, n_centroids=16).to_pandas().iloc[0]
+    assert int(full["recall_x1m"]) == 1_000_000
+    assert int(full["hits"]) == int(full["total"])
+
+
 def test_minhash_finds_planted_near_dup(tmp_path):
     """Plant a doc that shares ~90% of its shingles with another."""
     base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
