@@ -544,6 +544,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": T.dedup_minhash_survivors,
         # audit view: every doc's near-dup component label
         "minhash_clusters": lambda sf: T.minhash_clusters(sf),
+        # duplicate-cluster size histogram (corpus duplication profile)
+        "dup_cluster_sizes": lambda sf: T.dup_cluster_sizes(sf),
+        # LSH banding parameter eval: raw band-collision candidates vs
+        # exact Jaccard gold (verify survival rate + banding miss rate)
+        "minhash_eval": lambda sf: T.minhash_eval(sf),
         "simhash": T.simhash_table,
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
         # detector-vs-gold eval: simhash pairs scored against exact
@@ -675,6 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + exact dedup vs the base snapshot + decontamination + base-free
         # near-dup representative + domain quota over the increment
         "curate_v2_incremental": lambda sf: T.curate_v2_incremental(sf),
+        # per-gate attrition report for the curate_v2 flagship (which
+        # stage eats the corpus; counts after every gate/dedup/decon/quota)
+        "curation_funnel": lambda sf: T.curation_funnel(sf),
         # HyperLogLog distinct sketch. The estimate is approximate VS THE
         # TRUTH but a deterministic pure function of the registers — the
         # SQL oracle re-derives registers + the exact-integer harmonic
@@ -1819,6 +1827,45 @@ def _pin_oracle_sqls() -> dict[str, str]:
         {"doc_id": "BIGINT", "lang_pred": "VARCHAR", "n_tokens": "BIGINT",
          "source": "VARCHAR", "rank": "BIGINT"},
     )
+
+    # curation_funnel: independent recompute — the curate_v2 pin's
+    # machinery counted per stage instead of ranked: gates / zlib band /
+    # first-wins dedup / quota in plain python over the raw bytes, the
+    # decontamination set from the SQL oracle (``contam`` above).
+    texts = {int(i): t for i, t in
+             zip(dtab["doc_id"].to_pylist(), dtab["text"].to_pylist())}
+    s1 = [d for d in sorted(texts) if len(texts[d].split(" ")) >= 5]
+    s2 = [d for d in s1 if "drop" not in texts[d] and "null" not in texts[d]]
+    s3 = [d for d in s2 if _pri(d) >= (10 << 32) // 100]
+    s4 = [
+        d for d in s3
+        if 4300 <= len(_zlib.compress(raw[d], 6)) * 10000 // max(1, len(raw[d])) <= 8400
+    ]
+    reps: dict[str, int] = {}
+    for d in s4:  # ascending doc_id -> first-wins per content fp
+        reps.setdefault(_hl.md5(raw[d]).hexdigest(), d)
+    deduped = sorted(reps.values())
+    clean_ids = [d for d in deduped if d not in contam]
+    per_src: dict[str, int] = {}
+    for d in clean_ids:
+        per_src[src[d]] = per_src.get(src[d], 0) + 1
+    out["curation_funnel"] = _values_sql(
+        [{"n_input": len(texts), "after_len": len(s1), "after_dirty": len(s2),
+          "after_bench": len(s3), "after_zlib": len(s4),
+          "after_dedup": len(deduped), "after_decon": len(clean_ids),
+          "after_quota": sum(min(15, n) for n in per_src.values())}],
+        {k: "BIGINT" for k in
+         ("n_input", "after_len", "after_dirty", "after_bench", "after_zlib",
+          "after_dedup", "after_decon", "after_quota")},
+    )
+
+    from spiderman_ray.pipelines.text import minhash_eval_reference
+
+    out["minhash_eval"] = _values_sql(
+        minhash_eval_reference(sf),
+        {"n_candidates": "BIGINT", "tp": "BIGINT", "fp": "BIGINT",
+         "fn": "BIGINT", "precision_x1m": "BIGINT", "recall_x1m": "BIGINT"},
+    )
     return out
 
 
@@ -2375,6 +2422,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u) "
             "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id "
             "FROM cc GROUP BY node"
+        ),
+        "dup_cluster_sizes": (
+            # cluster-size histogram over the same recursive component
+            # labels — pipelines.text.dup_cluster_sizes
+            f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
+            "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node), "
+            "s AS (SELECT lbl, COUNT(*) AS sz FROM m GROUP BY lbl) "
+            'SELECT CAST(sz AS BIGINT) AS "size", '
+            "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM s GROUP BY sz"
         ),
         "unigram_quality": (
             # floor(log2(count)) = length(bin(c)) - 1: same integer

@@ -3599,34 +3599,25 @@ def data_splits(sf_dir: str, pct_train: int = 80, pct_val: int = 10) -> rd.Datas
     )
 
 
-def simhash_eval(sf_dir: str, max_hamming: int = 3, threshold_pct: int = 60) -> pa.Table:
-    """Detector-vs-gold evaluation: precision/recall counts of the
-    SimHash near-dup detector (``simhash_near_dups``, hamming <=
-    max_hamming) against EXACT n-gram Jaccard >= threshold as gold
-    (``ngram_jaccard_pairs``) — the "measure, don't guess" step before
-    trusting an approximate dedup pass at corpus scale. Both pair sets
-    stay pair-shard-bucketed through the confusion count: tagged pair
-    rows union, one exchange co-locates each pair, per-shard partial
-    (tp, fp, fn) rows sum on the driver (O(shards), never pair-scale
-    uncounted). Output: one row (tp, fp, fn, precision_x1m, recall_x1m)
-    with the x1m ratios floor-quantized — single division, exact both
-    sides."""
-    sim = simhash_near_dups(sf_dir, max_hamming=max_hamming)
-    sim_ds = rd.from_arrow(
-        sim.append_column("m", pa.array(np.ones(len(sim), dtype=np.int64)))
-           .append_column("e", pa.array(np.zeros(len(sim), dtype=np.int64)))
-    )
+def _pair_confusion(det: rd.Dataset, gold: rd.Dataset) -> tuple[int, int, int]:
+    """(tp, fp, fn) of a detector pair set against a gold pair set —
+    the shared spine of ``simhash_eval`` / ``minhash_eval``. Both sides
+    must expose (a, b) int columns with a < b and arrive deduplicated
+    (the max-reduce below also collapses any stragglers). Both pair sets
+    stay pair-shard-bucketed through the count: tagged rows union, one
+    exchange co-locates each pair, per-shard partial (tp, fp, fn) rows
+    sum on the driver (O(shards), never pair-scale uncounted)."""
 
-    def tag_exact(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"a": batch["a"], "b": batch["b"],
-             "m": pa.array(np.zeros(len(batch), dtype=np.int64)),
-             "e": pa.array(np.ones(len(batch), dtype=np.int64))}
-        )
-
-    ex_ds = ngram_jaccard_pairs(sf_dir, threshold_pct=threshold_pct).map_batches(
-        tag_exact, batch_format="pyarrow"
-    )
+    def tag(is_det: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {"a": pc.cast(batch["a"], pa.int64()),
+                 "b": pc.cast(batch["b"], pa.int64()),
+                 "m": pa.array(np.full(n, is_det, dtype=np.int64)),
+                 "e": pa.array(np.full(n, 1 - is_det, dtype=np.int64))}
+            )
+        return fn
 
     def shard(batch: pa.Table) -> pa.Table:
         sh = _pair_shard64(
@@ -3646,18 +3637,301 @@ def simhash_eval(sf_dir: str, max_hamming: int = 3, threshold_pct: int = 60) -> 
         ).astype("int64")
 
     parts = (
-        sim_ds.union(ex_ds)
+        det.map_batches(tag(1), batch_format="pyarrow")
+        .union(gold.map_batches(tag(0), batch_format="pyarrow"))
         .map_batches(shard, batch_format="pyarrow")
         .groupby("_pshard")
         .map_groups(confuse, batch_format="pandas")
         .to_pandas()  # O(shards) partial confusion rows
     )
-    tp, fp, fn = int(parts["tp"].sum()), int(parts["fp"].sum()), int(parts["fn"].sum())
+    return int(parts["tp"].sum()), int(parts["fp"].sum()), int(parts["fn"].sum())
+
+
+def _confusion_row(tp: int, fp: int, fn: int, extra: dict | None = None) -> pa.Table:
+    """One-row confusion table with floor-quantized x1m ratios — single
+    double division, identical IEEE expression engine- and SQL-side."""
     prec = int(np.floor(tp / (tp + fp) * 1e6 + 0.5)) if tp + fp else 0
     rec = int(np.floor(tp / (tp + fn) * 1e6 + 0.5)) if tp + fn else 0
-    return pa.table(
+    cols = dict(extra or {})
+    cols.update(
         {"tp": pa.array([tp], pa.int64()), "fp": pa.array([fp], pa.int64()),
          "fn": pa.array([fn], pa.int64()),
          "precision_x1m": pa.array([prec], pa.int64()),
          "recall_x1m": pa.array([rec], pa.int64())}
     )
+    return pa.table(cols)
+
+
+def simhash_eval(sf_dir: str, max_hamming: int = 3, threshold_pct: int = 60) -> pa.Table:
+    """Detector-vs-gold evaluation: precision/recall counts of the
+    SimHash near-dup detector (``simhash_near_dups``, hamming <=
+    max_hamming) against EXACT n-gram Jaccard >= threshold as gold
+    (``ngram_jaccard_pairs``) — the "measure, don't guess" step before
+    trusting an approximate dedup pass at corpus scale. Confusion shape
+    = ``_pair_confusion`` (pair-shard-bucketed, O(shards) driver sum).
+    Output: one row (tp, fp, fn, precision_x1m, recall_x1m) with the x1m
+    ratios floor-quantized — single division, exact both sides."""
+    sim = simhash_near_dups(sf_dir, max_hamming=max_hamming)
+    tp, fp, fn = _pair_confusion(
+        rd.from_arrow(sim.select(["a", "b"])),
+        ngram_jaccard_pairs(sf_dir, threshold_pct=threshold_pct),
+    )
+    return _confusion_row(tp, fp, fn)
+
+
+def minhash_eval(sf_dir: str, threshold_pct: int = 60) -> pa.Table:
+    """LSH-parameter evaluation: how good is MinHash BANDING (16 bands x
+    4 rows over 64 hashes) as a candidate generator, measured against
+    EXACT n-gram Jaccard >= threshold gold (``ngram_jaccard_pairs``) —
+    the tuning read-out before trusting banding parameters at corpus
+    scale (the MinHash sibling of ``simhash_eval``; ``ann_recall_eval``
+    is the embedding-space member). Detector = the RAW deduplicated
+    band-collision candidates (``minhash_candidate_pairs``) BEFORE the
+    exact verify, so precision here = the verify stage's survival rate
+    (what fraction of shipped candidate traffic is real) and recall =
+    the banding miss rate (pairs the verify can never recover). Output:
+    one row (n_candidates, tp, fp, fn, precision_x1m, recall_x1m)."""
+    tp, fp, fn = _pair_confusion(
+        minhash_candidate_pairs(sf_dir),
+        ngram_jaccard_pairs(sf_dir, threshold_pct=threshold_pct),
+    )
+    return _confusion_row(
+        tp, fp, fn,
+        extra={"n_candidates": pa.array([tp + fp], pa.int64())},
+    )
+
+
+def minhash_eval_reference(sf_dir: str, threshold_pct: int = 60) -> list[dict]:
+    """Single-process recompute of ``minhash_eval`` — the frozen-VALUES
+    oracle pin (no Ray): same shingle hashing (``_shingle_hashes_batch``),
+    same seeded ``MinHasher`` signatures and band md5 buckets, gold via
+    an inverted shingle index with the same INTEGER predicate
+    100*inter >= threshold_pct*union as ``ngram_jaccard_pairs``."""
+    import pyarrow.parquet as pq_
+
+    tab = pq_.read_table(_pq(sf_dir), columns=["doc_id", "text"])
+    ids = [int(i) for i in tab["doc_id"].to_pylist()]
+    shs = _shingle_hashes_batch(tab["text"].to_pylist())
+
+    mh = MinHasher()
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sh in zip(ids, shs):
+        sig = mh._sig_of(sh)
+        for band in range(_BANDS):
+            chunk = sig[band * _ROWS : (band + 1) * _ROWS]
+            bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            buckets.setdefault((band, bh), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for v in buckets.values():
+        v = sorted(set(v))
+        for x in range(len(v)):
+            for y in range(x + 1, len(v)):
+                cand.add((v[x], v[y]))
+
+    sizes = {i: len(sh) for i, sh in zip(ids, shs)}
+    inv: dict[int, list[int]] = {}
+    for i, sh in zip(ids, shs):
+        for h in sh.tolist():  # per-doc shingles already distinct
+            inv.setdefault(h, []).append(i)
+    inter: dict[tuple[int, int], int] = {}
+    for v in inv.values():
+        v = sorted(v)
+        for x in range(len(v)):
+            for y in range(x + 1, len(v)):
+                p = (v[x], v[y])
+                inter[p] = inter.get(p, 0) + 1
+    gold = {
+        p for p, c in inter.items()
+        if 100 * c >= threshold_pct * (sizes[p[0]] + sizes[p[1]] - c)
+    }
+
+    tp = len(cand & gold)
+    fp = len(cand - gold)
+    fn = len(gold - cand)
+    prec = int(np.floor(tp / (tp + fp) * 1e6 + 0.5)) if tp + fp else 0
+    rec = int(np.floor(tp / (tp + fn) * 1e6 + 0.5)) if tp + fn else 0
+    return [{"n_candidates": tp + fp, "tp": tp, "fp": fp, "fn": fn,
+             "precision_x1m": prec, "recall_x1m": rec}]
+
+
+def dup_cluster_sizes(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Duplicate-cluster size histogram: (size, n_clusters) over the
+    MinHash near-dup components of ``minhash_clusters`` — the corpus
+    duplication profile (how much of the corpus sits in how-big dup
+    families; size 1 = unique docs), the summary a curation run reports
+    before choosing a dedup budget. Each cluster id lands wholly in one
+    hash shard, so per-shard sizes are exact; each shard emits its OWN
+    size histogram (O(distinct sizes) rows), and the driver sums
+    O(shards x distinct sizes) partials — nothing cluster- or
+    corpus-scale leaves the workers."""
+    clusters = minhash_clusters(sf_dir, threshold)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_cshard", pa.array(_shard64_of(batch["cluster_id"].to_pylist()))
+        )
+
+    def size_hist(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("cluster_id", sort=False).size().value_counts()
+        return pd.DataFrame(
+            {"size": h.index.to_numpy(dtype=np.int64),
+             "n": h.to_numpy(dtype=np.int64)}
+        )
+
+    parts = (
+        clusters.map_batches(shard, batch_format="pyarrow")
+        .groupby("_cshard")
+        .map_groups(size_hist, batch_format="pandas")
+        .to_pandas()  # O(shards x distinct sizes) partial rows
+    )
+    agg = parts.groupby("size")["n"].sum().sort_index()
+    return pa.table(
+        {"size": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+         "n_clusters": pa.array(agg.to_numpy(dtype=np.int64), pa.int64())}
+    )
+
+
+class _FunnelGateStage:
+    """Fused gate pass for ``curation_funnel``: per doc, the FIRST
+    failing curate_v2 gate — 0=token-count, 1=dirty-word, 2=bench-split,
+    3=zlib-band — or 4=pass; pass rows carry (fp, source) for the
+    downstream dedup/decon/quota counts. One corpus read; zlib runs only
+    on rows that survive the three cheap gates, md5 fps only on pass
+    rows. Gate ORDER is the attribution contract shared with the pin
+    recompute (the survivor SET is order-independent)."""
+
+    def __init__(self, min_tokens: int, bench_thresh: int,
+                 ratio_lo: int, ratio_hi: int):
+        self.min_tokens = min_tokens
+        self.bench_thresh = bench_thresh
+        self.ratio_lo, self.ratio_hi = ratio_lo, ratio_hi
+        self.dirty = ("drop", "null")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype="int64"),
+                 "source": pd.Series([], dtype="object"),
+                 "gate": np.array([], dtype="int64"),
+                 "fp": pd.Series([], dtype="object")}
+            )
+        text = batch["text"]
+        n_tokens = text.str.split(" ").str.len().to_numpy(dtype=np.int64)
+        dirty = np.zeros(len(batch), dtype=bool)
+        for w in self.dirty:
+            dirty |= text.str.contains(w, regex=False).to_numpy()
+        bench = _md5_priority(list(batch["doc_id"])) < self.bench_thresh
+
+        gate = np.full(len(batch), 4, dtype=np.int64)
+        gate[bench] = 2
+        gate[dirty] = 1
+        gate[n_tokens < self.min_tokens] = 0
+        alive = gate == 4
+        raws = [t.encode("utf-8") for t in text[alive]]
+        ratios = np.fromiter(
+            (len(zlib.compress(b, 6)) * 10000 // max(1, len(b)) for b in raws),
+            dtype=np.int64, count=len(raws),
+        )
+        bad = (ratios < self.ratio_lo) | (ratios > self.ratio_hi)
+        gate[np.nonzero(alive)[0][bad]] = 3
+
+        fps = np.full(len(batch), "", dtype=object)
+        passed = gate == 4
+        fps[passed] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in text[passed]
+        ]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "source": batch["source"].to_numpy(),
+             "gate": gate, "fp": fps}
+        )
+
+
+def curation_funnel(
+    sf_dir: str, min_tokens: int = 5, bench_pct: int = 10,
+    ratio_lo: int = 4300, ratio_hi: int = 8400, domain_cap: int = 15,
+) -> pa.Table:
+    """Per-stage attrition report for the ``curate_v2`` flagship — the
+    funnel every production curation run publishes (which gate eats the
+    corpus, and how much survives to the final manifest). One row:
+
+    (n_input, after_len, after_dirty, after_bench, after_zlib,
+     after_dedup, after_decon, after_quota)
+
+    where each column is the doc count surviving the stages up to and
+    including it, in curate_v2's order. Scale shape: the fused
+    ``_FunnelGateStage`` tags each doc with its first failing gate in
+    ONE read (materialized once — 4 slim columns, spillable); gate
+    counts are O(blocks x 5) per-block partials summed on the driver;
+    the dedup / decontamination / quota counts reuse curate_v2's own
+    machinery (fp-shard first-wins, Dataset anti-join, source-shard
+    quota) with .count() heads, so nothing corpus-sized lands on the
+    driver."""
+    bench_thresh = (bench_pct << 32) // 100
+    tagged = (
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "text", "source"])
+        .map_batches(
+            _FunnelGateStage,
+            fn_constructor_args=(min_tokens, bench_thresh, ratio_lo, ratio_hi),
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=pool_size(2),
+        )
+        .materialize()
+    )
+
+    def gate_counts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(
+            batch["gate"].to_numpy(zero_copy_only=False), minlength=5
+        ).astype(np.int64)
+        return pa.table({f"g{i}": pa.array([c[i]]) for i in range(5)})
+
+    parts = tagged.map_batches(gate_counts, batch_format="pyarrow").to_pandas()
+    g = [int(parts[f"g{i}"].sum()) for i in range(5)]
+    n_input = sum(g)
+    after_len = n_input - g[0]
+    after_dirty = after_len - g[1]
+    after_bench = after_dirty - g[2]
+    after_zlib = g[4]
+
+    def keep_pass(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["gate"], 4)).select(
+            ["doc_id", "source", "fp"]
+        )
+
+    def shard_fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_fshard", pa.array(_shard64_of(batch["fp"].to_pylist()))
+        )
+
+    def first_per_fp(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["fp", "doc_id"], kind="mergesort")
+        keep = grp["fp"].ne(grp["fp"].shift())
+        return grp.loc[keep, ["doc_id", "source"]]
+
+    survivors = (
+        tagged.map_batches(keep_pass, batch_format="pyarrow")
+        .map_batches(shard_fp, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(first_per_fp, batch_format="pandas")
+        .materialize()
+    )
+    after_dedup = survivors.count()
+
+    clean = anti_join_ids(
+        survivors, decontaminate(sf_dir, bench_pct=bench_pct), "doc_id",
+        payload={"source": pa.string()},
+    ).materialize()
+    after_decon = clean.count()
+
+    after_quota = _quota_by_key(
+        clean, "source", domain_cap, ["doc_id", "source", "rank"]
+    ).count()
+
+    vals = [n_input, after_len, after_dirty, after_bench, after_zlib,
+            after_dedup, after_decon, after_quota]
+    names = ["n_input", "after_len", "after_dirty", "after_bench",
+             "after_zlib", "after_dedup", "after_decon", "after_quota"]
+    return pa.table({n: pa.array([v], pa.int64()) for n, v in zip(names, vals)})

@@ -504,6 +504,58 @@ def test_ann_recall_eval_engine_matches_reference_and_exhaustive_is_perfect():
     assert int(full["hits"]) == int(full["total"])
 
 
+def test_minhash_eval_engine_matches_reference():
+    """The distributed LSH-banding eval must agree with the single-
+    process recompute (the frozen-VALUES pin), and its gold total
+    (tp + fn) must equal the exact Jaccard pair count."""
+    from spiderman_ray.pipelines.text import (
+        minhash_eval,
+        minhash_eval_reference,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eng = minhash_eval(sf).to_pandas().iloc[0].to_dict()
+    ref = minhash_eval_reference(sf)[0]
+    assert eng == ref, (eng, ref)
+    assert eng["tp"] + eng["fn"] == ngram_jaccard_pairs(sf).count()
+    assert eng["n_candidates"] == eng["tp"] + eng["fp"]
+
+
+def test_dup_cluster_sizes_matches_clusters_and_covers_corpus():
+    """The histogram must be exactly the size distribution of
+    minhash_clusters' labels, and sum(size * n_clusters) = corpus rows."""
+    import pyarrow.parquet as pq_
+
+    from spiderman_ray.pipelines.text import dup_cluster_sizes, minhash_clusters
+
+    sf = "/root/testdata/sf0.001"
+    hist = dup_cluster_sizes(sf).to_pandas()
+    labels = minhash_clusters(sf).to_pandas()
+    direct = (
+        labels.groupby("cluster_id").size().value_counts().sort_index()
+    )
+    assert list(hist["size"]) == list(direct.index)
+    assert list(hist["n_clusters"]) == list(direct.values)
+    n_docs = pq_.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int((hist["size"] * hist["n_clusters"]).sum()) == n_docs
+
+
+def test_curation_funnel_monotone_and_consistent_with_curate_v2():
+    """Funnel counts must be monotone non-increasing stage to stage and
+    its final count must equal the curate_v2 manifest's row count."""
+    from spiderman_ray.pipelines.text import curate_v2, curation_funnel
+
+    sf = "/root/testdata/sf0.001"
+    row = curation_funnel(sf).to_pandas().iloc[0]
+    cols = ["n_input", "after_len", "after_dirty", "after_bench",
+            "after_zlib", "after_dedup", "after_decon", "after_quota"]
+    vals = [int(row[c]) for c in cols]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
+    assert vals[0] > 0
+    assert vals[-1] == curate_v2(sf).count()
+
+
 def test_minhash_finds_planted_near_dup(tmp_path):
     """Plant a doc that shares ~90% of its shingles with another."""
     base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
