@@ -556,6 +556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_eval": lambda sf: T.simhash_eval(sf),
         # exact inverted-index member of the dedup family (no LSH)
         "ngram_jaccard_pairs": lambda sf: T.ngram_jaccard_pairs(sf),
+        # asymmetric sibling: containment inter/min(|A|,|B|) — the
+        # boilerplate/quote/subset detector Jaccard misses
+        "ngram_containment_pairs": lambda sf: T.ngram_containment_pairs(sf),
         # cross-source shingle contamination matrix (pairwise exact
         # intersection/union of per-source distinct shingle sets)
         "source_overlap": lambda sf: T.source_overlap(sf),
@@ -563,6 +566,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": lambda sf: T.hash_sample(sf),
         # deterministic md5 train/val/test split manifest per source
         "data_splits": lambda sf: T.data_splits(sf),
+        # corpus-health dashboard: per-source doc/token/char/alpha totals
+        "source_quality_report": lambda sf: T.source_quality_report(sf),
+        # sequence-length histogram in power-of-2 token buckets (the
+        # pack_offsets context-budget planner input)
+        "length_buckets": lambda sf: T.length_buckets(sf),
         # exact heavy hitters (sharded wordcount + provable per-shard top-k)
         "top_tokens": lambda sf: T.top_tokens(sf),
         # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
@@ -2586,6 +2594,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
             "CAST(union_sz AS BIGINT) AS union_sz "
             "FROM p WHERE 100 * inter >= 60 * union_sz"
+        ),
+        "ngram_containment_pairs": (
+            # containment inter/min(|A|,|B|): same brute-force shingle
+            # sets, integer predicate and floor-division x10k —
+            # pipelines.text.ngram_containment_pairs
+            f"WITH {_SHINGLES_CTE}, "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            "len(list_intersect(a.s, b.s)) AS inter, "
+            "LEAST(len(a.s), len(b.s)) AS mn "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT a, b, CAST(inter * 10000 // mn AS BIGINT) AS cont_x10k "
+            "FROM p WHERE 100 * inter >= 80 * mn"
+        ),
+        "source_quality_report": (
+            # exact BIGINT sums, mean derived by floor division after the
+            # aggregate — pipelines.text.source_quality_report
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
+            "CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) "
+            "AS BIGINT) AS n_alpha, "
+            "CAST(SUM(len(string_split(text, ' '))) * 100 // COUNT(*) "
+            "AS BIGINT) AS mean_tokens_x100 "
+            "FROM documents GROUP BY source"
+        ),
+        "length_buckets": (
+            # floor(log2(n_tokens)) = length(bin(n)) - 1, the same integer
+            # arithmetic as unigram_quality's log-count —
+            # pipelines.text.length_buckets
+            "SELECT CAST(length(bin(len(string_split(text, ' ')))) - 1 "
+            "AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY 1"
         ),
         "winnow_fingerprints": _winnow_sql(),
         "cdc_chunks": _cdc_sql(),

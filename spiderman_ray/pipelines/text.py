@@ -1264,10 +1264,13 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(cand, preserve_index=False)
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
-    """EXACT n-gram Jaccard similarity join via an INVERTED SHINGLE INDEX —
-    the exact member of the dedup family the LSH operators approximate
-    (exact / minhash-LSH / simhash / ngram-jaccard / embedding-cosine).
+def _shingle_copair_pipeline(sf_dir: str, reduce_fn) -> rd.Dataset:
+    """Shared spine of the EXACT shingle-overlap joins
+    (``ngram_jaccard_pairs`` / ``ngram_containment_pairs``): inverted
+    shingle index -> co-occurring doc pairs -> per-pair (inter, sa, sb)
+    stats reduced by ``reduce_fn`` inside the pair shard (the threshold
+    filter must live IN the reduce so sub-threshold pairs never leave
+    the group task).
 
     Plan (two bounded exchanges, never all-pairs):
 
@@ -1276,9 +1279,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
        enumerates co-occurring doc pairs (a < b) per shingle — emitted
        volume is bounded by real shingle co-occurrence, not n^2;
     2. group emissions by a 64-way pair shard; shared-shingle count per
-       pair = ``inter``; ``union_sz = sa + sb - inter``; keep pairs with
-       ``100*inter >= threshold_pct*union_sz`` — a pure INTEGER predicate,
-       so the DuckDB oracle hash-matches with no float rounding contract.
+       pair = ``inter``; ``reduce_fn(df[a, b, inter, sa, sb])`` applies
+       the op's own integer predicate.
 
     Jaccard over hashed shingle sets equals Jaccard over distinct shingle
     strings up to ~2^-64 collisions (same contract as minhash_pairs). Hot
@@ -1341,15 +1343,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
         )
         return batch.append_column("_pshard", pa.array(sh))
 
-    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_stats(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["a", "b"], sort=False).agg(
             inter=("sa", "size"), sa=("sa", "first"), sb=("sb", "first")
         ).reset_index()
-        union_sz = agg["sa"] + agg["sb"] - agg["inter"]
-        keep = 100 * agg["inter"] >= threshold_pct * union_sz
-        out = agg.loc[keep, ["a", "b", "inter"]].copy()
-        out["union_sz"] = union_sz[keep]
-        return out.astype("int64")
+        return reduce_fn(agg)
 
     return (
         _read_docs(sf_dir)
@@ -1358,8 +1356,47 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
         .map_groups(co_pairs, batch_format="pandas")
         .map_batches(shard_pair, batch_format="pyarrow")
         .groupby("_pshard")
-        .map_groups(reduce_pairs, batch_format="pandas")
+        .map_groups(reduce_stats, batch_format="pandas")
     )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
+    """EXACT n-gram Jaccard similarity join — the exact member of the
+    dedup family the LSH operators approximate (exact / minhash-LSH /
+    simhash / ngram-jaccard / embedding-cosine). Pipeline =
+    ``_shingle_copair_pipeline``; keep pairs with ``100*inter >=
+    threshold_pct*union`` — a pure INTEGER predicate, so the DuckDB
+    oracle hash-matches with no float rounding contract."""
+
+    def reduce_pairs(agg: pd.DataFrame) -> pd.DataFrame:
+        union_sz = agg["sa"] + agg["sb"] - agg["inter"]
+        keep = 100 * agg["inter"] >= threshold_pct * union_sz
+        out = agg.loc[keep, ["a", "b", "inter"]].copy()
+        out["union_sz"] = union_sz[keep]
+        return out.astype("int64")
+
+    return _shingle_copair_pipeline(sf_dir, reduce_pairs)
+
+
+def ngram_containment_pairs(sf_dir: str, threshold_pct: int = 80) -> rd.Dataset:
+    """EXACT n-gram CONTAINMENT join: pairs where the SMALLER doc's
+    shingle set is mostly inside the other's — ``inter / min(|A|, |B|)``
+    >= threshold. This is the boilerplate/quote/subset detector Jaccard
+    misses: a paragraph quoted inside a long page has tiny Jaccard but
+    containment ~1 (the Broder containment measure; the asymmetric
+    sibling of ``ngram_jaccard_pairs``). Same inverted-index spine and
+    the same pure-integer predicate ``100*inter >=
+    threshold_pct*min(sa, sb)``; output ``cont_x10k`` is an integer
+    floor-division, exact both sides. Output: (a, b, cont_x10k)."""
+
+    def reduce_pairs(agg: pd.DataFrame) -> pd.DataFrame:
+        mn = np.minimum(agg["sa"].to_numpy(), agg["sb"].to_numpy())
+        keep = 100 * agg["inter"].to_numpy() >= threshold_pct * mn
+        out = agg.loc[keep, ["a", "b"]].copy()
+        out["cont_x10k"] = agg["inter"].to_numpy()[keep] * 10000 // mn[keep]
+        return out.astype("int64")
+
+    return _shingle_copair_pipeline(sf_dir, reduce_pairs)
 
 
 def hash_sample(sf_dir: str, pct: int = 10) -> rd.Dataset:
@@ -3935,3 +3972,73 @@ def curation_funnel(
     names = ["n_input", "after_len", "after_dirty", "after_bench",
              "after_zlib", "after_dedup", "after_decon", "after_quota"]
     return pa.table({n: pa.array([v], pa.int64()) for n, v in zip(names, vals)})
+
+
+def source_quality_report(sf_dir: str) -> rd.Dataset:
+    """Corpus-health dashboard row per source: doc / token / char /
+    alpha-char totals plus mean tokens per doc (x100, integer floor
+    division — exact both sides). The per-source read a curation run
+    publishes next to ``curation_funnel``'s per-gate view. One partial
+    pass (O(sources) rows per block) + a tiny groupby on source; means
+    are derived AFTER the sum aggregate so every intermediate is an
+    exact BIGINT. Output: (source, n_docs, n_tokens, n_chars, n_alpha,
+    mean_tokens_x100)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+        alpha = batch["text"].str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+        df = pd.DataFrame(
+            {"source": batch["source"], "t": toks, "c": chars, "al": alpha}
+        )
+        agg = df.groupby("source", sort=False).agg(
+            d=("t", "size"), t=("t", "sum"), c=("c", "sum"), al=("al", "sum")
+        ).reset_index()
+        return agg.astype({"d": "int64", "t": "int64", "c": "int64", "al": "int64"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        d = batch["n_docs"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "mean_tokens_x100", pa.array((t * 100 // d).astype(np.int64))
+        )
+
+    return (
+        _read_docs(sf_dir, columns=("source", "text"))
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("d", alias_name="n_docs"), Sum("t", alias_name="n_tokens"),
+            Sum("c", alias_name="n_chars"), Sum("al", alias_name="n_alpha"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def length_buckets(sf_dir: str) -> rd.Dataset:
+    """Sequence-length histogram in power-of-2 token buckets: (bucket =
+    floor(log2(n_tokens)), n_docs, n_tokens) — the distribution that
+    sizes ``pack_offsets``' context budget and predicts packing waste
+    before a training run. Integer bucket = bit_length - 1 (n_tokens >=
+    1 always: '' splits to ['']), matching the SQL's length(bin(x)) - 1.
+    One partial pass (O(buckets) rows per block) + a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        # bit_length - 1 via frexp (integer-exact for int64 magnitudes,
+        # the same arithmetic unigram_quality's log-count uses)
+        bl = np.frexp(toks)[1].astype(np.int64) - 1
+        df = pd.DataFrame({"bucket": bl, "t": toks})
+        agg = df.groupby("bucket", sort=False).agg(
+            d=("t", "size"), t=("t", "sum")
+        ).reset_index()
+        return agg.astype("int64")
+
+    return (
+        _read_docs(sf_dir, columns=("text",))
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("d", alias_name="n_docs"), Sum("t", alias_name="n_tokens"))
+    )

@@ -579,6 +579,62 @@ def test_minhash_finds_planted_near_dup(tmp_path):
     assert ((pairs["a"] == 0) & (pairs["b"] == 99999)).any()
 
 
+def test_ngram_containment_finds_planted_subset(tmp_path):
+    """Plant a doc that is a strict 30% SLICE of a longer doc: Jaccard
+    stays below 0.6 (the subset is small vs the union) but containment
+    of the smaller side is 1.0 — the case the asymmetric detector
+    exists for."""
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    long_doc = base.loc[base["text"].str.count(" ").idxmax()]
+    words = long_doc["text"].split(" ")
+    frac = " ".join(words[: max(5, len(words) * 3 // 10)])
+    planted = pd.concat(
+        [
+            base[["doc_id", "text"]],
+            pd.DataFrame({"doc_id": [99999], "text": [frac]}),
+        ]
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(planted, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    from spiderman_ray.pipelines.text import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    lid = int(long_doc["doc_id"])
+    a, b = min(lid, 99999), max(lid, 99999)
+    cont = ngram_containment_pairs(str(d.parent / "docs")).to_pandas()
+    hit = cont[(cont["a"] == a) & (cont["b"] == b)]
+    assert len(hit) == 1 and int(hit["cont_x10k"].iloc[0]) == 10000, cont
+    jac = ngram_jaccard_pairs(str(d.parent / "docs")).to_pandas()
+    assert not ((jac["a"] == a) & (jac["b"] == b)).any()
+
+
+def test_source_quality_and_length_buckets_cover_corpus():
+    """Both dashboards must tile the corpus exactly: doc and token
+    totals agree with each other and with the raw table."""
+    import pyarrow.parquet as pq_
+
+    from spiderman_ray.pipelines.text import length_buckets, source_quality_report
+
+    sf = "/root/testdata/sf0.001"
+    rep = source_quality_report(sf).to_pandas()
+    lb = length_buckets(sf).to_pandas()
+    raw = pq_.read_table(f"{sf}/documents.parquet", columns=["text"]).to_pandas()
+    n_docs = len(raw)
+    n_tokens = int((raw["text"].str.count(" ") + 1).sum())
+    assert int(rep["n_docs"].sum()) == n_docs
+    assert int(rep["n_tokens"].sum()) == n_tokens
+    assert int(lb["n_docs"].sum()) == n_docs
+    assert int(lb["n_tokens"].sum()) == n_tokens
+    # per-source mean is the exact floor division of the exact sums
+    assert (rep["mean_tokens_x100"] == rep["n_tokens"] * 100 // rep["n_docs"]).all()
+
+
 def test_simhash_close_for_similar_docs():
     from spiderman_ray.pipelines.text import SimHasher
 
