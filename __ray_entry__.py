@@ -648,6 +648,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": lambda sf: __import__(
             "spiderman_ray.pipelines.bpe", fromlist=["x"]
         ).bpe_encode(sf),
+        # tokenizer fertility per language (BPE tokens per word, x1m) —
+        # the pre-commit tokenizer eval; oracle composes the bpe_encode
+        # VALUES pin with the lang-ID SQL
+        "bpe_fertility": lambda sf: __import__(
+            "spiderman_ray.pipelines.bpe", fromlist=["x"]
+        ).bpe_fertility(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1649,9 +1655,29 @@ def _pin_oracle_sqls() -> dict[str, str]:
         {"rank": "BIGINT", "left": "VARCHAR", "right": "VARCHAR", "pair_count": "BIGINT"},
     )
     docs = con.execute(f"SELECT doc_id, text FROM '{docs_pq}' ORDER BY doc_id").fetchall()
+    enc_rows = bpe_encode_reference(docs, merges)
     out["bpe_encode"] = _values_sql(
-        bpe_encode_reference(docs, merges),
+        enc_rows,
         {"doc_id": "BIGINT", "n_bpe_tokens": "BIGINT", "token_checksum": "BIGINT"},
+    )
+    # bpe_fertility: COMPOSED oracle — the per-doc encode pin joined to
+    # the lang-ID SQL and the word counts, grouped per language (floor-
+    # division fertility, exact integers throughout)
+    enc_vals = _values_sql(
+        [{"doc_id": r["doc_id"], "n_bpe_tokens": r["n_bpe_tokens"]} for r in enc_rows],
+        {"doc_id": "BIGINT", "n_bpe_tokens": "BIGINT"},
+    )
+    out["bpe_fertility"] = (
+        f"WITH enc AS ({enc_vals}), lang AS ({_lang_id_sql()}), "
+        "w AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x != '')) AS BIGINT) AS n_words FROM documents) "
+        "SELECT l.lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(w.n_words) AS BIGINT) AS n_words, "
+        "CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens, "
+        "CAST(SUM(e.n_bpe_tokens) * 1000000 // GREATEST(SUM(w.n_words), 1) "
+        "AS BIGINT) AS fertility_x1m "
+        "FROM enc e JOIN lang l ON e.doc_id = l.doc_id "
+        "JOIN w ON w.doc_id = e.doc_id GROUP BY 1"
     )
     out["pq_quantize"] = _values_sql(
         pq_quantize_reference(sf),

@@ -635,6 +635,27 @@ def test_source_quality_and_length_buckets_cover_corpus():
     assert (rep["mean_tokens_x100"] == rep["n_tokens"] * 100 // rep["n_docs"]).all()
 
 
+def test_bpe_fertility_consistent_with_encode():
+    """Fertility partials must tile the corpus: doc total = table rows,
+    BPE token total = bpe_encode's total, and fertility >= 1.0 (a word
+    encodes to at least one token)."""
+    import pyarrow.parquet as pq_
+
+    from spiderman_ray.pipelines.bpe import bpe_encode, bpe_fertility
+
+    sf = "/root/testdata/sf0.001"
+    fert = bpe_fertility(sf).to_pandas()
+    enc = bpe_encode(sf).to_pandas()
+    n_docs = pq_.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int(fert["n_docs"].sum()) == n_docs
+    assert int(fert["n_bpe_tokens"].sum()) == int(enc["n_bpe_tokens"].sum())
+    assert (fert["fertility_x1m"] >= 1_000_000).all()
+    assert (
+        fert["fertility_x1m"]
+        == fert["n_bpe_tokens"] * 1_000_000 // fert["n_words"].clip(lower=1)
+    ).all()
+
+
 def test_simhash_close_for_similar_docs():
     from spiderman_ray.pipelines.text import SimHasher
 
