@@ -533,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis / dedup families --------------------------------
         "doc_fingerprints": T.doc_fingerprints,
         "winnow_fingerprints": T.winnow_fingerprints,
+        # MOSS-style overlap pairs over the winnow fp inverted index
+        "winnow_overlap_pairs": lambda sf: T.winnow_overlap_pairs(sf),
         "dedup_exact": T.dedup_exact,
         "clean_doc_lengths": T.clean_doc_lengths,
         "dirty_word_filter": T.dirty_word_filter,
@@ -938,15 +940,18 @@ _JACCARD_PAIRS = (
 )
 
 
-def _winnow_sql(k: int = 8, window: int = 6) -> str:
-    """Winnowing fingerprints: rolling polynomial hash (base 1000003, mod
-    2^64) over UTF-8 BYTES (hex(encode(text)) -> byte list), sliding-window
-    minima, xor checksum — mirrors pipelines.text.winnow_fingerprints."""
+def _winnow_sel_cte(k: int = 8, window: int = 6) -> str:
+    """The shared winnowing CTE chain (b -> codes -> hs -> sel): rolling
+    polynomial hash (base 1000003, mod 2^64) over UTF-8 BYTES
+    (hex(encode(text)) -> byte list), sliding-window minima; ``sel``
+    holds each doc's distinct fingerprint mins (docs shorter than one
+    k-gram are excluded — ``b`` keeps them for the callers that report
+    empties). Mirrors pipelines.text._winnow_set."""
     m = 1 << 64
     ws = [pow(1000003, k - 1 - j, m) for j in range(k)]
     poly = " + ".join(f"cs[i+{j}] * {w}" for j, w in enumerate(ws))
     return (
-        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "b AS (SELECT doc_id, hex(encode(text)) AS hx, "
         "octet_length(encode(text)) AS n FROM documents), "
         "codes AS (SELECT doc_id, n, list_transform(range(0, n), "
         "i -> CAST(CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT) AS HUGEINT)) AS cs "
@@ -955,13 +960,39 @@ def _winnow_sql(k: int = 8, window: int = 6) -> str:
         f"i -> CAST(({poly}) % {m} AS UBIGINT)) AS h FROM codes), "
         f"sel AS (SELECT doc_id, CASE WHEN len(h) < {window} THEN [list_min(h)] "
         f"ELSE list_distinct(list_transform(range(1, len(h) - {window} + 2), "
-        f"i -> list_min(h[i:i+{window - 1}]))) END AS mins FROM hs) "
+        f"i -> list_min(h[i:i+{window - 1}]))) END AS mins FROM hs)"
+    )
+
+
+def _winnow_sql(k: int = 8, window: int = 6) -> str:
+    """Winnowing fingerprints (count + xor checksum) — mirrors
+    pipelines.text.winnow_fingerprints."""
+    return (
+        f"WITH {_winnow_sel_cte(k, window)} "
         "SELECT doc_id, CAST(len(mins) AS BIGINT) AS n_fps, "
         "CAST(CASE WHEN list_aggregate(mins, 'bit_xor') >= 9223372036854775808 "
         "THEN CAST(list_aggregate(mins, 'bit_xor') AS HUGEINT) - 18446744073709551616 "
         "ELSE CAST(list_aggregate(mins, 'bit_xor') AS HUGEINT) END AS BIGINT) AS fps_checksum "
         "FROM sel "
         f"UNION ALL SELECT doc_id, 0, 0 FROM b WHERE n < {k}"
+    )
+
+
+def _winnow_pairs_sql(k: int = 8, window: int = 6, overlap_pct: int = 50) -> str:
+    """Winnow-overlap pairs: unnest each doc's fingerprint mins, self-join
+    on equal fps, count shared fps per (a < b) pair, keep pairs covering
+    >= overlap_pct% of the smaller fp set (pure integer predicate) —
+    mirrors pipelines.text.winnow_overlap_pairs."""
+    return (
+        f"WITH {_winnow_sel_cte(k, window)}, "
+        "s2 AS (SELECT doc_id, len(mins) AS sz FROM sel), "
+        "g AS (SELECT doc_id, unnest(mins) AS fp FROM sel), "
+        "p AS (SELECT a.doc_id AS a, b2.doc_id AS b, COUNT(*) AS inter "
+        "FROM g a JOIN g b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS n_shared "
+        "FROM p JOIN s2 sa ON p.a = sa.doc_id JOIN s2 sb ON p.b = sb.doc_id "
+        f"WHERE 100 * p.inter >= {overlap_pct} * LEAST(sa.sz, sb.sz)"
     )
 
 
@@ -2655,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "winnow_fingerprints": _winnow_sql(),
+        "winnow_overlap_pairs": _winnow_pairs_sql(),
         "cdc_chunks": _cdc_sql(),
         # first occurrence per fp in global (doc_id, chunk_idx) order
         "cdc_dedup": (

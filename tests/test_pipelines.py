@@ -635,6 +635,31 @@ def test_source_quality_and_length_buckets_cover_corpus():
     assert (rep["mean_tokens_x100"] == rep["n_tokens"] * 100 // rep["n_docs"]).all()
 
 
+def test_winnow_overlap_finds_planted_copy(tmp_path):
+    """Plant a doc that is a verbatim copy of another with a different
+    tail: the shared contiguous prefix keeps most winnow mins, so the
+    overlap detector must pair them."""
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    t0 = base.iloc[0]["text"]
+    planted = pd.concat(
+        [
+            base[["doc_id", "text"]],
+            pd.DataFrame({"doc_id": [99999], "text": [t0 + " totally new tail"]}),
+        ]
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(planted, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    from spiderman_ray.pipelines.text import winnow_overlap_pairs
+
+    pairs = winnow_overlap_pairs(str(d)).to_pandas()
+    a = int(base.iloc[0]["doc_id"])
+    assert ((pairs["a"] == min(a, 99999)) & (pairs["b"] == max(a, 99999))).any()
+
+
 def test_bpe_fertility_consistent_with_encode():
     """Fertility partials must tile the corpus: doc total = table rows,
     BPE token total = bpe_encode's total, and fertility >= 1.0 (a word
