@@ -284,9 +284,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    # BENCH_SCALING_QUERY picks the scaled pipeline (default: the crawl
+    # headline). Any bench-row name works — e.g. dedup_minhash or
+    # curate_v2 evidence that the DATA pipelines scale, not just the
+    # crawl engine.
+    q = os.environ.get("BENCH_SCALING_QUERY", "crawl")
+
     def one(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="crawl", GRAFT_SF_DIR=SF_DIR
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY=q, GRAFT_SF_DIR=SF_DIR
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -310,7 +316,7 @@ def run_scaling() -> None:
         have = runs.setdefault(ncpu, [])
         while len(have) < n:
             have.append(one(ncpu))
-        return min(have, key=lambda d: d["queries"]["crawl"])
+        return min(have, key=lambda d: d["queries"][q])
 
     pair_results = []
     for i, spec in enumerate(pairs_spec.split(";")):
@@ -319,15 +325,15 @@ def run_scaling() -> None:
         # (runs at a shared CPU count are reused across pairs)
         n = repeats if i == 0 else 1
         lo, hi = best(lo_n, n), best(hi_n, n)
-        t_lo, t_hi = lo["queries"]["crawl"], hi["queries"]["crawl"]
+        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
         pair_results.append(
             {
                 "cpus_lo": lo_n,
                 "cpus_hi": hi_n,
                 "sec_lo": t_lo,
                 "sec_hi": t_hi,
-                "urls_per_sec_lo": lo["crawl"]["urls_per_sec"],
-                "urls_per_sec_hi": hi["crawl"]["urls_per_sec"],
+                "urls_per_sec_lo": lo.get("crawl", {}).get("urls_per_sec"),
+                "urls_per_sec_hi": hi.get("crawl", {}).get("urls_per_sec"),
                 "efficiency": round((t_lo / t_hi) / (hi_n / lo_n), 3),
                 # host-drift evidence: single-thread canary of each run
                 "canary_lo_s": lo["host_canary"]["t2_oracle_s"],
@@ -353,7 +359,7 @@ def run_scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "crawl scaling efficiency",
+                "metric": f"{q} scaling efficiency",
                 "value": p0["efficiency"],
                 "unit": "efficiency",
                 "sec_lo": p0["sec_lo"],
