@@ -252,22 +252,26 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_query(args: argparse.Namespace) -> int:
-    """Run any registered data-pipeline query over a testdata-shaped
-    directory and sink it as partitioned parquet (or csv/jsonl) — the
-    operational surface for the SURVEY §2 / LLM-data operator registry.
-    Listing: ``query --list``."""
+def _load_registry() -> dict:
+    """The query registry lives in __ray_entry__.py at the repo root (the
+    driver contract); load it by path so the CLI works from any cwd."""
     import importlib.util
 
-    # the registry lives in __ray_entry__.py at the repo root (the driver
-    # contract); load it by path so the CLI works from any cwd
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
         "__ray_entry__", os.path.join(root, "__ray_entry__.py")
     )
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
-    registry = entry.queries()
+    return entry.queries()
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered data-pipeline query over a testdata-shaped
+    directory and sink it as partitioned parquet (or csv/jsonl) — the
+    operational surface for the SURVEY §2 / LLM-data operator registry.
+    Listing: ``query --list``."""
+    registry = _load_registry()
     if args.list or args.name is None:
         print(json.dumps(sorted(registry)))
         return 0
@@ -312,6 +316,47 @@ def cmd_query(args: argparse.Namespace) -> int:
             print(res.stats())
         else:
             print(json.dumps({"query": args.name, "rows": res.count()}))
+    ray.shutdown()
+    return 0
+
+
+#: the corpus-health report composition: cheap dashboard rows by default,
+#: the dedup/eval diagnostics (minhash machinery, zlib funnel) with --full
+_REPORT_SECTIONS = ("source_quality_report", "length_buckets", "data_splits",
+                    "mixture_weights")
+_REPORT_FULL = ("curation_funnel", "dup_cluster_sizes", "simhash_eval",
+                "minhash_eval")
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    """One corpus-health report over an sf dir — the publish-before-
+    training read-out composing the dashboard ops (per-source totals,
+    length histogram, split manifest, mixture weights; ``--full`` adds
+    the curation funnel, duplication profile and detector evals). Each
+    section is a registered gate query, so every number in the report is
+    independently hash-verified against its own oracle."""
+    registry = _load_registry()
+    ray = _ray_session()
+    import pandas as pd
+    import pyarrow as pa
+
+    names = _REPORT_SECTIONS + (_REPORT_FULL if args.full else ())
+    report: dict = {"sf": args.sf, "sections": {}}
+    for name in names:
+        res = registry[name](args.sf)
+        if not isinstance(res, (pd.DataFrame, pa.Table)):
+            res = res.to_pandas()
+        if isinstance(res, pa.Table):
+            res = res.to_pandas()
+        res = res.sort_values(list(res.columns)).reset_index(drop=True)
+        report["sections"][name] = res.to_dict("records")
+    out = json.dumps(report)
+    if args.dest:
+        with open(args.dest, "w") as f:
+            f.write(out + "\n")
+        print(json.dumps({"report": args.dest, "sections": sorted(names)}))
+    else:
+        print(out)
     ray.shutdown()
     return 0
 
@@ -450,6 +495,15 @@ def main(argv=None) -> int:
     q.add_argument("--stats", action="store_true",
                    help="print per-stage Dataset.stats() after running")
     q.set_defaults(fn=cmd_query)
+
+    rp = sub.add_parser(
+        "report", help="one corpus-health JSON report over an sf dir"
+    )
+    rp.add_argument("--sf", default="/root/testdata/sf0.01", help="input table dir")
+    rp.add_argument("--dest", default=None, help="write the JSON here (omit = stdout)")
+    rp.add_argument("--full", action="store_true",
+                    help="add the funnel/duplication/eval diagnostics")
+    rp.set_defaults(fn=cmd_report)
 
     n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")
     n.add_argument("name", help="spider name (Python identifier)")

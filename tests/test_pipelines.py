@@ -660,6 +660,32 @@ def test_winnow_overlap_finds_planted_copy(tmp_path):
     assert ((pairs["a"] == min(a, 99999)) & (pairs["b"] == max(a, 99999))).any()
 
 
+@pytest.mark.slow
+def test_cli_report_composes_dashboard_sections(tmp_path):
+    """`cli report` must emit one JSON doc whose sections are exactly the
+    registered dashboard queries (every number independently gate-
+    verified elsewhere); --dest writes the same doc to a file."""
+    import json
+    import subprocess
+    import sys
+
+    dest = str(tmp_path / "report.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "spiderman_ray.cli", "report",
+         "--sf", "/root/testdata/sf0.001", "--dest", dest],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(dest))
+    assert set(rep["sections"]) == {
+        "source_quality_report", "length_buckets", "data_splits",
+        "mixture_weights",
+    }
+    assert all(len(v) > 0 for v in rep["sections"].values())
+    docs = sum(s["n_docs"] for s in rep["sections"]["source_quality_report"])
+    assert docs == 500  # tiles the corpus
+
+
 def test_bpe_fertility_consistent_with_encode():
     """Fertility partials must tile the corpus: doc total = table rows,
     BPE token total = bpe_encode's total, and fertility >= 1.0 (a word
