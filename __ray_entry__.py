@@ -575,6 +575,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets": lambda sf: T.length_buckets(sf),
         # exact heavy hitters (sharded wordcount + provable per-shard top-k)
         "top_tokens": lambda sf: T.top_tokens(sf),
+        # top-k collocations by integer PMI lift (two bucketed exchanges)
+        "pmi_collocations": lambda sf: T.pmi_collocations(sf),
+        # Heaps-law shingle-type discovery curve (source saturation signal)
+        "vocab_growth": lambda sf: T.vocab_growth(sf),
         # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
         "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
         # per-stratum deterministic sampling (corpus rebalancing)
@@ -2684,6 +2688,41 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
             "FROM documents GROUP BY 1"
+        ),
+        "pmi_collocations": (
+            # integer exp-PMI lift over the bigram event space; adjacency
+            # zipped over the FILTERED token list (bigram_quality
+            # convention); `//` = the engine's numpy floor division —
+            # pipelines.text.pmi_collocations
+            "WITH t AS (SELECT list_filter(string_split(text, ' '), "
+            "x -> x != '') AS toks FROM documents), "
+            "p AS (SELECT unnest(list_zip(toks[1:length(toks)-1], "
+            "toks[2:length(toks)])) AS z FROM t), "
+            "bf AS (SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS n_ab "
+            "FROM p GROUP BY ALL), "
+            "n AS (SELECT SUM(n_ab) AS npairs FROM bf), "
+            "c1 AS (SELECT w1, SUM(n_ab) AS n1 FROM bf GROUP BY w1), "
+            "c2 AS (SELECT w2, SUM(n_ab) AS n2 FROM bf GROUP BY w2) "
+            "SELECT bf.w1, bf.w2, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST((100 * n_ab * npairs) // (n1 * n2) AS BIGINT) AS lift100 "
+            "FROM bf JOIN c1 USING (w1) JOIN c2 USING (w2), n "
+            "WHERE n_ab >= 3 "
+            "ORDER BY lift100 DESC, w1, w2 LIMIT 50"
+        ),
+        "vocab_growth": (
+            # shingle-type discovery curve: min first-doc per distinct
+            # 3-word shingle STRING (engine: the shared set-hash family),
+            # bucketed by first_doc // 100 with a cumulative window —
+            # pipelines.text.vocab_growth
+            f"WITH {_SHINGLES_CTE}, "
+            "e AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "f AS (SELECT g, MIN(doc_id) AS fd FROM e GROUP BY g), "
+            "b AS (SELECT fd // 100 AS bucket, COUNT(*) AS nt FROM f "
+            "GROUP BY 1) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(nt AS BIGINT) AS new_types, "
+            "CAST(SUM(nt) OVER (ORDER BY bucket) AS BIGINT) AS cum_types "
+            "FROM b ORDER BY bucket"
         ),
         "winnow_fingerprints": _winnow_sql(),
         "winnow_overlap_pairs": _winnow_pairs_sql(),

@@ -424,9 +424,23 @@ def run_deep() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        run_scaling()
-    elif "--deep" in sys.argv:
-        run_deep()
-    else:
-        print(json.dumps(run_bench()))
+    # Ray's raylet/worker CHILD PROCESSES inherit fd 1 and can write a
+    # startup WARNING onto stdout before the one JSON line even with
+    # log_to_driver=False (observed: "(raylet) WARNING: 18 PYTHON worker
+    # processes..."). Keep the real stdout on a private dup for the
+    # final JSON and point fd 1 at stderr for everything else, so the
+    # stdout contract ("ONE JSON line") holds no matter what children
+    # print.
+    sys.stdout.flush()
+    _real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = _real_stdout
+    try:
+        if "--scaling" in sys.argv:
+            run_scaling()
+        elif "--deep" in sys.argv:
+            run_deep()
+        else:
+            print(json.dumps(run_bench()))
+    finally:
+        _real_stdout.flush()

@@ -2707,7 +2707,13 @@ def curate_v2_incremental(
                  "source": pa.string()},
     )
 
-    clusters = minhash_clusters(sf_dir, threshold)
+    # consumed TWICE below (cluster-membership attach + representative
+    # pick): materialize the small (doc_id, cluster_id) label table once
+    # so the expensive MinHash/LSH pipeline doesn't re-execute per
+    # consumer. O(near-dup docs) x 16 bytes in the object store —
+    # id-and-label rows only, never text — and spillable, so this holds
+    # at corpus scale.
+    clusters = minhash_clusters(sf_dir, threshold).materialize()
 
     def mark_cluster(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -4092,3 +4098,164 @@ def length_buckets(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .aggregate(Sum("d", alias_name="n_docs"), Sum("t", alias_name="n_tokens"))
     )
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 3, k: int = 50) -> rd.Dataset:
+    """Top-k collocations by integer pointwise-mutual-information lift:
+    for each adjacent token pair, lift100 = floor(100 * c(w1,w2) * N /
+    (ctx1(w1) * ctx2(w2))) over the bigram event space, where N is the
+    corpus bigram total, ctx1 counts bigrams STARTING with w1 and ctx2
+    bigrams ENDING with w2 — the exact-integer stand-in for exp(PMI)
+    (monotone in it, so the ranking is the PMI ranking; no float log
+    crosses the oracle hash). Adjacency is over the FILTERED token list
+    (the ``bigram_quality`` convention). Distributed shape: batch-local
+    pair pre-aggregation (combiner), then ONE w1-shard exchange where
+    both c(w1,w2) and ctx1(w1) complete, then ONE w2-shard exchange
+    completing ctx2(w2) and scoring; N is an O(blocks) scalar partial
+    sum, broadcast by closure capture. Per-shard top-k unions provably
+    contain the global top-k (each pair lives in exactly one w2 shard,
+    the ``top_tokens`` argument), so the final sort+limit over <= 64*k
+    rows is exact. int64 throughout == the oracle's BIGINT (at larger
+    corpora 100*c*N wants HUGEINT/int128 — widen BOTH sides together).
+    Tie-break contract (lift100 desc, w1 asc, w2 asc). Output:
+    (w1, w2, n_ab, lift100)."""
+
+    def n_pairs_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.Series(batch["text"]).str.split(" ").explode()
+        toks = toks[toks != ""]
+        per_doc = toks.groupby(level=0).size().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"n": [int(np.maximum(per_doc - 1, 0).sum())]})
+
+    n_total = int(
+        _read_docs(sf_dir, columns=("text",))
+        .map_batches(n_pairs_partial, batch_format="pandas")
+        .sum("n")
+    )
+
+    def pair_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.Series(batch["text"]).str.split(" ").explode()
+        toks = toks[toks != ""]
+        df = pd.DataFrame({"w1": toks})
+        df["w2"] = df.groupby(level=0)["w1"].shift(-1)
+        df = df[df["w2"].notna()]
+        tc = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        if len(tc) == 0:  # typed empty (empty-batch Arrow-null hazard)
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "_w1shard": pa.array([], pa.int64())}
+            )
+        tc["_w1shard"] = _shard64_of(list(tc["w1"]))
+        return tc
+
+    def attach_ctx1(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        agg["n1"] = agg.groupby("w1", sort=False)["n"].transform("sum")
+        agg["_w2shard"] = _shard64_of(list(agg["w2"]))
+        return agg.rename(columns={"n": "n_ab"})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        n2 = g.groupby("w2", sort=False)["n_ab"].transform("sum").to_numpy()
+        n_ab = g["n_ab"].to_numpy(dtype=np.int64)
+        n1 = g["n1"].to_numpy(dtype=np.int64)
+        keep = n_ab >= min_count
+        if not keep.any():  # typed empty (all pairs below min_count)
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n_ab": pa.array([], pa.int64()),
+                 "lift100": pa.array([], pa.int64())}
+            )
+        lift = (100 * n_ab[keep] * n_total) // (n1[keep] * n2[keep])
+        out = pd.DataFrame(
+            {
+                "w1": g["w1"].to_numpy(dtype=object)[keep],
+                "w2": g["w2"].to_numpy(dtype=object)[keep],
+                "n_ab": n_ab[keep],
+                "lift100": lift.astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["lift100", "w1", "w2"], ascending=[False, True, True]
+        ).head(k)
+
+    return (
+        _read_docs(sf_dir, columns=("text",))
+        .map_batches(pair_counts, batch_format="pandas")
+        .groupby("_w1shard")
+        .map_groups(attach_ctx1, batch_format="pandas")
+        .groupby("_w2shard")
+        .map_groups(score, batch_format="pandas")
+        .sort(["lift100", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def vocab_growth(sf_dir: str, bucket_size: int = 100) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth curve over 3-word shingle TYPES: for
+    each shingle type its FIRST document (min doc_id), bucketed by
+    first_doc // bucket_size — (bucket, new_types, cum_types) says how
+    fast the corpus keeps discovering novel word sequences, the
+    saturation signal a crawl/curation loop watches to decide when more
+    of a source stops adding diversity. Engine types are the shared
+    ``_shingle_hashes_batch`` uint64 set hashes; the oracle counts the
+    shingle STRINGS — identical up to ~2^-64 collisions, the same
+    correspondence every Jaccard/minhash gate already relies on.
+    Distributed shape: per-batch (hash, min doc_id) combiner, one
+    hash-shard exchange where each type's global min completes, per-shard
+    O(buckets) histograms, a tiny groupby — only O(64 * buckets) rows
+    ever reach the driver, where the cumulative sum runs (O(buckets)
+    pandas; the one driver-side step, bounded by bucket count not corpus
+    size). Output: (bucket, new_types, cum_types) sorted by bucket."""
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = batch["doc_id"].to_numpy()
+        sets = _shingle_hashes_batch(texts)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        h = (np.concatenate(sets) if sets and lens.sum()
+             else np.array([], dtype=np.uint64))
+        doc = np.repeat(dids.astype(np.int64), lens)
+        df = pd.DataFrame({"h": h.view(np.int64), "doc_id": doc})
+        agg = df.groupby("h", sort=False)["doc_id"].min().reset_index()
+        # explicit int64 even when agg is EMPTY (a pandas empty column
+        # widens to float64 -> null-typed Arrow -> schema unification
+        # failure with int64 blocks)
+        hv = agg["h"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(hv),
+                "doc_id": pa.array(agg["doc_id"].to_numpy().astype(np.int64)),
+                "_hshard": pa.array(
+                    (hv.view(np.uint64) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("h", sort=False)["doc_id"].min().to_numpy()
+        b = fd // bucket_size
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame(
+            {"bucket": vc.index.to_numpy(dtype=np.int64),
+             "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = (
+        _read_docs(sf_dir)
+        .map_batches(first_seen, batch_format="pyarrow")
+        .groupby("_hshard")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="new_types"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    per_bucket["bucket"] = per_bucket["bucket"].astype("int64")
+    per_bucket["new_types"] = per_bucket["new_types"].astype("int64")
+    per_bucket["cum_types"] = per_bucket["new_types"].cumsum().astype("int64")
+    return per_bucket

@@ -3347,3 +3347,65 @@ def test_simhash_eval_confusion_counts_consistent():
     if got["tp"] + got["fn"]:
         assert got["recall_x1m"] == int(
             np.floor(got["tp"] / (got["tp"] + got["fn"]) * 1e6 + 0.5))
+
+
+def test_pmi_collocations_matches_bruteforce():
+    """Top-k PMI lift must equal a single-process brute-force recompute
+    (same filtered-adjacency, same integer floor-div arithmetic, same
+    tie-break) on sf0.001."""
+    from collections import Counter
+
+    from spiderman_ray.pipelines.text import pmi_collocations
+
+    sf = "/root/testdata/sf0.001"
+    got = pmi_collocations(sf).to_pandas()
+
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    ab: Counter = Counter()
+    for t in texts["text"].to_pylist():
+        ws = [w for w in t.split(" ") if w != ""]
+        ab.update(zip(ws, ws[1:]))
+    n_total = sum(ab.values())
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (a, b), n in ab.items():
+        c1[a] += n
+        c2[b] += n
+    rows = [
+        (a, b, n, (100 * n * n_total) // (c1[a] * c2[b]))
+        for (a, b), n in ab.items()
+        if n >= 3
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = pd.DataFrame(rows[:50], columns=["w1", "w2", "n_ab", "lift100"])
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["w1", "w2", "n_ab", "lift100"]].astype(
+            {"n_ab": "int64", "lift100": "int64"}
+        ),
+        want.astype({"n_ab": "int64", "lift100": "int64"}),
+    )
+
+
+def test_vocab_growth_tiles_and_saturates():
+    """The growth curve must tile the corpus type space: cum_types ends
+    at the total distinct shingle-type count, new_types are positive,
+    buckets are sorted, and the curve equals a sequential recompute."""
+    from spiderman_ray.pipelines.text import _shingle_hashes_batch, vocab_growth
+
+    sf = "/root/testdata/sf0.001"
+    got = vocab_growth(sf)
+
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    first: dict[int, int] = {}
+    sets = _shingle_hashes_batch(tbl["text"].to_pylist())
+    for did, s in zip(tbl["doc_id"].to_pylist(), sets):
+        for h in s.tolist():
+            if h not in first or did < first[h]:
+                first[h] = did
+    buckets = pd.Series([d // 100 for d in first.values()]).value_counts().sort_index()
+    assert got["bucket"].tolist() == buckets.index.tolist()
+    assert got["new_types"].tolist() == buckets.tolist()
+    assert got["cum_types"].iloc[-1] == len(first)
+    assert (got["new_types"] > 0).all()
+    assert got["bucket"].is_monotonic_increasing
