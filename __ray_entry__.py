@@ -548,9 +548,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": lambda sf: T.minhash_clusters(sf),
         # duplicate-cluster size histogram (corpus duplication profile)
         "dup_cluster_sizes": lambda sf: T.dup_cluster_sizes(sf),
+        # per-source exact + near duplication rates (crawl-budget feedback)
+        "source_dup_rates": lambda sf: T.source_dup_rates(sf),
         # LSH banding parameter eval: raw band-collision candidates vs
         # exact Jaccard gold (verify survival rate + banding miss rate)
         "minhash_eval": lambda sf: T.minhash_eval(sf),
+        # the banding tuning curve: same candidates scored against exact
+        # gold at several thresholds in ONE pair-shard pass
+        "minhash_threshold_sweep": lambda sf: T.minhash_threshold_sweep(sf),
         "simhash": T.simhash_table,
         "simhash_near_dups": lambda sf: T.simhash_near_dups(sf),
         # detector-vs-gold eval: simhash pairs scored against exact
@@ -579,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": lambda sf: T.pmi_collocations(sf),
         # Heaps-law shingle-type discovery curve (source saturation signal)
         "vocab_growth": lambda sf: T.vocab_growth(sf),
+        # per-doc novelty of the new split vs the base snapshot (the
+        # per-document member of the saturation family)
+        "ngram_novelty": lambda sf: T.ngram_novelty(sf),
         # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
         "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
         # per-stratum deterministic sampling (corpus rebalancing)
@@ -1935,6 +1943,14 @@ def _pin_oracle_sqls() -> dict[str, str]:
         {"n_candidates": "BIGINT", "tp": "BIGINT", "fp": "BIGINT",
          "fn": "BIGINT", "precision_x1m": "BIGINT", "recall_x1m": "BIGINT"},
     )
+
+    from spiderman_ray.pipelines.text import minhash_sweep_reference
+
+    out["minhash_threshold_sweep"] = _values_sql(
+        minhash_sweep_reference(sf),
+        {"threshold_pct": "BIGINT", "tp": "BIGINT", "fp": "BIGINT",
+         "fn": "BIGINT", "precision_x1m": "BIGINT", "recall_x1m": "BIGINT"},
+    )
     return out
 
 
@@ -2491,6 +2507,50 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u) "
             "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id "
             "FROM cc GROUP BY node"
+        ),
+        "ngram_novelty": (
+            # per-NEW-doc distinct-shingle novelty vs the base split's
+            # shingle-type union; same md5-split arithmetic as
+            # hash_sample — pipelines.text.ngram_novelty
+            f"WITH {_SHINGLES_CTE}, "
+            "t AS (SELECT doc_id, s, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) >= {(50 << 32) // 100} AS is_new FROM sh), "
+            "e AS (SELECT doc_id, is_new, unnest(s) AS g FROM t), "
+            "base AS (SELECT DISTINCT g FROM e WHERE NOT is_new), "
+            "nw AS (SELECT e.doc_id, CASE WHEN base.g IS NULL THEN 1 "
+            "ELSE 0 END AS nov FROM e LEFT JOIN base ON e.g = base.g "
+            "WHERE e.is_new) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+            "CAST(SUM(nov) AS BIGINT) AS n_novel, "
+            "CAST((1000000 * SUM(nov)) // COUNT(*) AS BIGINT) "
+            "AS novelty_x1m FROM nw GROUP BY doc_id"
+        ),
+        "source_dup_rates": (
+            # exact dups = non-first doc of an md5(text) group; near
+            # dups = non-min members of the recursive verified-pair
+            # components — pipelines.text.source_dup_rates
+            f"WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "edges AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "cc(node, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u), "
+            "m AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node), "
+            "nd AS (SELECT node AS doc_id FROM m WHERE lbl != node), "
+            "ex AS (SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn > 1), "
+            "agg AS (SELECT d.source, COUNT(*) AS n_docs, "
+            "SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS ne, "
+            "SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS nn "
+            "FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id "
+            "LEFT JOIN nd ON d.doc_id = nd.doc_id GROUP BY d.source) "
+            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(ne AS BIGINT) AS n_exact_dups, "
+            "CAST(nn AS BIGINT) AS n_near_dups, "
+            "CAST((1000000 * ne) // n_docs AS BIGINT) AS exact_x1m, "
+            "CAST((1000000 * nn) // n_docs AS BIGINT) AS near_x1m "
+            "FROM agg"
         ),
         "dup_cluster_sizes": (
             # cluster-size histogram over the same recursive component

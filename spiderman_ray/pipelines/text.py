@@ -3794,12 +3794,14 @@ def minhash_eval(sf_dir: str, threshold_pct: int = 60) -> pa.Table:
     )
 
 
-def minhash_eval_reference(sf_dir: str, threshold_pct: int = 60) -> list[dict]:
-    """Single-process recompute of ``minhash_eval`` — the frozen-VALUES
-    oracle pin (no Ray): same shingle hashing (``_shingle_hashes_batch``),
-    same seeded ``MinHasher`` signatures and band md5 buckets, gold via
-    an inverted shingle index with the same INTEGER predicate
-    100*inter >= threshold_pct*union as ``ngram_jaccard_pairs``."""
+def _minhash_eval_state(
+    sf_dir: str,
+) -> tuple[set, dict, dict]:
+    """Sequential (candidate set, per-doc shingle sizes, pair exact
+    intersections) — the shared state of ``minhash_eval_reference`` and
+    ``minhash_sweep_reference`` (no Ray): same shingle hashing
+    (``_shingle_hashes_batch``), same seeded ``MinHasher`` signatures
+    and band md5 buckets, intersections via an inverted shingle index."""
     import pyarrow.parquet as pq_
 
     tab = pq_.read_table(_pq(sf_dir), columns=["doc_id", "text"])
@@ -3833,6 +3835,15 @@ def minhash_eval_reference(sf_dir: str, threshold_pct: int = 60) -> list[dict]:
             for y in range(x + 1, len(v)):
                 p = (v[x], v[y])
                 inter[p] = inter.get(p, 0) + 1
+    return cand, sizes, inter
+
+
+def minhash_eval_reference(sf_dir: str, threshold_pct: int = 60) -> list[dict]:
+    """Single-process recompute of ``minhash_eval`` — the frozen-VALUES
+    oracle pin: the ``_minhash_eval_state`` candidates scored against
+    the inverted-index gold with the same INTEGER predicate
+    100*inter >= threshold_pct*union as ``ngram_jaccard_pairs``."""
+    cand, sizes, inter = _minhash_eval_state(sf_dir)
     gold = {
         p for p, c in inter.items()
         if 100 * c >= threshold_pct * (sizes[p[0]] + sizes[p[1]] - c)
@@ -4259,3 +4270,314 @@ def vocab_growth(sf_dir: str, bucket_size: int = 100) -> pd.DataFrame:
     per_bucket["new_types"] = per_bucket["new_types"].astype("int64")
     per_bucket["cum_types"] = per_bucket["new_types"].cumsum().astype("int64")
     return per_bucket
+
+
+def ngram_novelty(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
+    """Per-document NOVELTY of a new batch against the existing corpus
+    snapshot: for each NEW doc (hash_sample md5 split, base = hash <
+    ``base_pct`` — the split every incremental op here shares), the
+    fraction of its distinct 3-word shingle TYPES that appear in NO base
+    document, as an exact integer ``novelty_x1m = (1e6 * n_novel) //
+    n_shingles``. This is the per-document member of the saturation
+    family (``vocab_growth`` is the corpus curve): a crawl scheduler
+    re-prioritizes sources whose new documents stop bringing novel
+    shingles, and a curation pass can gate ingest on it directly.
+
+    Scale shape (the ``source_overlap`` spine): docs explode to
+    (shingle_hash, doc_id) rows — the base side collapses to batch-
+    distinct PRESENCE rows (doc_id = -1) since only membership matters —
+    ONE hash-shard exchange decides novelty where each shingle type
+    lives (the base set for a shard is complete in-shard, vectorized
+    isin), per-(doc, shard) partial counts re-shard by doc_id and sum.
+    Nothing corpus-sized on the driver; both exchanges are O(64)-keyed.
+    Hashed-shingle set semantics equal distinct shingle strings up to
+    ~2^-64 collisions (the ``ngram_jaccard_pairs`` contract). Every doc
+    has >= 1 shingle (the < k-words fallback), so the floor division is
+    total. Output: (doc_id, n_shingles, n_novel, novelty_x1m) — new
+    docs only."""
+    thresh = (base_pct << 32) // 100
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        is_new = _md5_priority(batch["doc_id"].to_pylist()) >= thresh
+        sets = _shingle_hashes_batch(texts)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        h = (np.concatenate(sets) if sets and lens.sum()
+             else np.array([], dtype=np.uint64)).view(np.int64)
+        doc = np.repeat(dids, lens)
+        nw = np.repeat(is_new, lens)
+        base_h = np.unique(h[~nw])  # presence only: batch-local dedup
+        out_h = np.concatenate([base_h, h[nw]])
+        out_d = np.concatenate(
+            [np.full(len(base_h), -1, dtype=np.int64), doc[nw]]
+        )
+        return pa.table(
+            {"h": pa.array(out_h),
+             "doc_id": pa.array(out_d),
+             "_hshard": pa.array(
+                 (out_h.view(np.uint64) % np.uint64(64)).astype(np.int64))}
+        )
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        nw = g[g["doc_id"] >= 0]
+        if not len(nw):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64"),
+                 "novel": pd.Series(dtype="int64"),
+                 "_dshard": pd.Series(dtype="int64")}
+            )
+        base = g.loc[g["doc_id"] < 0, "h"].unique()
+        nov = (~nw["h"].isin(base)).astype("int64")
+        agg = nw.assign(novel=nov).groupby("doc_id", sort=False).agg(
+            n=("h", "size"), novel=("novel", "sum")).reset_index()
+        agg["_dshard"] = _shard64_of(list(agg["doc_id"]))
+        return agg.astype(
+            {"doc_id": "int64", "n": "int64", "novel": "int64",
+             "_dshard": "int64"}
+        )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False)[["n", "novel"]].sum().reset_index()
+        n = agg["n"].to_numpy(dtype=np.int64)
+        nov = agg["novel"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": agg["doc_id"].astype("int64"),
+             "n_shingles": n,
+             "n_novel": nov,
+             "novelty_x1m": (1_000_000 * nov) // n}
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_hshard")
+        .map_groups(decide, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+def source_dup_rates(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Per-source duplication-rate dashboard: for every source, how many
+    of its documents are EXACT duplicates (a same-md5(text) doc with a
+    smaller doc_id exists anywhere in the corpus — the ``dedup_exact``
+    first-wins contract) and how many are NEAR duplicates (non-
+    representative members of their verified MinHash component,
+    ``minhash_clusters`` label != own id), with exact-integer x1m rates.
+    This is the feedback signal crawl scheduling consumes from curation:
+    a source whose dup rates climb is re-crawling itself (or mirroring
+    another source — see ``source_overlap``) and should lose budget.
+
+    Scale shape: the exact side is ONE fp-shard exchange (inside a shard
+    every copy of a fingerprint is present, so non-first marking is a
+    vectorized shift-compare) emitting O(sources) partial counts per
+    shard — per-source doc totals fall out of the same pass since each
+    doc lives in exactly one fp shard. The near side attaches sources to
+    the ``minhash_clusters`` labels with ONE doc-shard union join and
+    emits O(sources) partials likewise. The driver merges O(shards x
+    sources) partial rows — the answer, never the corpus. Output:
+    (source, n_docs, n_exact_dups, n_near_dups, exact_x1m, near_x1m)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "source": pc.cast(batch["source"], pa.string()),
+             "fp": pa.array(fps, pa.string()),
+             "_fshard": pa.array(_shard64_of(fps))}
+        )
+
+    def exact_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort")
+        dup = g["fp"].eq(g["fp"].shift()).astype("int64")
+        agg = g.assign(dup=dup).groupby("source", sort=False).agg(
+            n=("dup", "size"), dups=("dup", "sum")).reset_index()
+        return agg.astype({"n": "int64", "dups": "int64"})
+
+    ex = (
+        rd.read_parquet(_pq(sf_dir), columns=["doc_id", "text", "source"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(exact_partial, batch_format="pandas")
+        .to_pandas()  # O(shards x sources) partial rows
+        .groupby("source")[["n", "dups"]].sum()
+    )
+
+    clusters = minhash_clusters(sf_dir, threshold)
+
+    def mark_lbl(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "cluster_id": pc.cast(batch["cluster_id"], pa.int64()),
+             "source": pa.array([""] * batch.num_rows, pa.string()),
+             "side": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+             "_dshard": pa.array(_shard64_of(batch["doc_id"].to_pylist()))}
+        )
+
+    def mark_src(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "cluster_id": pa.array(
+                 np.full(batch.num_rows, -1, dtype=np.int64)),
+             "source": pc.cast(batch["source"], pa.string()),
+             "side": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+             "_dshard": pa.array(_shard64_of(batch["doc_id"].to_pylist()))}
+        )
+
+    def near_partial(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["side"] == 0, ["doc_id", "cluster_id"]]
+        src = g.loc[g["side"] == 1, ["doc_id", "source"]]
+        m = src.merge(lbl, on="doc_id", how="inner")
+        m["dup"] = (m["cluster_id"] != m["doc_id"]).astype("int64")
+        agg = m.groupby("source", sort=False)["dup"].sum().reset_index(
+            name="neardups")
+        return agg.astype({"neardups": "int64"})
+
+    nr = (
+        clusters.map_batches(mark_lbl, batch_format="pyarrow")
+        .union(
+            rd.read_parquet(_pq(sf_dir), columns=["doc_id", "source"])
+            .map_batches(mark_src, batch_format="pyarrow")
+        )
+        .groupby("_dshard")
+        .map_groups(near_partial, batch_format="pandas")
+        .to_pandas()  # O(shards x sources) partial rows
+        .groupby("source")["neardups"].sum()
+    )
+
+    merged = ex.join(nr, how="left").fillna(0).sort_index()
+    n = merged["n"].to_numpy(dtype=np.int64)
+    exd = merged["dups"].to_numpy(dtype=np.int64)
+    nrd = merged["neardups"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {"source": pa.array(list(merged.index), pa.string()),
+         "n_docs": pa.array(n),
+         "n_exact_dups": pa.array(exd),
+         "n_near_dups": pa.array(nrd),
+         "exact_x1m": pa.array((1_000_000 * exd) // n),
+         "near_x1m": pa.array((1_000_000 * nrd) // n)}
+    )
+
+
+def minhash_threshold_sweep(
+    sf_dir: str, thresholds: tuple = (50, 60, 70)
+) -> pa.Table:
+    """LSH banding evaluated across a THRESHOLD SWEEP in one pass — the
+    tuning curve behind ``minhash_eval`` (which reads out one point):
+    the fixed 16x4 banding's candidate set scored against exact-Jaccard
+    gold at each threshold. Banding tuned for 0.6 loses recall fast
+    below its S-curve knee; this is the read-out that decides whether a
+    corpus's dedup threshold move needs a banding change too.
+
+    One ``_pair_confusion``-shaped exchange for ALL thresholds: gold
+    pairs are computed ONCE at min(thresholds) carrying exact (inter,
+    union) counts; candidates and gold union, one pair-shard exchange
+    co-locates each pair, and each shard emits O(|thresholds|) partial
+    confusion rows — the per-threshold gold test ``100*inter >=
+    t*union`` is the same pure-integer predicate as
+    ``ngram_jaccard_pairs``, applied per threshold to the SAME
+    co-located pair rows (a candidate pair that meets no gold row has
+    jaccard < min(thresholds), hence non-gold at every swept t). Driver
+    sums O(shards x |thresholds|) rows. Output rows sorted by
+    threshold_pct: (threshold_pct, tp, fp, fn, precision_x1m,
+    recall_x1m), ratios floor-quantized x1m as in ``_confusion_row``."""
+    ts = sorted(int(t) for t in thresholds)
+
+    def tag_det(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"a": pc.cast(batch["a"], pa.int64()),
+             "b": pc.cast(batch["b"], pa.int64()),
+             "m": pa.array(np.ones(n, dtype=np.int64)),
+             "inter": pa.array(np.full(n, -1, dtype=np.int64)),
+             "union_sz": pa.array(np.full(n, -1, dtype=np.int64))}
+        )
+
+    def tag_gold(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"a": pc.cast(batch["a"], pa.int64()),
+             "b": pc.cast(batch["b"], pa.int64()),
+             "m": pa.array(np.zeros(n, dtype=np.int64)),
+             "inter": pc.cast(batch["inter"], pa.int64()),
+             "union_sz": pc.cast(batch["union_sz"], pa.int64())}
+        )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pshard",
+            pa.array(_pair_shard64(
+                batch["a"].to_numpy(zero_copy_only=False),
+                batch["b"].to_numpy(zero_copy_only=False),
+            )),
+        )
+
+    def confuse(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"], sort=False).agg(
+            m=("m", "max"), inter=("inter", "max"), u=("union_sz", "max")
+        )
+        det = per["m"].to_numpy() == 1
+        inter = per["inter"].to_numpy(dtype=np.int64)
+        u = per["u"].to_numpy(dtype=np.int64)
+        rows = []
+        for t in ts:
+            gold = (inter >= 0) & (100 * inter >= t * u)
+            rows.append(
+                {"t": t, "tp": int((det & gold).sum()),
+                 "fp": int((det & ~gold).sum()),
+                 "fn": int((~det & gold).sum())}
+            )
+        return pd.DataFrame(rows).astype("int64")
+
+    parts = (
+        minhash_candidate_pairs(sf_dir)
+        .map_batches(tag_det, batch_format="pyarrow")
+        .union(
+            ngram_jaccard_pairs(sf_dir, threshold_pct=ts[0])
+            .map_batches(tag_gold, batch_format="pyarrow")
+        )
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(confuse, batch_format="pandas")
+        .to_pandas()  # O(shards x |thresholds|) partial rows
+    )
+    agg = parts.groupby("t")[["tp", "fp", "fn"]].sum().sort_index()
+    tp = agg["tp"].to_numpy(dtype=np.int64)
+    fp = agg["fp"].to_numpy(dtype=np.int64)
+    fn = agg["fn"].to_numpy(dtype=np.int64)
+    prec = np.where(
+        tp + fp, np.floor(tp / np.maximum(tp + fp, 1) * 1e6 + 0.5), 0
+    ).astype(np.int64)
+    rec = np.where(
+        tp + fn, np.floor(tp / np.maximum(tp + fn, 1) * 1e6 + 0.5), 0
+    ).astype(np.int64)
+    return pa.table(
+        {"threshold_pct": pa.array(list(agg.index), pa.int64()),
+         "tp": pa.array(tp), "fp": pa.array(fp), "fn": pa.array(fn),
+         "precision_x1m": pa.array(prec), "recall_x1m": pa.array(rec)}
+    )
+
+
+def minhash_sweep_reference(
+    sf_dir: str, thresholds: tuple = (50, 60, 70)
+) -> list[dict]:
+    """Single-process recompute of ``minhash_threshold_sweep`` — the
+    frozen-VALUES oracle pin: the ``minhash_eval_reference`` candidate +
+    inverted-index state, scored at every swept threshold with the same
+    integer predicate and x1m rounding."""
+    cand, sizes, inter = _minhash_eval_state(sf_dir)
+    rows = []
+    for t in sorted(int(x) for x in thresholds):
+        gold = {
+            p for p, c in inter.items()
+            if 100 * c >= t * (sizes[p[0]] + sizes[p[1]] - c)
+        }
+        tp, fp, fn = len(cand & gold), len(cand - gold), len(gold - cand)
+        prec = int(np.floor(tp / (tp + fp) * 1e6 + 0.5)) if tp + fp else 0
+        rec = int(np.floor(tp / (tp + fn) * 1e6 + 0.5)) if tp + fn else 0
+        rows.append({"threshold_pct": t, "tp": tp, "fp": fp, "fn": fn,
+                     "precision_x1m": prec, "recall_x1m": rec})
+    return rows

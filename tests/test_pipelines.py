@@ -3409,3 +3409,77 @@ def test_vocab_growth_tiles_and_saturates():
     assert got["cum_types"].iloc[-1] == len(first)
     assert (got["new_types"] > 0).all()
     assert got["bucket"].is_monotonic_increasing
+
+
+def test_ngram_novelty_matches_bruteforce():
+    """Per-doc novelty must equal a sequential recompute over the same
+    md5 split, shingle hashes and integer floor division."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import _shingle_hashes_batch, ngram_novelty
+
+    sf = "/root/testdata/sf0.001"
+    got = ngram_novelty(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    dids = tbl["doc_id"].to_pylist()
+    thresh = (50 << 32) // 100
+    hv = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in dids]
+    sets = _shingle_hashes_batch(tbl["text"].to_pylist())
+    base: set = set()
+    for h, s in zip(hv, sets):
+        if h < thresh:
+            base.update(s.tolist())
+    rows = [
+        (d, len(s), sum(1 for x in s.tolist() if x not in base))
+        for d, h, s in zip(dids, hv, sets)
+        if h >= thresh
+    ]
+    want = pd.DataFrame(rows, columns=["doc_id", "n_shingles", "n_novel"])
+    want["novelty_x1m"] = (1_000_000 * want["n_novel"]) // want["n_shingles"]
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_source_dup_rates_consistent():
+    """Per-source totals must tile the corpus: n_docs sums to the corpus
+    size, exact-dup total equals docs minus distinct fingerprints, and
+    near-dup total equals the non-representative minhash members."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import minhash_clusters, source_dup_rates
+
+    sf = "/root/testdata/sf0.001"
+    got = source_dup_rates(sf).to_pandas()
+
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    fps = [hashlib.md5(t.encode()).hexdigest() for t in tbl["text"].to_pylist()]
+    assert got["n_docs"].sum() == len(fps)
+    assert got["n_exact_dups"].sum() == len(fps) - len(set(fps))
+    cl = minhash_clusters(sf).to_pandas()
+    assert got["n_near_dups"].sum() == int((cl["cluster_id"] != cl["doc_id"]).sum())
+    ge = got[got["n_exact_dups"] > 0]
+    assert (ge["exact_x1m"] == (1_000_000 * ge["n_exact_dups"]) // ge["n_docs"]).all()
+    assert got["source"].is_monotonic_increasing
+
+
+def test_minhash_threshold_sweep_matches_reference():
+    """The one-pass distributed sweep must equal the sequential
+    reference at every threshold, and behave monotonically: gold pairs
+    (tp+fn) never grow as the threshold rises, candidate mislabels (fp)
+    never shrink."""
+    from spiderman_ray.pipelines.text import (
+        minhash_sweep_reference,
+        minhash_threshold_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = minhash_threshold_sweep(sf, thresholds=(40, 60, 80)).to_pandas()
+    want = pd.DataFrame(minhash_sweep_reference(sf, thresholds=(40, 60, 80)))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64")
+    )
+    gold = (got["tp"] + got["fn"]).to_numpy()
+    assert (gold[1:] <= gold[:-1]).all()
+    assert (got["fp"].to_numpy()[1:] >= got["fp"].to_numpy()[:-1]).all()
+    assert ((got["tp"] + got["fp"]).to_numpy() == (got["tp"] + got["fp"]).to_numpy()[0]).all()
