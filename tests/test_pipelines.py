@@ -3483,3 +3483,100 @@ def test_minhash_threshold_sweep_matches_reference():
     assert (gold[1:] <= gold[:-1]).all()
     assert (got["fp"].to_numpy()[1:] >= got["fp"].to_numpy()[:-1]).all()
     assert ((got["tp"] + got["fp"]).to_numpy() == (got["tp"] + got["fp"]).to_numpy()[0]).all()
+
+
+def test_round5_ops_on_adversarial_corpus(tmp_path):
+    """Degenerate inputs (empty text, 1-word docs, exact clones, unicode,
+    a doc that is its own shingle fallback) must flow through the round-5
+    corpus-statistics ops without schema breaks and match brute force."""
+    import hashlib
+    from collections import Counter
+
+    from spiderman_ray.pipelines.text import (
+        _shingle_hashes_batch,
+        ngram_novelty,
+        pmi_collocations,
+        source_dup_rates,
+        vocab_growth,
+    )
+
+    docs = [
+        (0, "", "s0"),
+        (1, "one", "s0"),
+        (2, "a b", "s1"),
+        (3, "the same exact clone text here", "s1"),
+        (4, "the same exact clone text here", "s1"),
+        (5, "ünïcode wörds ünïcode wörds ünïcode", "s2"),
+        (6, "x " * 50 + "x", "s2"),  # heavy repetition
+        (7, "the same exact clone text here", "s2"),
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+         "text": pa.array([t for _, t, _ in docs], pa.string()),
+         "lang": pa.array(["xx"] * len(docs), pa.string()),
+         "source": pa.array([s for _, _, s in docs], pa.string()),
+         "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    # pmi vs brute force (same filtered adjacency + integer floor-div)
+    got = pmi_collocations(sf, min_count=2, k=10).to_pandas()
+    ab: Counter = Counter()
+    for _, t, _ in docs:
+        ws = [w for w in t.split(" ") if w != ""]
+        ab.update(zip(ws, ws[1:]))
+    n_total = sum(ab.values())
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (x, y), n in ab.items():
+        c1[x] += n
+        c2[y] += n
+    rows = sorted(
+        ((x, y, n, (100 * n * n_total) // (c1[x] * c2[y]))
+         for (x, y), n in ab.items() if n >= 2),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:10]
+    want = pd.DataFrame(rows, columns=["w1", "w2", "n_ab", "lift100"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n_ab": "int64", "lift100": "int64"}),
+        want.astype({"n_ab": "int64", "lift100": "int64"}),
+    )
+
+    # vocab growth tiles the type space (bucket_size=4 splits the ids)
+    vg = vocab_growth(sf, bucket_size=4)
+    first: dict = {}
+    sets = _shingle_hashes_batch([t for _, t, _ in docs])
+    for (did, _, _), s in zip(docs, sets):
+        for h in s.tolist():
+            if h not in first or did < first[h]:
+                first[h] = did
+    assert vg["cum_types"].iloc[-1] == len(first)
+
+    # novelty: base = hash < 50%; brute-force recompute
+    nov = ngram_novelty(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    thresh = (50 << 32) // 100
+    hv = {d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d, _, _ in docs}
+    base: set = set()
+    for (did, _, _), s in zip(docs, sets):
+        if hv[did] < thresh:
+            base.update(s.tolist())
+    wrows = [
+        (did, len(s), sum(1 for x in s.tolist() if x not in base))
+        for (did, _, _), s in zip(docs, sets)
+        if hv[did] >= thresh
+    ]
+    wnov = pd.DataFrame(wrows, columns=["doc_id", "n_shingles", "n_novel"])
+    wnov["novelty_x1m"] = (1_000_000 * wnov["n_novel"]) // wnov["n_shingles"]
+    pd.testing.assert_frame_equal(
+        nov.astype("int64"),
+        wnov.sort_values("doc_id").reset_index(drop=True).astype("int64"),
+    )
+
+    # dup rates: exact side brute-forced (clones 3/4/7 share one fp)
+    sd = source_dup_rates(sf).to_pandas().set_index("source")
+    assert int(sd["n_docs"].sum()) == len(docs)
+    fps = [hashlib.md5(t.encode()).hexdigest() for _, t, _ in docs]
+    assert int(sd["n_exact_dups"].sum()) == len(fps) - len(set(fps))
+    assert sd.loc["s1", "n_exact_dups"] == 1  # doc 4 (doc 3 is first)
+    assert sd.loc["s2", "n_exact_dups"] == 1  # doc 7
