@@ -323,9 +323,9 @@ def cmd_query(args: argparse.Namespace) -> int:
 #: the corpus-health report composition: cheap dashboard rows by default,
 #: the dedup/eval diagnostics (minhash machinery, zlib funnel) with --full
 _REPORT_SECTIONS = ("source_quality_report", "length_buckets", "data_splits",
-                    "mixture_weights")
-_REPORT_FULL = ("curation_funnel", "dup_cluster_sizes", "simhash_eval",
-                "minhash_eval")
+                    "mixture_weights", "vocab_growth")
+_REPORT_FULL = ("curation_funnel", "dup_cluster_sizes", "source_dup_rates",
+                "simhash_eval", "minhash_eval", "minhash_threshold_sweep")
 
 
 def cmd_report(args: argparse.Namespace) -> int:

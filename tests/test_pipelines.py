@@ -679,7 +679,7 @@ def test_cli_report_composes_dashboard_sections(tmp_path):
     rep = json.load(open(dest))
     assert set(rep["sections"]) == {
         "source_quality_report", "length_buckets", "data_splits",
-        "mixture_weights",
+        "mixture_weights", "vocab_growth",
     }
     assert all(len(v) > 0 for v in rep["sections"].values())
     docs = sum(s["n_docs"] for s in rep["sections"]["source_quality_report"])
