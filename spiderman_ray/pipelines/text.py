@@ -2963,18 +2963,58 @@ def shuffle_order(sf_dir: str) -> rd.Dataset:
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
+#: (realpath, mtime_ns, size, threshold, cap, ray job id) -> materialized
+#: (doc_id, cluster_id) label Dataset. The labels are deterministic, so a
+#: session-level memo is safe and saves the five consumers (dedup_minhash,
+#: incremental_dedup_minhash, dup_cluster_sizes, curate_v2_incremental,
+#: source_dup_rates) re-running the full shingle -> LSH -> verify -> CC
+#: pass each — the ``kmeans_fit_int`` memo pattern. Unlike that cache the
+#: value here is a DATASET (O(docs) id+label rows, object-store-resident
+#: and spillable — ~16 bytes/doc, never text), so the key also carries the
+#: Ray job id: a fresh session can never alias a dead session's blocks.
+#: File identity (mtime+size) keys out rewritten fixtures at one path.
+_MINHASH_LABELS_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def minhash_clusters(
     sf_dir: str, threshold: float = 0.6, driver_pair_cap: int = 2_000_000
 ) -> rd.Dataset:
     """Cluster labels for EVERY document: cluster_id = min doc_id of its
     verified near-dup component (singletons label themselves) — the audit
     view of ``dedup_minhash_survivors`` (which keeps one row per cluster;
-    this keeps all rows + the mapping). SIZE-GATED like the survivor op:
-    below ``driver_pair_cap`` a driver union-find builds a paired-node-
-    sized label map (<= 2x the LSH-bounded pair count) broadcast for a
-    per-batch attach; above it the shard-grouped distributed label
-    propagation runs and labels attach via a node-sharded grouped MIN —
-    nothing corpus- or pair-graph-sized ever lands on the driver."""
+    this keeps all rows + the mapping). Memoized per (input file,
+    params, Ray session) — see ``_MINHASH_LABELS_CACHE``."""
+    import ray
+
+    ck = None
+    try:
+        path = _pq(sf_dir)
+        st = os.stat(path)
+        ck = (os.path.realpath(path), st.st_mtime_ns, st.st_size,
+              float(threshold), int(driver_pair_cap),
+              ray.get_runtime_context().get_job_id()
+              if ray.is_initialized() else None)
+    except OSError:
+        pass
+    if ck is not None and ck in _MINHASH_LABELS_CACHE:
+        return _MINHASH_LABELS_CACHE[ck]
+    ds = _minhash_clusters_build(sf_dir, threshold, driver_pair_cap)
+    if ck is not None:
+        ds = ds.materialize()
+        _MINHASH_LABELS_CACHE[ck] = ds
+    return ds
+
+
+def _minhash_clusters_build(
+    sf_dir: str, threshold: float, driver_pair_cap: int
+) -> rd.Dataset:
+    """The actual label pipeline behind ``minhash_clusters``. SIZE-GATED
+    like the survivor op: below ``driver_pair_cap`` a driver union-find
+    builds a paired-node-sized label map (<= 2x the LSH-bounded pair
+    count) broadcast for a per-batch attach; above it the shard-grouped
+    distributed label propagation runs and labels attach via a
+    node-sharded grouped MIN — nothing corpus- or pair-graph-sized ever
+    lands on the driver."""
     import ray
 
     pairs = (
