@@ -2058,11 +2058,46 @@ def _kgram_hashes_batch(texts, k: int = 8, unique: bool = True) -> list[np.ndarr
     return out
 
 
+#: (realpath, mtime_ns, size, bench_pct, k, ray job id) -> materialized
+#: (doc_id, n_shared) contaminated-ids Dataset — the minhash-labels memo
+#: pattern: the scan is deterministic and its output is O(contaminated
+#: docs) id rows (object-store-resident, spillable, never text), so the
+#: four curation flagships (curate, curate_full, curate_v2,
+#: curate_v2_incremental) share one shingle-shard scan per session
+#: instead of re-running it each. Job id in the key: a fresh session
+#: never aliases a dead session's blocks.
+_DECONTAM_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def decontaminate(sf_dir: str, bench_pct: int = 10, k: int = 8) -> rd.Dataset:
-    """Benchmark decontamination scan: which TRAINING documents share at
-    least one k-word shingle with the held-out BENCHMARK split? The
-    benchmark split is the deterministic ``hash_sample`` rule (md5-prefix
-    < pct), so both sides derive it independently. Ray-first shape:
+    """Benchmark decontamination scan (memoized per input file, params
+    and Ray session — see ``_DECONTAM_CACHE``): which TRAINING documents
+    share at least one k-word shingle with the held-out BENCHMARK split?
+    The benchmark split is the deterministic ``hash_sample`` rule
+    (md5-prefix < pct), so both sides derive it independently."""
+    import ray
+
+    ck = None
+    try:
+        path = _pq(sf_dir)
+        st = os.stat(path)
+        ck = (os.path.realpath(path), st.st_mtime_ns, st.st_size,
+              int(bench_pct), int(k),
+              ray.get_runtime_context().get_job_id()
+              if ray.is_initialized() else None)
+    except OSError:
+        pass
+    if ck is not None and ck in _DECONTAM_CACHE:
+        return _DECONTAM_CACHE[ck]
+    ds = _decontaminate_build(sf_dir, bench_pct, k)
+    if ck is not None:
+        ds = ds.materialize()
+        _DECONTAM_CACHE[ck] = ds
+    return ds
+
+
+def _decontaminate_build(sf_dir: str, bench_pct: int, k: int) -> rd.Dataset:
+    """The actual scan behind ``decontaminate``. Ray-first shape:
 
     - every doc emits (shingle_hash, is_bench, doc_id) rows, sharded by
       shingle hash — contamination is decided WHERE the shingle lives, so
