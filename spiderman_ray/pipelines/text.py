@@ -40,6 +40,37 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
     return rd.read_parquet(_pq(sf_dir), columns=list(columns))
 
 
+def _memo_dataset(cache: dict, sf_dir: str, params: tuple, build) -> rd.Dataset:
+    """Session-memoize a deterministic, SMALL-output Dataset pipeline:
+    key = input-file identity (realpath + mtime_ns + size — a rewritten
+    fixture at the same path never aliases) + ``params`` + the Ray job id
+    (a fresh session never aliases a dead session's object-store blocks);
+    value = the MATERIALIZED Dataset. Only for outputs that are O(ids) /
+    O(labels) rows — never corpus text — so the resident cost is
+    object-store-bounded and spillable. The kmeans_fit_int memo pattern
+    generalized to Dataset-valued shared state (labels, contaminated ids,
+    verified pair graphs): the first consumer in a session pays the
+    pipeline, later consumers ride."""
+    import ray
+
+    ck = None
+    try:
+        path = _pq(sf_dir)
+        st = os.stat(path)
+        ck = (os.path.realpath(path), st.st_mtime_ns, st.st_size, *params,
+              ray.get_runtime_context().get_job_id()
+              if ray.is_initialized() else None)
+    except OSError:
+        pass
+    if ck is not None and ck in cache:
+        return cache[ck]
+    ds = build()
+    if ck is not None:
+        ds = ds.materialize()
+        cache[ck] = ds
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # exact dedup / fingerprints / cleaning
 # ---------------------------------------------------------------------------
@@ -631,8 +662,25 @@ def _anti_join_ids_native(
     return joined.map_batches(keep, batch_format="pyarrow")
 
 
+#: verified-pair graph memo — consumed by minhash_losers_ds
+#: (dedup_minhash, curate_full) and _minhash_clusters_build; O(pairs)
+#: int rows, LSH-bounded. See _memo_dataset.
+_MINHASH_VPAIRS_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
-    """Candidate pairs verified by EXACT shingle Jaccard >= threshold,
+    """Candidate pairs verified by EXACT shingle Jaccard >= threshold
+    (memoized per input file + threshold + Ray session — see
+    ``_memo_dataset``; the losers/clusters/survivors consumers share one
+    verify join per session)."""
+    return _memo_dataset(
+        _MINHASH_VPAIRS_CACHE, sf_dir, ("mvp", float(threshold)),
+        lambda: _minhash_verified_pairs_build(sf_dir, threshold),
+    )
+
+
+def _minhash_verified_pairs_build(sf_dir: str, threshold: float) -> rd.Dataset:
+    """The verify-join pipeline behind ``minhash_verified_pairs_ds``,
     via a BUCKETED doc_id join — no whole-corpus broadcast (the round-1
     review's scale fix). Two exchanges:
 
@@ -1370,13 +1418,20 @@ def _shingle_copair_pipeline(sf_dir: str, reduce_fn, explode_fn=None) -> rd.Data
     )
 
 
+#: exact-Jaccard gold memo — consumed as eval gold by simhash_eval,
+#: minhash_eval and minhash_threshold_sweep besides its own registry
+#: row; O(pairs) int rows. See _memo_dataset.
+_NGRAM_GOLD_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
     """EXACT n-gram Jaccard similarity join — the exact member of the
     dedup family the LSH operators approximate (exact / minhash-LSH /
-    simhash / ngram-jaccard / embedding-cosine). Pipeline =
-    ``_shingle_copair_pipeline``; keep pairs with ``100*inter >=
-    threshold_pct*union`` — a pure INTEGER predicate, so the DuckDB
-    oracle hash-matches with no float rounding contract."""
+    simhash / ngram-jaccard / embedding-cosine), and the eval family's
+    GOLD. Pipeline = ``_shingle_copair_pipeline``; keep pairs with
+    ``100*inter >= threshold_pct*union`` — a pure INTEGER predicate, so
+    the DuckDB oracle hash-matches with no float rounding contract.
+    Memoized per input file + threshold + Ray session (``_memo_dataset``)."""
 
     def reduce_pairs(agg: pd.DataFrame) -> pd.DataFrame:
         union_sz = agg["sa"] + agg["sb"] - agg["inter"]
@@ -1385,7 +1440,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 60) -> rd.Dataset:
         out["union_sz"] = union_sz[keep]
         return out.astype("int64")
 
-    return _shingle_copair_pipeline(sf_dir, reduce_pairs)
+    return _memo_dataset(
+        _NGRAM_GOLD_CACHE, sf_dir, ("njp", int(threshold_pct)),
+        lambda: _shingle_copair_pipeline(sf_dir, reduce_pairs),
+    )
 
 
 def ngram_containment_pairs(sf_dir: str, threshold_pct: int = 80) -> rd.Dataset:
@@ -2075,25 +2133,10 @@ def decontaminate(sf_dir: str, bench_pct: int = 10, k: int = 8) -> rd.Dataset:
     share at least one k-word shingle with the held-out BENCHMARK split?
     The benchmark split is the deterministic ``hash_sample`` rule
     (md5-prefix < pct), so both sides derive it independently."""
-    import ray
-
-    ck = None
-    try:
-        path = _pq(sf_dir)
-        st = os.stat(path)
-        ck = (os.path.realpath(path), st.st_mtime_ns, st.st_size,
-              int(bench_pct), int(k),
-              ray.get_runtime_context().get_job_id()
-              if ray.is_initialized() else None)
-    except OSError:
-        pass
-    if ck is not None and ck in _DECONTAM_CACHE:
-        return _DECONTAM_CACHE[ck]
-    ds = _decontaminate_build(sf_dir, bench_pct, k)
-    if ck is not None:
-        ds = ds.materialize()
-        _DECONTAM_CACHE[ck] = ds
-    return ds
+    return _memo_dataset(
+        _DECONTAM_CACHE, sf_dir, (int(bench_pct), int(k)),
+        lambda: _decontaminate_build(sf_dir, bench_pct, k),
+    )
 
 
 def _decontaminate_build(sf_dir: str, bench_pct: int, k: int) -> rd.Dataset:
@@ -3019,25 +3062,11 @@ def minhash_clusters(
     view of ``dedup_minhash_survivors`` (which keeps one row per cluster;
     this keeps all rows + the mapping). Memoized per (input file,
     params, Ray session) — see ``_MINHASH_LABELS_CACHE``."""
-    import ray
-
-    ck = None
-    try:
-        path = _pq(sf_dir)
-        st = os.stat(path)
-        ck = (os.path.realpath(path), st.st_mtime_ns, st.st_size,
-              float(threshold), int(driver_pair_cap),
-              ray.get_runtime_context().get_job_id()
-              if ray.is_initialized() else None)
-    except OSError:
-        pass
-    if ck is not None and ck in _MINHASH_LABELS_CACHE:
-        return _MINHASH_LABELS_CACHE[ck]
-    ds = _minhash_clusters_build(sf_dir, threshold, driver_pair_cap)
-    if ck is not None:
-        ds = ds.materialize()
-        _MINHASH_LABELS_CACHE[ck] = ds
-    return ds
+    return _memo_dataset(
+        _MINHASH_LABELS_CACHE, sf_dir,
+        (float(threshold), int(driver_pair_cap)),
+        lambda: _minhash_clusters_build(sf_dir, threshold, driver_pair_cap),
+    )
 
 
 def _minhash_clusters_build(
