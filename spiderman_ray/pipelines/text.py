@@ -395,9 +395,17 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+#: deduped LSH candidate memo — consumed by the verify join
+#: (_minhash_verified_pairs_build), minhash_eval and
+#: minhash_threshold_sweep; O(candidate pairs) int rows. See _memo_dataset.
+_MINHASH_CAND_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def minhash_candidate_pairs(sf_dir: str, dedup: bool = True) -> rd.Dataset:
-    """LSH banding: docs sharing any (band, band_hash) bucket become
-    candidate pairs (a < b), deduplicated across bands when ``dedup``.
+    """LSH banding (memoized per input file + Ray session when ``dedup``,
+    the default — see ``_memo_dataset``): docs sharing any
+    (band, band_hash) bucket become candidate pairs (a < b),
+    deduplicated across bands when ``dedup``.
 
     Grouping key = hash shard of band_hash (64 groups), NOT the bucket
     itself — per-bucket Ray dispatch is O(n_buckets) Python calls; inside a
@@ -460,20 +468,24 @@ def minhash_candidate_pairs(sf_dir: str, dedup: bool = True) -> rd.Dataset:
     )
     if not dedup:
         return cand
-    return (
-        cand.map_batches(
-            lambda b: b.append_column(
-                "_pshard",
-                pa.array(_pair_shard64(
-                    b["a"].to_numpy(zero_copy_only=False),
-                    b["b"].to_numpy(zero_copy_only=False),
-                )),
-            ),
-            batch_format="pyarrow",
+
+    def deduped() -> rd.Dataset:
+        return (
+            cand.map_batches(
+                lambda b: b.append_column(
+                    "_pshard",
+                    pa.array(_pair_shard64(
+                        b["a"].to_numpy(zero_copy_only=False),
+                        b["b"].to_numpy(zero_copy_only=False),
+                    )),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("_pshard")
+            .map_groups(dedup_pairs, batch_format="pandas")
         )
-        .groupby("_pshard")
-        .map_groups(dedup_pairs, batch_format="pandas")
-    )
+
+    return _memo_dataset(_MINHASH_CAND_CACHE, sf_dir, ("mcp",), deduped)
 
 
 def _splitmix64(v: np.ndarray) -> np.ndarray:
