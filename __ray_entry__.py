@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc novelty of the new split vs the base snapshot (the
         # per-document member of the saturation family)
         "ngram_novelty": lambda sf: T.ngram_novelty(sf),
+        # its per-source mean: the crawl-budget feedback read-out
+        "source_novelty": lambda sf: T.source_novelty(sf),
         # group-wise top-k (PARTITION BY ... ROW_NUMBER() <= k)
         "top_docs_per_lang": lambda sf: T.top_docs_per_lang(sf),
         # per-stratum deterministic sampling (corpus rebalancing)
@@ -2525,6 +2527,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(nov) AS BIGINT) AS n_novel, "
             "CAST((1000000 * SUM(nov)) // COUNT(*) AS BIGINT) "
             "AS novelty_x1m FROM nw GROUP BY doc_id"
+        ),
+        "source_novelty": (
+            # per-source mean of the per-doc floor-quantized novelty
+            # scores (composes the ngram_novelty contract exactly) —
+            # pipelines.text.source_novelty
+            f"WITH {_SHINGLES_CTE}, "
+            "t AS (SELECT doc_id, s, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) >= {(50 << 32) // 100} AS is_new FROM sh), "
+            "e AS (SELECT doc_id, is_new, unnest(s) AS g FROM t), "
+            "base AS (SELECT DISTINCT g FROM e WHERE NOT is_new), "
+            "nw AS (SELECT e.doc_id, CASE WHEN base.g IS NULL THEN 1 "
+            "ELSE 0 END AS nov FROM e LEFT JOIN base ON e.g = base.g "
+            "WHERE e.is_new), "
+            "sc AS (SELECT doc_id, (1000000 * SUM(nov)) // COUNT(*) "
+            "AS novx FROM nw GROUP BY doc_id) "
+            "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_new_docs, "
+            "CAST(SUM(sc.novx) // COUNT(*) AS BIGINT) AS mean_novelty_x1m "
+            "FROM sc JOIN documents d USING (doc_id) GROUP BY d.source "
+            "ORDER BY d.source"
         ),
         "source_dup_rates": (
             # exact dups = non-first doc of an md5(text) group; near

@@ -325,7 +325,8 @@ def cmd_query(args: argparse.Namespace) -> int:
 _REPORT_SECTIONS = ("source_quality_report", "length_buckets", "data_splits",
                     "mixture_weights", "vocab_growth")
 _REPORT_FULL = ("curation_funnel", "dup_cluster_sizes", "source_dup_rates",
-                "simhash_eval", "minhash_eval", "minhash_threshold_sweep")
+                "source_novelty", "simhash_eval", "minhash_eval",
+                "minhash_threshold_sweep")
 
 
 def cmd_report(args: argparse.Namespace) -> int:

@@ -4697,3 +4697,81 @@ def minhash_sweep_reference(
         rows.append({"threshold_pct": t, "tp": tp, "fp": fp, "fn": fn,
                      "precision_x1m": prec, "recall_x1m": rec})
     return rows
+
+
+def source_novelty(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
+    """Per-source novelty read-out — the actionable form of
+    ``ngram_novelty``: for each source, how many NEW docs it contributed
+    and the exact-integer mean of their novelty scores,
+    ``mean_novelty_x1m = sum(novelty_x1m) // n_new_docs`` (mean of the
+    per-doc floor-quantized scores, so the contract composes exactly
+    with the per-doc op). Together with ``source_dup_rates`` this is the
+    crawl-budget feedback pair: a source whose new documents stop
+    bringing novel shingles (and/or duplicate what the corpus already
+    holds) loses budget.
+
+    Scale shape: ``ngram_novelty``'s two bounded exchanges, then ONE
+    doc-shard union join attaches sources (the ``source_dup_rates``
+    pattern) emitting O(sources) partials per shard; a tiny groupby
+    finishes. Output: (source, n_new_docs, mean_novelty_x1m) sorted by
+    source."""
+    from ray.data.aggregate import Sum
+
+    nov = ngram_novelty(sf_dir, base_pct)
+
+    def mark_nov(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "novelty_x1m": pc.cast(batch["novelty_x1m"], pa.int64()),
+             "source": pa.array([""] * n, pa.string()),
+             "side": pa.array(np.zeros(n, dtype=np.int64)),
+             "_dshard": pa.array(_shard64_of(batch["doc_id"].to_pylist()))}
+        )
+
+    def mark_src(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "novelty_x1m": pa.array(np.zeros(n, dtype=np.int64)),
+             "source": pc.cast(batch["source"], pa.string()),
+             "side": pa.array(np.ones(n, dtype=np.int64)),
+             "_dshard": pa.array(_shard64_of(batch["doc_id"].to_pylist()))}
+        )
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        nv = g.loc[g["side"] == 0, ["doc_id", "novelty_x1m"]]
+        src = g.loc[g["side"] == 1, ["doc_id", "source"]]
+        m = nv.merge(src, on="doc_id", how="inner")
+        if not len(m):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype="object"),
+                 "d": pd.Series(dtype="int64"),
+                 "s": pd.Series(dtype="int64")}
+            )
+        agg = m.groupby("source", sort=False).agg(
+            d=("doc_id", "size"), s=("novelty_x1m", "sum")).reset_index()
+        return agg.astype({"d": "int64", "s": "int64"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"source": batch["source"],
+             "n_new_docs": pa.array(d),
+             "mean_novelty_x1m": pa.array(s // d)}
+        )
+
+    return (
+        nov.map_batches(mark_nov, batch_format="pyarrow")
+        .union(
+            rd.read_parquet(_pq(sf_dir), columns=["doc_id", "source"])
+            .map_batches(mark_src, batch_format="pyarrow")
+        )
+        .groupby("_dshard")
+        .map_groups(per_source, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("d", alias_name="d"), Sum("s", alias_name="s"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("source")
+    )

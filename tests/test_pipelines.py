@@ -3580,3 +3580,29 @@ def test_round5_ops_on_adversarial_corpus(tmp_path):
     assert int(sd["n_exact_dups"].sum()) == len(fps) - len(set(fps))
     assert sd.loc["s1", "n_exact_dups"] == 1  # doc 4 (doc 3 is first)
     assert sd.loc["s2", "n_exact_dups"] == 1  # doc 7
+
+
+def test_source_novelty_consistent_with_per_doc():
+    """Per-source means must compose the per-doc op exactly: grouping
+    ngram_novelty's output by the documents table's source column gives
+    the same (n_new_docs, floor-div mean) rows."""
+    from spiderman_ray.pipelines.text import ngram_novelty, source_novelty
+
+    sf = "/root/testdata/sf0.001"
+    got = source_novelty(sf).to_pandas().reset_index(drop=True)
+
+    nov = ngram_novelty(sf).to_pandas()
+    src = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    m = nov.merge(src, on="doc_id")
+    agg = m.groupby("source").agg(
+        n_new_docs=("doc_id", "size"), s=("novelty_x1m", "sum")
+    ).reset_index().sort_values("source").reset_index(drop=True)
+    agg["mean_novelty_x1m"] = agg["s"] // agg["n_new_docs"]
+    pd.testing.assert_frame_equal(
+        got.astype({"n_new_docs": "int64", "mean_novelty_x1m": "int64"}),
+        agg[["source", "n_new_docs", "mean_novelty_x1m"]].astype(
+            {"n_new_docs": "int64", "mean_novelty_x1m": "int64"}
+        ),
+    )
