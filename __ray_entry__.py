@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spiderman_ray.pipelines import images as I
     from spiderman_ray.pipelines import relational as R
     from spiderman_ray.pipelines import text as T
+    from spiderman_ray.pipelines import recipes as RC
     from spiderman_ray.pipelines import vectors as V
 
     def crawl_images(sf_dir: str) -> Any:
@@ -621,6 +622,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup": lambda sf: T.cdc_dedup(sf),
         # regex feature counts (cleaning / PII-scan shape)
         "pattern_counts": lambda sf: T.pattern_counts(sf),
+        # published-recipe pack (pipelines/recipes.py): Gopher doc-level
+        # quality rules as an integer bitmask — stateless per-batch map
+        "gopher_rules": lambda sf: RC.gopher_rules(sf),
+        # C4 line-level cleaning over the synthetic line structure
+        "c4_line_filter": lambda sf: RC.c4_line_filter(sf),
+        # RefinedWeb/CCNet paragraph-level exact dedup (global
+        # first-occurrence over line fps; two bounded exchanges)
+        "paragraph_dedup": lambda sf: RC.paragraph_dedup(sf),
+        # CCNet LM-quality buckets: token-sharded add-one unigram LM
+        # trained on the md5-split "curated" docs, exact integer NLL
+        "ccnet_ppl_buckets": lambda sf: RC.ccnet_ppl_buckets(sf),
+        # DSIR importance resampling: 4096-bucket hashed-ngram lattice,
+        # O(blocks) driver merge, top-k raw docs by integer weight
+        "dsir_select": lambda sf: RC.dsir_select(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
@@ -944,6 +959,25 @@ _SHINGLES_CTE = (
     "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
     "ELSE list_distinct(list_transform(range(1, len(ws) - 1), "
     "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s FROM d)"
+)
+
+#: synthetic line structure for the published-recipe pack (C4 line filter /
+#: paragraph dedup), == pipelines.recipes._doc_lines: line 0 is the
+#: per-source banner; window line t (1-based) = words [(t-1)*L, t*L),
+#: L = 5 + doc_id % 4, with a terminal '.' iff (t + doc_id) % 3 == 0
+_RECIPE_LINES_CTE = (
+    "d AS (SELECT doc_id, source, "
+    "list_filter(string_split(text, ' '), x -> x != '') AS ws, "
+    "5 + doc_id % 4 AS L FROM documents), "
+    "wins AS (SELECT doc_id, unnest(range(1, (len(ws) + L - 1) // L + 1)) "
+    "AS t, ws, L FROM d), "
+    "wlines AS (SELECT doc_id, t AS line_idx, "
+    "array_to_string(ws[(t-1)*L+1 : t*L], ' ') || "
+    "CASE WHEN (t + doc_id) % 3 = 0 THEN '.' ELSE '' END AS lt, "
+    "len(ws[(t-1)*L+1 : t*L]) AS lnw FROM wins), "
+    "lines AS (SELECT doc_id, 0 AS line_idx, "
+    "'follow ' || source || ' for more updates' AS lt, 5 AS lnw FROM d "
+    "UNION ALL SELECT doc_id, line_idx, lt, lnw FROM wlines)"
 )
 
 #: all-pairs exact Jaccard >= 0.6 over the shingle sets (brute force — the
@@ -2932,6 +2966,120 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_caps, "
             "CAST(len(regexp_extract_all(text, 'http[^ ]+')) AS BIGINT) AS n_urls "
             "FROM documents"
+        ),
+        "gopher_rules": (
+            # Gopher doc-level quality bitmask — pure integer list-kernel
+            # arithmetic (positive // on both sides) —
+            # pipelines.recipes.gopher_rules
+            "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS ws FROM documents), "
+            "s AS (SELECT doc_id, len(ws) AS nw, "
+            "CASE WHEN len(ws) = 0 THEN 0 ELSE "
+            "(100 * list_sum(list_transform(ws, w -> len(w)))) // len(ws) END "
+            "AS mean_x100, "
+            "len(list_intersect(list_distinct(ws), "
+            "['the','and','of','a','in','to','is'])) AS nstop, "
+            "CASE WHEN len(ws) = 0 THEN 0 ELSE "
+            "(100 * len(list_distinct(ws))) // len(ws) END AS dr, "
+            "CASE WHEN len(ws) = 0 THEN 0 ELSE "
+            "list_max(list_transform(ws, w -> len(w))) END AS mx FROM d), "
+            "m AS (SELECT doc_id, nw, mean_x100, "
+            "(CASE WHEN nw >= 30 AND nw <= 100000 THEN 1 ELSE 0 END "
+            "+ CASE WHEN mean_x100 >= 380 AND mean_x100 <= 460 THEN 2 ELSE 0 END "
+            "+ CASE WHEN nstop >= 2 THEN 4 ELSE 0 END "
+            "+ CASE WHEN dr >= 40 THEN 8 ELSE 0 END "
+            "+ CASE WHEN mx <= 25 AND nw > 0 THEN 16 ELSE 0 END) AS rule_mask "
+            "FROM s) "
+            "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+            "CAST(mean_x100 AS BIGINT) AS mean_wlen_x100, "
+            "CAST(rule_mask AS BIGINT) AS rule_mask, "
+            "CAST(CASE WHEN rule_mask = 31 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS passes FROM m"
+        ),
+        "c4_line_filter": (
+            # C4 line rules applied to the REAL synthesized line strings
+            # (right(lt,1)='.'), not the arithmetic that seeded them —
+            # pipelines.recipes.c4_line_filter
+            f"WITH {_RECIPE_LINES_CTE}, "
+            "k AS (SELECT doc_id, COUNT(*) AS n_lines, "
+            "SUM(CASE WHEN right(lt, 1) = '.' AND lnw >= 5 THEN 1 ELSE 0 END) "
+            "AS n_kept, "
+            "SUM(CASE WHEN right(lt, 1) = '.' AND lnw >= 5 THEN lnw ELSE 0 END) "
+            "AS kept_words FROM lines GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+            "CAST(n_kept AS BIGINT) AS n_kept, "
+            "CAST(kept_words AS BIGINT) AS kept_words, "
+            "CAST(CASE WHEN n_kept >= 3 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS doc_kept FROM k"
+        ),
+        "paragraph_dedup": (
+            # global first-occurrence (by doc_id, line_idx) of each exact
+            # line text == the engine's 64-bit line-fp winner mark —
+            # pipelines.recipes.paragraph_dedup
+            f"WITH {_RECIPE_LINES_CTE}, "
+            "w AS (SELECT doc_id, line_idx, "
+            "CASE WHEN ROW_NUMBER() OVER (PARTITION BY lt "
+            "ORDER BY doc_id, line_idx) = 1 THEN 1 ELSE 0 END AS kept "
+            "FROM lines) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(kept) AS BIGINT) AS n_kept, "
+            "CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped "
+            "FROM w GROUP BY doc_id"
+        ),
+        "ccnet_ppl_buckets": (
+            # add-one unigram LM on the md5-split target docs; per-token
+            # cost floor(1e6*ln(denom/(c+1))) is a positive integer formed
+            # from ONE double division + libm ln on both sides (the HLL
+            # ln-parity precedent) — pipelines.recipes.ccnet_ppl_buckets
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w "
+            "FROM documents), "
+            "tgt AS (SELECT w, COUNT(*) AS c FROM toks "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) < {(20 << 32) // 100} GROUP BY w), "
+            "dn AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM tgt), "
+            "sc AS (SELECT t.doc_id, "
+            "CAST(FLOOR(ln(dn.denom / (COALESCE(g.c, 0) + 1)) * 1000000.0) "
+            "AS BIGINT) AS cost "
+            "FROM toks t LEFT JOIN tgt g ON t.w = g.w CROSS JOIN dn), "
+            "pd AS (SELECT doc_id, COUNT(*) AS n, SUM(cost) AS nll "
+            "FROM sc GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(nll // n AS BIGINT) AS nll_avg, "
+            "CASE WHEN nll // n < 3402000 THEN 'head' "
+            "WHEN nll // n < 3410000 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM pd"
+        ),
+        "dsir_select": (
+            # DSIR lambda table over the full 4096-bucket lattice
+            # (zero-count buckets still score); ratio formed as DOUBLE
+            # division of exact integer products, floor(ln()*1e6) parity
+            # as above — pipelines.recipes.dsir_select
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x != '') AS ws, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            f"AS UBIGINT) < {(20 << 32) // 100} AS is_t FROM documents), "
+            "g AS (SELECT doc_id, is_t, unnest(ws || "
+            "CASE WHEN len(ws) < 2 THEN [] ELSE "
+            "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) "
+            "END) AS gram FROM d), "
+            "f AS (SELECT doc_id, is_t, "
+            "CAST(CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) "
+            "% 4096 AS BIGINT) AS b FROM g), "
+            "cnt AS (SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, "
+            "SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM f GROUP BY b), "
+            "tot AS (SELECT SUM(ct) + 4096 AS dt, SUM(cr) + 4096 AS dr FROM cnt), "
+            "lam AS (SELECT r.b, "
+            "CAST(FLOOR(ln(CAST((COALESCE(cnt.ct,0)+1) * tot.dr AS DOUBLE) "
+            "/ CAST((COALESCE(cnt.cr,0)+1) * tot.dt AS DOUBLE)) * 1000000.0) "
+            "AS BIGINT) AS lam "
+            "FROM (SELECT unnest(range(4096)) AS b) r "
+            "LEFT JOIN cnt ON r.b = cnt.b CROSS JOIN tot), "
+            "w AS (SELECT d.doc_id, CAST(COALESCE(SUM(lam.lam), 0) AS BIGINT) "
+            "AS weight FROM d LEFT JOIN f ON d.doc_id = f.doc_id "
+            "LEFT JOIN lam ON f.b = lam.b "
+            "WHERE NOT d.is_t GROUP BY d.doc_id) "
+            "SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 100"
         ),
         "repetition_stats": (
             # Gopher-style repetition signals; all fractions floored x10000.

@@ -1,0 +1,518 @@
+"""Published web-curation recipe pack — named pipelines from the public
+LLM-data literature, re-expressed Ray-Data-first over the ``documents``
+table:
+
+- ``gopher_rules``      — Gopher doc-level quality heuristics
+                          (Rae et al. 2021, "Scaling Language Models:
+                          Methods, Analysis & Insights from Training
+                          Gopher", public).
+- ``c4_line_filter``    — C4 line-level cleaning (Raffel et al. 2020,
+                          "Exploring the Limits of Transfer Learning…",
+                          public): keep lines that end in terminal
+                          punctuation and have >= 5 words; drop docs
+                          left with < 3 kept lines.
+- ``paragraph_dedup``   — RefinedWeb/CCNet paragraph-level exact dedup
+                          (Penedo et al. 2023; Wenzek et al. 2019):
+                          a line instance survives iff it is the FIRST
+                          occurrence of its exact text in global
+                          (doc_id, line_idx) order.
+- ``ccnet_ppl_buckets`` — CCNet LM-scoring buckets (Wenzek et al. 2019):
+                          add-one unigram LM trained on a deterministic
+                          "curated" split, every doc scored by mean
+                          token NLL, bucketed head/middle/tail.
+- ``dsir_select``       — Data Selection via Importance Resampling
+                          (Xie et al. 2023): hashed unigram+bigram
+                          features, per-bucket log ratio of target vs
+                          raw probabilities, top-k raw docs by weight.
+
+The word-soup corpus has no natural line structure, so the line ops
+synthesize one deterministically (the ``_pii_docs``/``_docs_as_videos``
+convention): doc words are chunked into lines of ``5 + doc_id % 4``
+words, window line ``t`` (1-based) gains a terminal ``'.'`` iff
+``(t + doc_id) % 3 == 0``, and line 0 is a per-source boilerplate
+banner (``follow <source> for more updates``) — the thing paragraph
+dedup exists to strip. The DuckDB oracles rebuild the same lines with
+``string_split`` + list slicing and apply the REAL string rules
+(``right(line, 1) = '.'``), so the filter logic itself is checked, not
+just the arithmetic that seeded it.
+
+Integer/float contract: every output column is integer. The two
+LM-scoring ops floor ``1e6 * ln(ratio)`` where the ratio is formed as
+DOUBLE division of exact integers — measured bit-parity between
+numpy/libm and DuckDB ``ln()`` (the HLL-estimator precedent). Ratios
+are arranged to be positive (NLL, not log-prob) so ``floor`` and ``//``
+agree across engines (DuckDB ``//`` truncates toward zero on negatives,
+numpy floors — positive values sidestep the divergence).
+
+Scale shapes: ``gopher_rules``/``c4_line_filter`` are pure per-batch
+maps (no exchange). ``paragraph_dedup`` is two bounded exchanges
+(line-fp shard -> winner, doc shard -> per-doc counts) — the
+``cdc_dedup`` shape. ``ccnet_ppl_buckets`` shards TOKENS (the
+``decontaminate`` shape): the LM count table is never broadcast; doc
+token instances meet their counts inside the token shard, partial NLL
+sums reduce on a doc shard. ``dsir_select`` keeps a FIXED 4096-bucket
+feature lattice: per-batch ``np.bincount`` partials merge into one
+4096-row lambda table on the driver (O(blocks) rows, the kmeans
+integer-lattice pattern), then a single broadcast-free scoring map —
+no shuffle at all until the final top-k sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from spiderman_ray.pipelines.text import _read_docs, _shard64_of
+
+#: stopword probe set for the Gopher stopword rule — the lang_id 'en'
+#: profile (shared vocabulary with the oracle's IN list).
+_STOPWORDS = ("the", "and", "of", "a", "in", "to", "is")
+
+#: banner template for the synthetic line structure (paragraph dedup's
+#: planted boilerplate); 5 words so the C4 length rule sees it, no
+#: terminal '.' so the C4 punctuation rule drops it.
+_BANNER = "follow {src} for more updates"
+
+
+def _split_words(text: str) -> list[str]:
+    """== DuckDB ``list_filter(string_split(text, ' '), x -> x != '')``."""
+    return [w for w in text.split(" ") if w]
+
+
+def _doc_lines(doc_id: int, source: str, words: list[str]) -> list[tuple[int, str, int]]:
+    """Deterministic synthetic lines for one doc: (line_idx, text, n_words).
+
+    Line 0 = the per-source banner. Window line t (1-based) = words
+    [(t-1)*L, t*L) joined on space, L = 5 + doc_id % 4, with a terminal
+    '.' iff (t + doc_id) % 3 == 0. The last window may be ragged."""
+    L = 5 + doc_id % 4
+    out = [(0, _BANNER.format(src=source), 5)]
+    for t in range(1, (len(words) + L - 1) // L + 1):
+        lw = words[(t - 1) * L : t * L]
+        dot = "." if (t + doc_id) % 3 == 0 else ""
+        out.append((t, " ".join(lw) + dot, len(lw)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher-style doc-level quality heuristics (Rae et al. 2021) as an
+    integer rule bitmask — one stateless per-batch map, no exchange:
+
+    - bit 1:  30 <= n_words <= 100000           (word-count bounds)
+    - bit 2:  380 <= mean word length x100 <= 460 (mean-word-length bounds;
+              mean_x100 = (100 * total_chars) // n_words, pure integer)
+    - bit 4:  >= 2 distinct stopwords present    (stop-word rule)
+    - bit 8:  distinct-word ratio x100 >= 40     (repetition gate)
+    - bit 16: max word length <= 25              (no degenerate tokens)
+
+    ``passes = 1`` iff all five bits set. Thresholds are tuned to
+    discriminate on the synthetic corpus (the published constants assume
+    natural prose); the RULE SHAPES are Gopher's."""
+    stop = frozenset(_STOPWORDS)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n = len(ids)
+        nw = np.zeros(n, dtype=np.int64)
+        mean_x100 = np.zeros(n, dtype=np.int64)
+        nstop = np.zeros(n, dtype=np.int64)
+        dr = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = _split_words(t)
+            if not ws:
+                continue
+            nw[i] = len(ws)
+            lens = [len(w) for w in ws]
+            mean_x100[i] = (100 * sum(lens)) // len(ws)
+            d = set(ws)
+            nstop[i] = len(d & stop)
+            dr[i] = (100 * len(d)) // len(ws)
+            mx[i] = max(lens)
+        mask = (
+            ((nw >= 30) & (nw <= 100000)) * 1
+            + ((mean_x100 >= 380) & (mean_x100 <= 460)) * 2
+            + (nstop >= 2) * 4
+            + (dr >= 40) * 8
+            + ((mx <= 25) & (nw > 0)) * 16
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw),
+                "mean_wlen_x100": pa.array(mean_x100),
+                "rule_mask": pa.array(mask),
+                "passes": pa.array((mask == 31).astype(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(rules, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter
+# ---------------------------------------------------------------------------
+
+
+def c4_line_filter(sf_dir: str) -> rd.Dataset:
+    """C4 line-level cleaning (Raffel et al. 2020) over the synthetic
+    line structure: a line is KEPT iff it ends with a terminal '.' AND
+    has >= 5 words; a doc is kept iff >= 3 of its lines survive. The
+    engine tests the REAL string suffix (``line.endswith('.')``), as
+    does the oracle (``right(line, 1) = '.'``). Stateless per-batch map,
+    no exchange. Output: (doc_id, n_lines, n_kept, kept_words, doc_kept)."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        rows = {"doc_id": [], "n_lines": [], "n_kept": [], "kept_words": [],
+                "doc_kept": []}
+        for did, src, t in zip(ids, srcs, texts):
+            lines = _doc_lines(did, src, _split_words(t))
+            kept = [(lt, nw) for _idx, lt, nw in lines
+                    if lt.endswith(".") and nw >= 5]
+            rows["doc_id"].append(did)
+            rows["n_lines"].append(len(lines))
+            rows["n_kept"].append(len(kept))
+            rows["kept_words"].append(sum(nw for _lt, nw in kept))
+            rows["doc_kept"].append(int(len(kept) >= 3))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        ).map_batches(filt, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(sf_dir: str) -> rd.Dataset:
+    """RefinedWeb/CCNet paragraph-level exact dedup over the synthetic
+    lines: a line INSTANCE survives iff it is the first occurrence of
+    its exact text in global (doc_id, line_idx) order — the planted
+    per-source banner survives once per corpus, ragged short lines
+    collide naturally. Two bounded exchanges (the ``cdc_dedup`` shape):
+    explode lines -> 64-bit line fp (md5 prefix, decon collision
+    contract) -> fp-shard winner mark -> doc-shard per-doc counts.
+    Output: (doc_id, n_lines, n_kept, n_dropped)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        did_col, idx_col, fp_col = [], [], []
+        for did, src, t in zip(ids, srcs, texts):
+            for idx, lt, _nw in _doc_lines(did, src, _split_words(t)):
+                did_col.append(did)
+                idx_col.append(idx)
+                fp_col.append(
+                    int.from_bytes(hashlib.md5(lt.encode()).digest()[:8], "big")
+                )
+        fp = np.array(fp_col, dtype=np.uint64).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did_col, pa.int64()),
+                "line_idx": pa.array(idx_col, pa.int64()),
+                "fp": pa.array(fp),
+                "_lshard": pa.array(_shard64_of(fp)),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id", "line_idx"], kind="mergesort")
+        first = ~g["fp"].duplicated()
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "kept": first.astype("int64"),
+            }
+        )
+        out["_dshard"] = _shard64_of(list(out["doc_id"]))
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("doc_id", sort=False)["kept"].agg(["count", "sum"])
+        t = t.reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].astype("int64"),
+                "n_lines": t["count"].astype("int64"),
+                "n_kept": t["sum"].astype("int64"),
+                "n_dropped": (t["count"] - t["sum"]).astype("int64"),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        )
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_lshard")
+        .map_groups(winners, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+#: fixed head/middle bucket cutoffs on the mean token NLL (x1e6 nats) —
+#: the analog of CCNet's Wikipedia-calibrated perplexity thresholds
+#: (fixed constants, NOT per-run percentiles, so the op stays a pure
+#: stream with no extra global pass). Calibrated once on the synthetic
+#: corpus to split it roughly into thirds.
+_CCNET_HEAD_MAX = 3_402_000
+_CCNET_MIDDLE_MAX = 3_410_000
+
+
+def _md5_pct_keep(ids: list, pct: int) -> np.ndarray:
+    """hash_sample's md5-prefix rule as a bool mask (keep < pct%)."""
+    thresh = (pct << 32) // 100
+    return np.fromiter(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thresh
+         for d in ids),
+        dtype=bool, count=len(ids),
+    )
+
+
+def ccnet_ppl_buckets(sf_dir: str, pct: int = 20) -> rd.Dataset:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2019): train an
+    add-one-smoothed unigram LM on the deterministic "curated" split
+    (md5(doc_id) prefix < pct% — the hash_sample rule standing in for
+    CCNet's Wikipedia), score EVERY doc by its mean token NLL, and
+    bucket head/middle/tail on fixed cutoffs.
+
+    Integer contract: per-token cost = floor(1e6 * ln(denom / (c+1)))
+    with denom = N + V (total + distinct target tokens) — a positive
+    integer on both sides, summed exactly; the per-doc mean is a
+    positive ``//``. Scale shape = ``decontaminate``: the count table is
+    TOKEN-SHARDED, never broadcast — doc token instances meet their
+    counts inside the shard, partial (nll, n) sums reduce per doc.
+    Output: (doc_id, n_tokens, nll_avg, bucket)."""
+
+    def target_counts(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        keep = _md5_pct_keep(ids, pct)
+        toks: dict[str, int] = {}
+        for t, k in zip(batch["text"].to_pylist(), keep):
+            if not k:
+                continue
+            for w in _split_words(t):
+                toks[w] = toks.get(w, 0) + 1
+        out = pd.DataFrame(
+            {"tok": list(toks.keys()),
+             "c": np.fromiter(toks.values(), dtype=np.int64, count=len(toks))}
+        )
+        out["_tshard"] = _shard64_of(list(out["tok"]))
+        return out
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("tok", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame({"tok": t["tok"], "c": t["c"].astype("int64")})
+
+    counts = (
+        _read_docs(sf_dir)
+        .map_batches(target_counts, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(sum_counts, batch_format="pandas")
+    ).materialize()
+
+    n_total = counts.sum("c") or 0
+    n_types = counts.count()
+    denom = float(n_total + n_types)
+
+    def doc_tokens(batch: pa.Table) -> pd.DataFrame:
+        did_col, tok_col, occ_col = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            per: dict[str, int] = {}
+            for w in _split_words(t):
+                per[w] = per.get(w, 0) + 1
+            for w, c in per.items():
+                did_col.append(did)
+                tok_col.append(w)
+                occ_col.append(c)
+        out = pd.DataFrame(
+            {"tok": tok_col,
+             "doc_id": np.array(did_col, dtype=np.int64),
+             "n_occ": np.array(occ_col, dtype=np.int64),
+             "c": np.zeros(len(tok_col), dtype=np.int64),
+             "side": np.zeros(len(tok_col), dtype=np.int64)}
+        )
+        out["_tshard"] = _shard64_of(tok_col)
+        return out
+
+    def mark_counts(batch: pa.Table) -> pd.DataFrame:
+        toks = batch["tok"].to_pylist()
+        out = pd.DataFrame(
+            {"tok": toks,
+             "doc_id": np.zeros(len(toks), dtype=np.int64),
+             "n_occ": np.zeros(len(toks), dtype=np.int64),
+             "c": batch["c"].to_numpy(),
+             "side": np.ones(len(toks), dtype=np.int64)}
+        )
+        out["_tshard"] = _shard64_of(toks)
+        return out
+
+    def score_shard(g: pd.DataFrame, denom=denom) -> pd.DataFrame:
+        cnt = g[g["side"] == 1]
+        lut = dict(zip(cnt["tok"], cnt["c"]))
+        d = g[g["side"] == 0]
+        if len(d) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "nll": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "_dshard": pd.Series(dtype="int64")})
+        cost = np.fromiter(
+            (math.floor(math.log(denom / (lut.get(w, 0) + 1)) * 1e6)
+             for w in d["tok"]),
+            dtype=np.int64, count=len(d),
+        )
+        occ = d["n_occ"].to_numpy()
+        t = pd.DataFrame({"doc_id": d["doc_id"].to_numpy(),
+                          "nll": cost * occ, "n": occ})
+        t = t.groupby("doc_id", sort=False).sum().reset_index()
+        t["_dshard"] = _shard64_of(list(t["doc_id"]))
+        return t
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("doc_id", sort=False)[["nll", "n"]].sum().reset_index()
+        avg = (t["nll"] // t["n"]).astype("int64")
+        bucket = np.where(
+            avg < _CCNET_HEAD_MAX, "head",
+            np.where(avg < _CCNET_MIDDLE_MAX, "middle", "tail"),
+        )
+        return pd.DataFrame(
+            {"doc_id": t["doc_id"].astype("int64"),
+             "n_tokens": t["n"].astype("int64"),
+             "nll_avg": avg,
+             "bucket": bucket}
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(doc_tokens, batch_format="pyarrow")
+        .union(counts.map_batches(mark_counts, batch_format="pyarrow"))
+        .groupby("_tshard")
+        .map_groups(score_shard, batch_format="pandas")
+        .groupby("_dshard")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # fixed hashed-feature lattice width (the paper's 10^4 scale)
+
+
+def _dsir_grams(words: list[str]) -> list[str]:
+    """Unigram + adjacent-bigram features (the DSIR default), with
+    multiplicity."""
+    return words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+
+
+def _dsir_buckets(grams: list[str]) -> np.ndarray:
+    """Feature bucket = first 16 md5 hex chars as uint64 mod B — oracle-
+    visible (DuckDB: CAST('0x' || substr(md5(g),1,16) AS UBIGINT) % B)."""
+    if not grams:
+        return np.array([], dtype=np.int64)
+    v = np.fromiter(
+        (int(hashlib.md5(g.encode()).hexdigest()[:16], 16) for g in grams),
+        dtype=np.uint64, count=len(grams),
+    )
+    return (v % np.uint64(_DSIR_B)).astype(np.int64)
+
+
+def dsir_select(sf_dir: str, pct: int = 20, k: int = 100) -> rd.Dataset:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    hashed unigram+bigram features over a FIXED 4096-bucket lattice;
+    per-bucket importance lambda = floor(1e6 * ln(p_target / p_raw))
+    with add-one smoothing (ratio formed as double division of exact
+    integer products, the oracle's arithmetic); every RAW doc scored by
+    the exact integer sum of its feature-bucket lambdas; top-k by
+    (weight desc, doc_id). Target split = the hash_sample md5 rule.
+
+    Scale shape: the count pass emits one (side, bincount[4096]) row
+    per BATCH — the kmeans integer-lattice pattern — merged on the
+    driver into a single 4096-long lambda vector (O(blocks) driver
+    rows, O(1) state), which rides into the scoring map's closure; no
+    exchange until the final top-k sort. Output: (doc_id, weight)."""
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        keep = _md5_pct_keep(ids, pct)
+        ct = np.zeros(_DSIR_B, dtype=np.int64)
+        cr = np.zeros(_DSIR_B, dtype=np.int64)
+        for t, is_t in zip(batch["text"].to_pylist(), keep):
+            b = _dsir_buckets(_dsir_grams(_split_words(t)))
+            if len(b) == 0:
+                continue
+            acc = ct if is_t else cr
+            acc += np.bincount(b, minlength=_DSIR_B)
+        return pd.DataFrame({"ct": [ct], "cr": [cr]})
+
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # O(blocks) rows of fixed 4096-wide partials
+    )
+    ct = np.sum(np.stack(parts["ct"].to_numpy()), axis=0).astype(object)
+    cr = np.sum(np.stack(parts["cr"].to_numpy()), axis=0).astype(object)
+    dt = int(sum(ct)) + _DSIR_B  # Nt + B
+    dr = int(sum(cr)) + _DSIR_B  # Nr + B
+    lam = np.fromiter(
+        (
+            math.floor(
+                math.log(float((int(c_t) + 1) * dr) / float((int(c_r) + 1) * dt))
+                * 1e6
+            )
+            for c_t, c_r in zip(ct, cr)
+        ),
+        dtype=np.int64, count=_DSIR_B,
+    )
+
+    def score(batch: pa.Table, lam=lam) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = _md5_pct_keep(ids, pct)
+        out_id, out_w = [], []
+        for did, t, is_t in zip(ids, batch["text"].to_pylist(), keep):
+            if is_t:
+                continue  # DSIR selects from the RAW pool only
+            b = _dsir_buckets(_dsir_grams(_split_words(t)))
+            w = int(lam[b].sum()) if len(b) else 0
+            out_id.append(did)
+            out_w.append(w)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "weight": pa.array(out_w, pa.int64())}
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["weight", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

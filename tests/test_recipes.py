@@ -1,0 +1,138 @@
+"""Behavioral tests for the published-recipe pack (pipelines/recipes.py)
+on planted corpora — rule bits, line synthesis, banner dedup, LM-score
+ordering, importance-weight ordering. Hash parity vs DuckDB is covered by
+the gate rehearsal (tools/check_queries.py); these tests pin the SEMANTICS
+on inputs where the right answer is hand-derivable."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(d, rows):
+    d.mkdir(exist_ok=True)
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    cols["doc_id"] = pa.array(cols["doc_id"], pa.int64())
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_gopher_rules_planted_bits(tmp_path):
+    from spiderman_ray.pipelines.recipes import gopher_rules
+
+    # 2 stopwords + 38 distinct 4-letter words: passes every rule
+    good = "the and " + " ".join(f"wd{i:02d}" for i in range(38))
+    rows = [
+        {"doc_id": 0, "text": good},
+        # too short (bit 1 off)
+        {"doc_id": 1, "text": "the and " + " ".join(f"wd{i:02d}" for i in range(8))},
+        # one degenerate 30-char token (bit 16 off; mean shifts too)
+        {"doc_id": 2, "text": good + " " + "z" * 30},
+        # one word repeated 50x: distinct ratio 2% (bit 8 off), 1 stopword
+        # (bit 4 off), mean 300 (bit 2 off)
+        {"doc_id": 3, "text": " ".join(["the"] * 50)},
+    ]
+    sf = _write_docs(tmp_path / "g", rows)
+    out = gopher_rules(sf).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "rule_mask"] == 31 and out.loc[0, "passes"] == 1
+    assert out.loc[1, "rule_mask"] & 1 == 0
+    assert out.loc[2, "rule_mask"] & 16 == 0
+    assert out.loc[3, "rule_mask"] & (2 | 4 | 8) == 0
+    assert out.loc[0, "n_words"] == 40
+    # mean_wlen_x100 = 100*(3+3+38*4)//40 = 395
+    assert out.loc[0, "mean_wlen_x100"] == 395
+
+
+def test_c4_line_filter_synthetic_lines(tmp_path):
+    from spiderman_ray.pipelines.recipes import c4_line_filter
+
+    # doc 0: L=5, dot iff t%3==0. 45 words -> 9 windows, dots at t=3,6,9
+    # -> 3 kept (each 5 words) -> doc kept. Banner has no '.': never kept.
+    rows = [
+        {"doc_id": 0, "source": "srcA",
+         "text": " ".join(f"w{i:02d}" for i in range(45))},
+        # doc 4: L=5, dot iff (t+4)%3==0 -> t in {2,5,...}; 12 words ->
+        # 3 windows (5,5,2), dotted t=2 has 5 words -> 1 kept -> dropped
+        {"doc_id": 4, "source": "srcA",
+         "text": " ".join(f"v{i:02d}" for i in range(12))},
+    ]
+    sf = _write_docs(tmp_path / "c", rows)
+    out = c4_line_filter(sf).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_lines"] == 10 and out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "kept_words"] == 15 and out.loc[0, "doc_kept"] == 1
+    assert out.loc[4, "n_lines"] == 4 and out.loc[4, "n_kept"] == 1
+    assert out.loc[4, "doc_kept"] == 0
+
+
+def test_paragraph_dedup_banner_and_cross_doc(tmp_path):
+    from spiderman_ray.pipelines.recipes import paragraph_dedup
+
+    # doc 0 and doc 12 share L=5 and the same dot phase and the SAME words
+    # -> every line of doc 12 (banner included, same source) is a dup of
+    # doc 0's. doc 3 is unique content on another source.
+    words = " ".join(f"w{i:02d}" for i in range(20))
+    rows = [
+        {"doc_id": 0, "source": "srcA", "text": words},
+        {"doc_id": 12, "source": "srcA", "text": words},
+        {"doc_id": 3, "source": "srcB",
+         "text": " ".join(f"u{i:02d}" for i in range(20))},
+    ]
+    sf = _write_docs(tmp_path / "p", rows)
+    out = paragraph_dedup(sf).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_dropped"] == 0
+    assert out.loc[12, "n_kept"] == 0
+    assert out.loc[12, "n_dropped"] == out.loc[12, "n_lines"]
+    assert out.loc[3, "n_dropped"] == 0
+
+
+def test_ccnet_ppl_ordering_and_bucket_rule(tmp_path):
+    from spiderman_ray.pipelines.recipes import (
+        _CCNET_HEAD_MAX,
+        _CCNET_MIDDLE_MAX,
+        _md5_pct_keep,
+        ccnet_ppl_buckets,
+    )
+
+    ids = list(range(40))
+    keep = _md5_pct_keep(ids, 20)
+    assert keep.any() and (~keep).any()
+    invocab = "alpha beta gamma delta epsilon"
+    rows = [{"doc_id": i, "text": invocab if k else
+             ("alpha beta gamma delta epsilon" if i % 2 == 0
+              else "zzz qqq xxx yyy www")}
+            for i, k in zip(ids, keep)]
+    sf = _write_docs(tmp_path / "m", rows)
+    out = ccnet_ppl_buckets(sf).to_pandas().set_index("doc_id").sort_index()
+    raw_in = [i for i, k in zip(ids, keep) if not k and i % 2 == 0]
+    raw_oov = [i for i, k in zip(ids, keep) if not k and i % 2 == 1]
+    assert out.loc[raw_in, "nll_avg"].max() < out.loc[raw_oov, "nll_avg"].min()
+    # bucket column follows the fixed cutoffs exactly
+    for _id, r in out.iterrows():
+        want = ("head" if r["nll_avg"] < _CCNET_HEAD_MAX
+                else "middle" if r["nll_avg"] < _CCNET_MIDDLE_MAX else "tail")
+        assert r["bucket"] == want
+
+
+def test_dsir_select_prefers_target_like(tmp_path):
+    from spiderman_ray.pipelines.recipes import _md5_pct_keep, dsir_select
+
+    ids = list(range(60))
+    keep = _md5_pct_keep(ids, 20)
+    assert keep.any()
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    rows = [{"doc_id": i, "text": target_text if (k or i % 2 == 0)
+             else "junk noise zzz qqq random filler xxx"}
+            for i, k in zip(ids, keep)]
+    sf = _write_docs(tmp_path / "d", rows)
+    out = dsir_select(sf, k=100).to_pandas()
+    # raw pool only
+    tgt = {i for i, k in zip(ids, keep) if k}
+    assert not (set(out["doc_id"]) & tgt)
+    byid = out.set_index("doc_id")["weight"]
+    raw_in = [i for i, k in zip(ids, keep) if not k and i % 2 == 0]
+    raw_junk = [i for i, k in zip(ids, keep) if not k and i % 2 == 1]
+    assert byid[raw_in].min() > byid[raw_junk].max()
+    # sorted by weight desc with doc_id tiebreak
+    w = list(out["weight"])
+    assert w == sorted(w, reverse=True)
