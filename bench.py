@@ -242,6 +242,20 @@ def run_bench() -> dict:
          lambda: T.curate_v2_incremental(SF_DIR).count()),
         ("video_near_dups", lambda: _modal_near_dups("video")),
         ("audio_near_dups", lambda: _modal_near_dups("audio")),
+        # published-recipe pack (pipelines/recipes.py): doc-quality map,
+        # line-fp dedup exchanges, token-sharded LM scoring, lattice DSIR
+        ("gopher_rules", lambda: __import__(
+            "spiderman_ray.pipelines.recipes", fromlist=["x"]
+        ).gopher_rules(SF_DIR).count()),
+        ("paragraph_dedup", lambda: __import__(
+            "spiderman_ray.pipelines.recipes", fromlist=["x"]
+        ).paragraph_dedup(SF_DIR).count()),
+        ("ccnet_ppl_buckets", lambda: __import__(
+            "spiderman_ray.pipelines.recipes", fromlist=["x"]
+        ).ccnet_ppl_buckets(SF_DIR).count()),
+        ("dsir_select", lambda: __import__(
+            "spiderman_ray.pipelines.recipes", fromlist=["x"]
+        ).dsir_select(SF_DIR).count()),
     ]:
         timed(name, fn)
 
