@@ -636,6 +636,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance resampling: 4096-bucket hashed-ngram lattice,
         # O(blocks) driver merge, top-k raw docs by integer weight
         "dsir_select": lambda sf: RC.dsir_select(sf),
+        # BM25 ranked retrieval: O(terms) stats partials + per-batch
+        # top-k combiner, integer per-term floors (pipelines/retrieval.py)
+        "bm25_search": lambda sf: __import__(
+            "spiderman_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_search(sf),
+        # near-dup pairs crossing the train/val/test md5 split — the
+        # eval-integrity audit; rides the memoized verified pair graph
+        "split_leakage": lambda sf: T.split_leakage(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
@@ -960,6 +968,16 @@ _SHINGLES_CTE = (
     "ELSE list_distinct(list_transform(range(1, len(ws) - 1), "
     "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s FROM d)"
 )
+
+def _bm25_query_values() -> str:
+    """The fixed BM25 query workload as a SQL VALUES list — one source
+    of truth (pipelines.retrieval.BM25_QUERIES) for engine and oracle."""
+    from spiderman_ray.pipelines.retrieval import BM25_QUERIES
+
+    return ", ".join(
+        f"('{qid}','{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+
 
 #: synthetic line structure for the published-recipe pack (C4 line filter /
 #: paragraph dedup), == pipelines.recipes._doc_lines: line 0 is the
@@ -3080,6 +3098,56 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN lam ON f.b = lam.b "
             "WHERE NOT d.is_t GROUP BY d.doc_id) "
             "SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 100"
+        ),
+        "bm25_search": (
+            # BM25 with dyadic constants k1=1.25, b=0.75 (exact double
+            # literals — immune to the measured DuckDB shortest-repr
+            # 1-ULP parse hazard); per-(doc,term) scores floored BEFORE
+            # the per-doc sum so accumulation order is hash-invariant;
+            # every float op mirrored left-to-right (HLL ln precedent) —
+            # pipelines.retrieval.bm25_search
+            "WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), "
+            "x -> x != '') AS ws FROM documents), "
+            "dl AS (SELECT doc_id, len(ws) AS dl, ws FROM d), "
+            "c AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) "
+            "AS avgdl FROM dl), "
+            f"q(query, term) AS (VALUES {_bm25_query_values()}), "
+            "terms AS (SELECT DISTINCT term FROM q), "
+            "dfc AS (SELECT t.term, (SELECT COUNT(*) FROM dl "
+            "WHERE list_contains(dl.ws, t.term)) AS df FROM terms t), "
+            "tf AS (SELECT q.query, dl.doc_id, q.term, "
+            "len(list_filter(dl.ws, w -> w = q.term)) AS tf, dl.dl "
+            "FROM dl CROSS JOIN q), "
+            "per AS (SELECT tf.query, tf.doc_id, "
+            "CAST(FLOOR(ln((c.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0) "
+            "* ((tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + (0.75 * tf.dl) "
+            "/ c.avgdl))) * 1000000.0) AS BIGINT) AS s "
+            "FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN c "
+            "WHERE tf.tf > 0), "
+            "sc AS (SELECT query, doc_id, SUM(s) AS score "
+            "FROM per GROUP BY query, doc_id) "
+            "SELECT query, doc_id, CAST(score AS BIGINT) AS score, "
+            "CAST(rank AS BIGINT) AS rank "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query "
+            "ORDER BY score DESC, doc_id) AS rank FROM sc) "
+            f"WHERE rank <= {20}"
+        ),
+        "split_leakage": (
+            # exact-Jaccard pairs (the LSH-exhaustive precedent) whose
+            # endpoints straddle the hash_sample 80/10/10 md5 split —
+            # pipelines.text.split_leakage
+            f"WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}, "
+            "sp AS (SELECT doc_id, "
+            f"CASE WHEN pri < {(80 << 32) // 100} THEN 'train' "
+            f"WHEN pri < {(90 << 32) // 100} THEN 'val' ELSE 'test' END AS s "
+            "FROM (SELECT doc_id, CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            "AS pri FROM documents)) "
+            "SELECT p.a, p.b, "
+            "CAST(FLOOR(p.j * 10000 + 0.5) AS BIGINT) AS jaccard_x10k, "
+            "sa.s AS split_a, sb.s AS split_b "
+            "FROM pairs p JOIN sp sa ON p.a = sa.doc_id "
+            "JOIN sp sb ON p.b = sb.doc_id WHERE sa.s != sb.s"
         ),
         "repetition_stats": (
             # Gopher-style repetition signals; all fractions floored x10000.

@@ -256,6 +256,10 @@ def run_bench() -> dict:
         ("dsir_select", lambda: __import__(
             "spiderman_ray.pipelines.recipes", fromlist=["x"]
         ).dsir_select(SF_DIR).count()),
+        # BM25 ranked retrieval (two-pass stats + per-batch top-k combiner)
+        ("bm25_search", lambda: __import__(
+            "spiderman_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_search(SF_DIR).count()),
     ]:
         timed(name, fn)
 

@@ -3808,6 +3808,51 @@ def data_splits(sf_dir: str, pct_train: int = 80, pct_val: int = 10) -> rd.Datas
     )
 
 
+def split_leakage(
+    sf_dir: str, threshold: float = 0.6, pct_train: int = 80, pct_val: int = 10
+) -> rd.Dataset:
+    """Cross-split contamination audit: near-duplicate pairs (exact
+    shingle Jaccard >= ``threshold`` over the MinHash LSH candidates)
+    whose endpoints land in DIFFERENT ``data_splits`` assignments — the
+    leakage a train/val/test split inherits when splitting runs before
+    dedup; the eval-integrity gate run before any benchmark number is
+    trusted. Rides the memoized verified-pair graph
+    (``minhash_verified_pairs_ds``) with ONE stateless marking map: the
+    split is f(doc_id) (the hash_sample md5 priority), so no join with
+    the corpus and no exchange beyond the shared pair build.
+    Output: (a, b, jaccard_x10k, split_a, split_b), split_a != split_b."""
+    t_train = (pct_train << 32) // 100
+    t_val = ((pct_train + pct_val) << 32) // 100
+
+    def mark(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+
+        def split_of(ids: list) -> np.ndarray:
+            pri = _md5_priority(ids)
+            return np.where(
+                pri < t_train, "train", np.where(pri < t_val, "val", "test")
+            )
+
+        sa, sb = split_of(a), split_of(b)
+        keep = sa != sb
+        return pa.table(
+            {
+                "a": pc.cast(batch["a"], pa.int64()).filter(pa.array(keep)),
+                "b": pc.cast(batch["b"], pa.int64()).filter(pa.array(keep)),
+                "jaccard_x10k": pc.cast(batch["jaccard_x10k"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "split_a": pa.array(sa[keep], pa.string()),
+                "split_b": pa.array(sb[keep], pa.string()),
+            }
+        )
+
+    return minhash_verified_pairs_ds(sf_dir, threshold).map_batches(
+        mark, batch_format="pyarrow"
+    )
+
+
 def _pair_confusion(det: rd.Dataset, gold: rd.Dataset) -> tuple[int, int, int]:
     """(tp, fp, fn) of a detector pair set against a gold pair set —
     the shared spine of ``simhash_eval`` / ``minhash_eval``. Both sides

@@ -136,3 +136,61 @@ def test_dsir_select_prefers_target_like(tmp_path):
     # sorted by weight desc with doc_id tiebreak
     w = list(out["weight"])
     assert w == sorted(w, reverse=True)
+
+
+def test_bm25_ranking_planted(tmp_path):
+    from spiderman_ray.pipelines.retrieval import bm25_search
+
+    # equal doc lengths so tf alone orders q0 ("join slow") scores:
+    # doc 0 has join x5, doc 1 join x1, doc 2 join+slow, rest no terms
+    pad = lambda ws: " ".join(ws + [f"f{i:02d}" for i in range(10 - len(ws))])
+    rows = [
+        {"doc_id": 0, "text": pad(["join"] * 5)},
+        {"doc_id": 1, "text": pad(["join"])},
+        {"doc_id": 2, "text": pad(["join", "slow"])},
+    ] + [{"doc_id": i, "text": pad([])} for i in range(3, 30)]
+    sf = _write_docs(tmp_path / "b", rows)
+    out = bm25_search(sf).to_pandas()
+    q0 = out[out["query"] == "q0"].set_index("doc_id")
+    # only the 3 term-bearing docs score
+    assert set(q0.index) == {0, 1, 2}
+    # two matched terms beat one; higher tf beats lower tf
+    assert q0.loc[2, "score"] > q0.loc[1, "score"]
+    assert q0.loc[0, "score"] > q0.loc[1, "score"]
+    # ranks are 1..n by (score desc, doc_id asc)
+    r = q0.sort_values("rank")
+    assert list(r["rank"]) == list(range(1, len(r) + 1))
+    assert list(r["score"]) == sorted(r["score"], reverse=True)
+
+
+def test_split_leakage_planted_cross_split_dup(tmp_path):
+    import numpy as np
+
+    from spiderman_ray.pipelines.text import _md5_priority, split_leakage
+
+    t_train, t_val = (80 << 32) // 100, (90 << 32) // 100
+    pri = _md5_priority(list(range(200)))
+    split = np.where(pri < t_train, "train", np.where(pri < t_val, "val", "test"))
+    trains = [i for i in range(200) if split[i] == "train"]
+    tests = [i for i in range(200) if split[i] == "test"]
+    assert trains and tests
+    dup = "the exact same duplicated body of shared text content here"
+    cross = (trains[0], tests[0])      # leaks
+    same = (trains[1], trains[2])      # dup but same split: must NOT leak
+    rows = []
+    for i in range(60):
+        if i in cross:
+            rows.append({"doc_id": i, "text": dup})
+        elif i in same:
+            rows.append({"doc_id": i, "text": dup + " extra"})
+        else:
+            rows.append({"doc_id": i,
+                         "text": f"unique doc {i} tokens {i*7} {i*13} {i*29}"})
+    sf = _write_docs(tmp_path / "l", rows)
+    out = split_leakage(sf).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    lo, hi = min(cross), max(cross)
+    assert (lo, hi) in got
+    assert (min(same), max(same)) not in got
+    row = out[(out["a"] == lo) & (out["b"] == hi)].iloc[0]
+    assert {row["split_a"], row["split_b"]} == {"train", "test"}
