@@ -644,6 +644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup pairs crossing the train/val/test md5 split — the
         # eval-integrity audit; rides the memoized verified pair graph
         "split_leakage": lambda sf: T.split_leakage(sf),
+        # contrastive hard-negative mining: per vector, the most-similar
+        # DIFFERENT-label vector (knn_graph chunk-pair combiner shape)
+        "hard_negative_mining": lambda sf: V.hard_negative_mining(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
@@ -3148,6 +3151,20 @@ def oracle_sql() -> dict[str, str]:
             "sa.s AS split_a, sb.s AS split_b "
             "FROM pairs p JOIN sp sa ON p.a = sa.doc_id "
             "JOIN sp sb ON p.b = sb.doc_id WHERE sa.s != sb.s"
+        ),
+        "hard_negative_mining": (
+            # exact all-pairs different-label argmax — the ann_cosine_topk
+            # quantization contract (x1e6 + 0.5, ties by neg_id) —
+            # pipelines.vectors.hard_negative_mining
+            "WITH e AS (SELECT vec_id, label, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, "
+            "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) "
+            "AS BIGINT) AS sim_x1m "
+            "FROM e a JOIN e b ON a.vec_id != b.vec_id AND a.label != b.label) "
+            "SELECT vec_id, neg_id, sim_x1m "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY sim_x1m DESC, neg_id) AS r FROM scored) WHERE r = 1"
         ),
         "repetition_stats": (
             # Gopher-style repetition signals; all fractions floored x10000.

@@ -260,6 +260,9 @@ def run_bench() -> dict:
         ("bm25_search", lambda: __import__(
             "spiderman_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_search(SF_DIR).count()),
+        # contrastive hard negatives (knn chunk-pair combiner + label mask)
+        ("hard_negative_mining",
+         lambda: V.hard_negative_mining(SF_DIR).count()),
     ]:
         timed(name, fn)
 

@@ -531,6 +531,100 @@ def knn_graph(sf_dir: str, k: int = 3, chunk_rows: int = 2048) -> rd.Dataset:
         .map_groups(reduce_topk, batch_format="pandas")
     )
 
+def hard_negative_mining(sf_dir: str, chunk_rows: int = 2048) -> rd.Dataset:
+    """For every labeled vector, its HARDEST NEGATIVE: the single most-
+    similar vector carrying a DIFFERENT label — contrastive-training pair
+    mining (the standard embedding fine-tune prep, e.g. SBERT/DPR hard
+    negatives). Same chunk-pair block join + per-task combiner shape as
+    ``knn_graph`` (per-task memory O(chunk_rows^2) regardless of n; sims
+    quantized int64 x1e6 BEFORE ranking so the pick is SQL-reproducible;
+    ties by smallest neg_id), with ``label`` riding the chunks so the
+    same-label mask is applied inside the task — one row per (vec, task)
+    crosses the exchange, never a same-label pair. Exact all-pairs
+    compute by definition (the recall oracle); at corpus scale the IVF
+    bucketing of ``knn_graph_ivf`` applies unchanged since the mask is
+    per-cell. Output: (vec_id, neg_id, sim_x1m)."""
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    def norm_labeled(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(),
+                "embedding": list(m),
+                "label": batch["label"].to_numpy().astype(np.int64),
+            }
+        )
+
+    normed = (
+        rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding", "label"])
+        .map_batches(norm_labeled, batch_format="pandas", batch_size=chunk_rows)
+        .repartition(target_num_rows_per_block=chunk_rows)
+    )
+    refs = normed.to_arrow_refs()
+    idx = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    sentinel = np.iinfo(np.int64).max
+
+    def _unpack(tab: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids, mat = _unpack_chunk(tab)
+        lab = np.asarray(tab["label"].to_pylist(), dtype=np.int64)
+        return ids, mat, lab
+
+    def _local_best(ids_q, lab_q, sim_x1m, ids_c, lab_c) -> pd.DataFrame:
+        # packed (-sim, neg_id) int64 key — the knn_graph ordering trick
+        if len(ids_c) and int(ids_c.max()) >= (1 << 32):
+            raise ValueError("hard_negative packed sort key requires vec_id < 2^32")
+        key = (np.int64(1_000_000) - sim_x1m) * np.int64(1 << 32) + ids_c[None, :]
+        key[lab_q[:, None] == lab_c[None, :]] = sentinel  # mask same-label
+        best = key.argmin(axis=1)
+        bkey = key[np.arange(len(ids_q)), best]
+        hit = bkey != sentinel  # rows with at least one negative in chunk
+        return pd.DataFrame(
+            {
+                "vec_id": ids_q[hit],
+                "neg_id": ids_c[best[hit]],
+                "sim_x1m": sim_x1m[np.arange(len(ids_q))[hit], best[hit]],
+            }
+        )
+
+    def pair_block(batch: pd.DataFrame, refs=refs) -> pd.DataFrame:
+        outs = []
+        for i, j in zip(batch["i"], batch["j"]):
+            ids_i, m_i, l_i = _unpack(ray.get(refs[i]))
+            ids_j, m_j, l_j = (
+                (ids_i, m_i, l_i) if i == j else _unpack(ray.get(refs[j]))
+            )
+            sim = np.floor(m_i @ m_j.T * 1e6 + 0.5).astype(np.int64)
+            outs.append(_local_best(ids_i, l_i, sim, ids_j, l_j))
+            if i != j:
+                outs.append(_local_best(ids_j, l_j, sim.T.copy(), ids_i, l_i))
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"vec_id": "int64", "neg_id": "int64", "sim_x1m": "int64"})
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_vshard", pa.array(_shard64_of(batch["vec_id"].to_pylist()))
+        )
+
+    def reduce_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["vec_id", "sim_x1m", "neg_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g[~g["vec_id"].duplicated()]
+        return g[["vec_id", "neg_id", "sim_x1m"]].astype("int64")
+
+    return (
+        rd.from_items(idx)
+        .map_batches(pair_block, batch_format="pandas", batch_size=1)
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_vshard")
+        .map_groups(reduce_best, batch_format="pandas")
+    )
+
+
 def knn_graph_ivf(
     sf_dir: str, k: int = 3, n_centroids: int = 16, nprobe: int = 4,
     fit_sample_rows: int = 4096, chunk_rows: int = 2048,

@@ -194,3 +194,39 @@ def test_split_leakage_planted_cross_split_dup(tmp_path):
     assert (min(same), max(same)) not in got
     row = out[(out["a"] == lo) & (out["b"] == hi)].iloc[0]
     assert {row["split_a"], row["split_b"]} == {"train", "test"}
+
+
+def test_hard_negative_mining_skips_same_label(tmp_path):
+    import numpy as np
+
+    from spiderman_ray.pipelines.vectors import hard_negative_mining
+
+    # v1 is v0's nearest neighbor but shares its label; v2 (different
+    # label, farther) must be picked as the hard negative instead
+    vecs = {
+        0: ([1.0, 0.0], 0),
+        1: ([0.99, 0.141], 0),
+        2: ([0.9, 0.436], 1),
+        3: ([-1.0, 0.0], 1),
+    }
+    d = tmp_path / "e"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, dtype=np.float32) for v, _ in vecs.values()],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([l for _, l in vecs.values()], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = hard_negative_mining(str(d)).to_pandas().set_index("vec_id").sort_index()
+    assert out.loc[0, "neg_id"] == 2          # not same-label v1
+    assert out.loc[1, "neg_id"] == 2
+    assert out.loc[2, "neg_id"] == 1          # v2's closest other-label
+    assert out.loc[3, "neg_id"] in (0, 1)
+    assert len(out) == 4                      # every vector has a negative
