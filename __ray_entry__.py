@@ -647,6 +647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contrastive hard-negative mining: per vector, the most-similar
         # DIFFERENT-label vector (knn_graph chunk-pair combiner shape)
         "hard_negative_mining": lambda sf: V.hard_negative_mining(sf),
+        # the recipe pack composed into one FineWeb-style flagship:
+        # gopher AND c4 AND boilerplate-share AND LM-bucket gates, merged
+        # in ONE doc-shard union exchange (no joins)
+        "recipe_curate": lambda sf: RC.recipe_curate(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
@@ -3401,4 +3405,18 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive-probe IVF graph == exact knn_graph row-for-row (pytest
     # proves the equality), so it shares the same hash oracle
     sqls["knn_graph_ivf"] = sqls["knn_graph"]
+    # composed recipe flagship: the four component oracles nest as CTEs
+    # (each is a self-contained SELECT) joined on doc_id with the exact
+    # survivor predicate — pipelines.recipes.recipe_curate
+    sqls["recipe_curate"] = (
+        f"WITH g AS ({sqls['gopher_rules']}), "
+        f"c AS ({sqls['c4_line_filter']}), "
+        f"p AS ({sqls['paragraph_dedup']}), "
+        f"m AS ({sqls['ccnet_ppl_buckets']}) "
+        "SELECT g.doc_id, g.n_words, m.nll_avg, m.bucket "
+        "FROM g JOIN c ON g.doc_id = c.doc_id "
+        "JOIN p ON g.doc_id = p.doc_id JOIN m ON g.doc_id = m.doc_id "
+        "WHERE g.passes = 1 AND c.doc_kept = 1 "
+        "AND p.n_dropped * 5 <= p.n_lines AND m.bucket != 'tail'"
+    )
     return sqls

@@ -263,6 +263,10 @@ def run_bench() -> dict:
         # contrastive hard negatives (knn chunk-pair combiner + label mask)
         ("hard_negative_mining",
          lambda: V.hard_negative_mining(SF_DIR).count()),
+        # the recipe pack composed into one FineWeb-style flagship
+        ("recipe_curate", lambda: __import__(
+            "spiderman_ray.pipelines.recipes", fromlist=["x"]
+        ).recipe_curate(SF_DIR).count()),
     ]:
         timed(name, fn)
 

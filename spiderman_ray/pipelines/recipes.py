@@ -66,6 +66,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from spiderman_ray.pipelines.text import _read_docs, _shard64_of
@@ -515,4 +516,101 @@ def dsir_select(sf_dir: str, pct: int = 20, k: int = 100) -> rd.Dataset:
         .map_batches(score, batch_format="pyarrow")
         .sort(["weight", "doc_id"], descending=[True, False])
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed recipe flagship
+# ---------------------------------------------------------------------------
+
+
+def recipe_curate(sf_dir: str) -> rd.Dataset:
+    """The published recipes composed into one curation flagship — the
+    FineWeb-style stack (quality heuristics -> line cleaning -> dedup
+    signal -> LM scoring) as a single pipeline. A doc SURVIVES iff:
+
+    - ``gopher_rules``:      passes all five quality bits,
+    - ``c4_line_filter``:    doc_kept (>= 3 clean lines),
+    - ``paragraph_dedup``:   n_dropped * 5 <= n_lines (< 20% of its
+                             lines are global duplicates — the
+                             boilerplate-share gate),
+    - ``ccnet_ppl_buckets``: bucket != 'tail' (LM head/middle only).
+
+    Scale shape: the four component pipelines each emit O(docs) rows;
+    their union is tagged under ONE integer schema (``side`` +
+    zero-padded value columns — the union-mark-merge house pattern,
+    ints padded with ZEROS never nulls) and merged in a single
+    doc-shard exchange. No joins, no broadcast; total exchanges =
+    the components' own (2 line-fp/doc + 2 token/doc) + this merge.
+    Output: (doc_id, n_words, nll_avg, bucket) for survivors."""
+
+    def tag(side: int, cols: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ids = pc.cast(batch["doc_id"], pa.int64()) if "doc_id" in batch.column_names else None
+            z = np.zeros(n, dtype=np.int64)
+            out = {
+                "doc_id": ids,
+                "side": pa.array(np.full(n, side, dtype=np.int64)),
+                "v1": pa.array(
+                    batch[cols["v1"]].to_numpy(zero_copy_only=False).astype(np.int64)
+                    if "v1" in cols else z
+                ),
+                "v2": pa.array(
+                    batch[cols["v2"]].to_numpy(zero_copy_only=False).astype(np.int64)
+                    if "v2" in cols else z
+                ),
+                "s1": (pc.cast(batch[cols["s1"]], pa.string()) if "s1" in cols
+                       else pa.array([""] * n, pa.string())),
+            }
+            t = pa.table(out)
+            return t.append_column("_dshard", pa.array(_shard64_of(ids.to_pylist())))
+
+        return f
+
+    g = gopher_rules(sf_dir).map_batches(
+        tag(0, {"v1": "passes", "v2": "n_words"}), batch_format="pyarrow"
+    )
+    c = c4_line_filter(sf_dir).map_batches(
+        tag(1, {"v1": "doc_kept"}), batch_format="pyarrow"
+    )
+    p = paragraph_dedup(sf_dir).map_batches(
+        tag(2, {"v1": "n_lines", "v2": "n_dropped"}), batch_format="pyarrow"
+    )
+    m = ccnet_ppl_buckets(sf_dir).map_batches(
+        tag(3, {"v1": "nll_avg", "s1": "bucket"}), batch_format="pyarrow"
+    )
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        w = grp.pivot_table(
+            index="doc_id", columns="side", values=["v1", "v2"], aggfunc="first"
+        )
+        buckets = grp[grp["side"] == 3].set_index("doc_id")["s1"]
+        doc_ids = w.index.to_numpy()
+        passes = w[("v1", 0)].to_numpy()
+        n_words = w[("v2", 0)].to_numpy()
+        doc_kept = w[("v1", 1)].to_numpy()
+        n_lines = w[("v1", 2)].to_numpy()
+        n_dropped = w[("v2", 2)].to_numpy()
+        nll_avg = w[("v1", 3)].to_numpy()
+        bucket = buckets.reindex(w.index).to_numpy()
+        keep = (
+            (passes == 1)
+            & (doc_kept == 1)
+            & (n_dropped * 5 <= n_lines)
+            & (bucket != "tail")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[keep].astype("int64"),
+                "n_words": n_words[keep].astype("int64"),
+                "nll_avg": nll_avg[keep].astype("int64"),
+                "bucket": bucket[keep],
+            }
+        )
+
+    return (
+        g.union(c).union(p).union(m)
+        .groupby("_dshard")
+        .map_groups(merge, batch_format="pandas")
     )

@@ -230,3 +230,35 @@ def test_hard_negative_mining_skips_same_label(tmp_path):
     assert out.loc[2, "neg_id"] == 1          # v2's closest other-label
     assert out.loc[3, "neg_id"] in (0, 1)
     assert len(out) == 4                      # every vector has a negative
+
+
+def test_recipe_curate_is_component_intersection():
+    """The composed flagship's survivor set must equal the intersection
+    of its four component predicates computed independently (catches
+    union-tag / pivot-merge bugs; SQL-hash parity is the gate's job)."""
+    from spiderman_ray.pipelines.recipes import (
+        c4_line_filter,
+        ccnet_ppl_buckets,
+        gopher_rules,
+        paragraph_dedup,
+        recipe_curate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    g = gopher_rules(sf).to_pandas().set_index("doc_id")
+    c = c4_line_filter(sf).to_pandas().set_index("doc_id")
+    p = paragraph_dedup(sf).to_pandas().set_index("doc_id")
+    m = ccnet_ppl_buckets(sf).to_pandas().set_index("doc_id")
+    want = {
+        i for i in g.index
+        if g.loc[i, "passes"] == 1 and c.loc[i, "doc_kept"] == 1
+        and p.loc[i, "n_dropped"] * 5 <= p.loc[i, "n_lines"]
+        and m.loc[i, "bucket"] != "tail"
+    }
+    out = recipe_curate(sf).to_pandas()
+    assert set(out["doc_id"]) == want
+    assert len(out) == len(want) and len(want) > 0
+    # carried columns agree with the components
+    row = out.iloc[0]
+    assert row["n_words"] == g.loc[row["doc_id"], "n_words"]
+    assert row["nll_avg"] == m.loc[row["doc_id"], "nll_avg"]
