@@ -784,6 +784,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketing machinery while staying equal to the exact-cosine oracle
         # (pytest covers the approximate nprobe<n_centroids recall path)
         "ann_ivf_topk": lambda sf: V.ann_ivf_topk(sf, nprobe=16),
+        # the same search against the PERSISTED IVF index (pruned
+        # partition read; output == ann_ivf_topk by construction)
+        "ann_query_indexed": lambda sf: V.ann_query_indexed(sf, nprobe=16),
         # IVF + PQ-ADC + exact rerank (the FAISS IVFADC shape) run at
         # nprobe=n_centroids: exhaustive probe BYPASSES the ADC preselect
         # (exact dots for every candidate) -> STRUCTURALLY equal to the
@@ -3405,6 +3408,9 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive-probe IVF graph == exact knn_graph row-for-row (pytest
     # proves the equality), so it shares the same hash oracle
     sqls["knn_graph_ivf"] = sqls["knn_graph"]
+    # indexed IVF search == ann_ivf_topk row-for-row (pytest proves the
+    # equality at pruning nprobe too), so it shares the same hash oracle
+    sqls["ann_query_indexed"] = sqls["ann_ivf_topk"]
     # composed recipe flagship: the four component oracles nest as CTEs
     # (each is a self-contained SELECT) joined on doc_id with the exact
     # survivor predicate — pipelines.recipes.recipe_curate

@@ -363,13 +363,20 @@ def cmd_report(args: argparse.Namespace) -> int:
 
 
 def cmd_index(args: argparse.Namespace) -> int:
-    """Build the persisted dedup index (see text.build_dedup_index): the
-    artifact a production incremental ingest maintains so daily runs join
-    stored fp/band columns instead of re-reading base text."""
+    """Build a persisted index artifact: --kind dedup (fps + LSH bands;
+    text.build_dedup_index) or --kind ann (IVF centroids + cluster-
+    partitioned normalized vectors; vectors.build_ann_index) — the state
+    a production incremental/query pipeline maintains so runs join
+    stored columns instead of re-deriving the corpus."""
     ray = _ray_session()
-    from spiderman_ray.pipelines.text import build_dedup_index
+    if args.kind == "ann":
+        from spiderman_ray.pipelines.vectors import build_ann_index
 
-    print(json.dumps(build_dedup_index(args.sf, args.dest, args.base_pct)))
+        print(json.dumps(build_ann_index(args.sf, args.dest)))
+    else:
+        from spiderman_ray.pipelines.text import build_dedup_index
+
+        print(json.dumps(build_dedup_index(args.sf, args.dest, args.base_pct)))
     ray.shutdown()
     return 0
 
@@ -524,7 +531,9 @@ def main(argv=None) -> int:
     ix.add_argument("--sf", default="/root/testdata/sf0.01", help="input table dir")
     ix.add_argument("--dest", required=True, help="index output dir")
     ix.add_argument("--base-pct", type=int, default=50,
-                    help="hash_sample base split percentile")
+                    help="hash_sample base split percentile (dedup kind)")
+    ix.add_argument("--kind", choices=["dedup", "ann"], default="dedup",
+                    help="dedup = fps + LSH bands; ann = IVF index")
     ix.set_defaults(fn=cmd_index)
 
     n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")

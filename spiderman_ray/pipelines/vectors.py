@@ -339,15 +339,7 @@ def ann_ivf_topk(
     needs a representative sample, not the corpus (IVF literature fits on
     ~max(30*k, sqrt(n)) points).
     """
-    pf = pq.ParquetFile(_pq(sf_dir))
-    batches, seen = [], 0
-    want = max(fit_sample_rows, n_queries)
-    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
-        batches.append(rb)
-        seen += rb.num_rows
-        if seen >= want:
-            break
-    tab = pa.Table.from_batches(batches).slice(0, want)
+    tab = _fit_sample(sf_dir, max(fit_sample_rows, n_queries))
     qids = tab["vec_id"].to_pylist()[:n_queries]
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -377,6 +369,159 @@ def ann_ivf_topk(
         return pd.DataFrame(out)
 
     partials = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pandas", batch_size=4096
+    )
+    return _reduce_topk_ds(partials, k)
+
+
+def _fit_sample(sf_dir: str, want: int) -> pa.Table:
+    """The bounded deterministic fit/query sample shared by the IVF
+    family: the FIRST ``want`` rows, never the full table."""
+    pf = pq.ParquetFile(_pq(sf_dir))
+    batches, seen = [], 0
+    for rb in pf.iter_batches(batch_size=1024, columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        seen += rb.num_rows
+        if seen >= want:
+            break
+    return pa.Table.from_batches(batches).slice(0, want)
+
+
+def build_ann_index(
+    sf_dir: str, dest: str, n_centroids: int = 16, fit_sample_rows: int = 4096
+) -> dict:
+    """Persist the IVF index to ``dest`` — the production similarity-
+    search artifact (the ``build_dedup_index`` pattern for the ANN
+    family): queries join a STORED, cluster-partitioned vector table
+    instead of re-normalizing and re-assigning the corpus every run.
+
+    - ``centroids.parquet``: (centroid_id, embedding) — the tiny fitted
+      codebook (same bounded-sample ``_kmeans`` fit as ``ann_ivf_topk``,
+      so an index rebuild is deterministic);
+    - ``vecs/cluster=<c>/``: (vec_id, embedding NORMALIZED float64,
+      cl) — one hive partition per inverted list, so a query with
+      ``nprobe`` clusters PRUNES its read to the probed partitions
+      (``cl`` duplicates the partition key as a data column: the pruned
+      per-directory read must not depend on hive-column inference).
+
+    Normalization happens once at build time in float64; parquet
+    round-trips doubles exactly, so indexed sims are bit-identical to
+    the on-the-fly path. Returns {"n_vectors", "n_centroids", "dest"}."""
+    tab = _fit_sample(sf_dir, fit_sample_rows)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()]
+    )
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = _kmeans(mat, n_centroids)
+    os.makedirs(dest, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(range(n_centroids), pa.int64()),
+                "embedding": pa.array(
+                    [c for c in cents], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(dest, "centroids.parquet"),
+    )
+
+    def assign(batch: pd.DataFrame, cents=cents) -> pd.DataFrame:
+        m = _batch_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cl = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+                "embedding": list(m),
+                "cl": cl,
+                "cluster": cl,
+            }
+        )
+
+    ds = rd.read_parquet(_pq(sf_dir), columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pandas", batch_size=4096
+    )
+    ds.write_parquet(os.path.join(dest, "vecs"), partition_cols=["cluster"])
+    n = pq.ParquetFile(_pq(sf_dir)).metadata.num_rows
+    return {"n_vectors": n, "n_centroids": n_centroids, "dest": dest}
+
+
+def ann_query_indexed(
+    sf_dir: str, index_dir: str | None = None, n_queries: int = 8, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4, fit_sample_rows: int = 4096,
+) -> pa.Table:
+    """``ann_ivf_topk`` against the PERSISTED index: centroids load from
+    the stored codebook (bit-equal to the fit), candidates come from a
+    READ PRUNED to the probed cluster partitions (the corpus is never
+    re-normalized or re-assigned), and the output is IDENTICAL to
+    ``ann_ivf_topk`` at the same parameters by construction — which is
+    what the driver gate checks (exhaustive nprobe == the exact SQL
+    oracle; pytest covers nprobe < n_centroids equality). ``index_dir=
+    None`` builds (or reuses) a /tmp-cached index keyed by input-file
+    identity + params — the registry path; production callers pass
+    their maintained index (the ``incremental_dedup_indexed`` contract)."""
+    import hashlib as _hl
+
+    if index_dir is None:
+        st = os.stat(_pq(sf_dir))
+        tag = _hl.md5(
+            f"{os.path.realpath(_pq(sf_dir))}:{st.st_mtime_ns}:{st.st_size}:"
+            f"{n_centroids}:{fit_sample_rows}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", f"spiderman_ann_index_{tag}")
+        if not os.path.isfile(os.path.join(index_dir, "centroids.parquet")):
+            build_ann_index(sf_dir, index_dir, n_centroids, fit_sample_rows)
+
+    cents_tab = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64)
+         for v in cents_tab["embedding"].to_pylist()]
+    )
+    tab = _fit_sample(sf_dir, max(fit_sample_rows, n_queries))
+    qids = tab["vec_id"].to_pylist()[:n_queries]
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64)
+         for v in tab["embedding"].to_pylist()[:n_queries]]
+    )
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((np.array(qids), qmat, probes))
+
+    # the pruned read: only probed inverted lists leave storage
+    # (a multi-path read_parquet takes FILES, so expand each partition)
+    import glob as _glob
+
+    need = sorted({int(c) for c in probes.ravel()})
+    paths = [
+        f
+        for c in need
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "vecs", f"cluster={c}", "*.parquet"))
+        )
+    ]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, q, pr = ray.get(ref)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        ids = batch["vec_id"].to_numpy()
+        assign = batch["cl"].to_numpy()
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for j, qid in enumerate(q_ids):
+            cand_mask = np.isin(assign, pr[j]) & (ids != qid)
+            if not cand_mask.any():
+                continue
+            sims = m[cand_mask] @ q[j]
+            cand_ids = ids[cand_mask]
+            order = np.lexsort((cand_ids, -sims))[:k]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(cand_ids[order])
+            out["sim"].extend(sims[order])
+        return pd.DataFrame(out)
+
+    partials = rd.read_parquet(paths, columns=["vec_id", "embedding", "cl"]).map_batches(
         local_topk, batch_format="pandas", batch_size=4096
     )
     return _reduce_topk_ds(partials, k)

@@ -262,3 +262,21 @@ def test_recipe_curate_is_component_intersection():
     row = out.iloc[0]
     assert row["n_words"] == g.loc[row["doc_id"], "n_words"]
     assert row["nll_avg"] == m.loc[row["doc_id"], "nll_avg"]
+
+
+def test_ann_query_indexed_equals_ivf(tmp_path):
+    """The persisted-index search must equal the on-the-fly IVF search
+    row-for-row at a PRUNING nprobe (only probed partitions are read),
+    and the index must be rebuildable into an explicit dest."""
+    from spiderman_ray.pipelines.vectors import (
+        ann_ivf_topk,
+        ann_query_indexed,
+        build_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    meta = build_ann_index(sf, str(tmp_path / "idx"))
+    assert meta["n_centroids"] == 16 and meta["n_vectors"] > 0
+    a = ann_ivf_topk(sf, nprobe=4).to_pandas()
+    b = ann_query_indexed(sf, index_dir=str(tmp_path / "idx"), nprobe=4).to_pandas()
+    assert a.equals(b)
