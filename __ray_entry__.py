@@ -704,6 +704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": lambda sf: __import__(
             "spiderman_ray.pipelines.bpe", fromlist=["x"]
         ).bpe_fertility(sf),
+        # tokenize -> pack -> WRITE the training-shard artifact, stats
+        # read back from the store (the storesinks verify pattern)
+        "training_shards": lambda sf: __import__(
+            "spiderman_ray.pipelines.bpe", fromlist=["x"]
+        ).training_shards(sf),
         # feature-hashed embedding generation (integer checksums)
         "hash_embed": lambda sf: T.hash_embed(sf),
         # CCNet head/middle/tail split: NTILE(3) of the LM-quality rank
@@ -1789,6 +1794,28 @@ def _pin_oracle_sqls() -> dict[str, str]:
         "AS BIGINT) AS fertility_x1m "
         "FROM enc e JOIN lang l ON e.doc_id = l.doc_id "
         "JOIN w ON w.doc_id = e.doc_id GROUP BY 1"
+    )
+    # training_shards: COMPOSED oracle — the per-doc encode pin (counts
+    # + order-insensitive token checksums) + a window prefix sum gives
+    # each doc's start offset, shard = start // (capacity *
+    # blocks_per_shard) = 4096 tokens; shard checksum = HUGEINT sum of
+    # the per-doc checksums mod 2^63 (exactly the store readback's
+    # modded-partial arithmetic) — pipelines.bpe.training_shards
+    enc_full = _values_sql(
+        enc_rows,
+        {"doc_id": "BIGINT", "n_bpe_tokens": "BIGINT", "token_checksum": "BIGINT"},
+    )
+    out["training_shards"] = (
+        f"WITH enc AS ({enc_full}), "
+        "o AS (SELECT doc_id, n_bpe_tokens, token_checksum, "
+        "COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM enc) "
+        "SELECT CAST(st // 4096 AS BIGINT) AS shard_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(CAST(token_checksum AS HUGEINT)) % 9223372036854775808 "
+        "AS BIGINT) AS checksum "
+        "FROM o GROUP BY 1"
     )
     out["pq_quantize"] = _values_sql(
         pq_quantize_reference(sf),

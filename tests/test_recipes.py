@@ -280,3 +280,31 @@ def test_ann_query_indexed_equals_ivf(tmp_path):
     a = ann_ivf_topk(sf, nprobe=4).to_pandas()
     b = ann_query_indexed(sf, index_dir=str(tmp_path / "idx"), nprobe=4).to_pandas()
     assert a.equals(b)
+
+
+def test_training_shards_store_layout_and_totals(tmp_path):
+    import glob
+    import os
+
+    from spiderman_ray.pipelines.bpe import (
+        bpe_encode,
+        training_shards,
+        write_training_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "shards")
+    meta = write_training_shards(sf, dest)
+    # one hive partition per shard, each with parquet parts (resumable)
+    dirs = sorted(glob.glob(os.path.join(dest, "shard=*")))
+    assert len(dirs) == meta["n_shards"] > 1
+    out = training_shards(sf, dest=dest).to_pandas().sort_values("shard_id")
+    assert list(out["shard_id"]) == list(range(len(out)))
+    # totals equal the per-doc encode contract
+    enc = bpe_encode(sf).to_pandas()
+    assert out["n_tokens"].sum() == enc["n_bpe_tokens"].sum() == meta["n_tokens"]
+    assert out["n_docs"].sum() == len(enc) == meta["n_docs"]
+    # doc-granularity packing: every shard but the last holds >= the
+    # 4096-token budget minus one doc's worth of slack, i.e. its FIRST
+    # doc started inside the shard's token range
+    assert (out["n_tokens"] > 0).all()
