@@ -267,6 +267,13 @@ def run_bench() -> dict:
         ("recipe_curate", lambda: __import__(
             "spiderman_ray.pipelines.recipes", fromlist=["x"]
         ).recipe_curate(SF_DIR).count()),
+        # persisted-artifact paths: IVF index query (pruned partition
+        # read) and the tokenize->pack->write shard emitter (the row
+        # pays the store build in a fresh session — that IS the cost)
+        ("ann_query_indexed", lambda: V.ann_query_indexed(SF_DIR, nprobe=4).num_rows),
+        ("training_shards", lambda: __import__(
+            "spiderman_ray.pipelines.bpe", fromlist=["x"]
+        ).training_shards(SF_DIR).count()),
     ]:
         timed(name, fn)
 
