@@ -373,6 +373,10 @@ def cmd_index(args: argparse.Namespace) -> int:
         from spiderman_ray.pipelines.vectors import build_ann_index
 
         print(json.dumps(build_ann_index(args.sf, args.dest)))
+    elif args.kind == "shards":
+        from spiderman_ray.pipelines.bpe import write_training_shards
+
+        print(json.dumps(write_training_shards(args.sf, args.dest)))
     else:
         from spiderman_ray.pipelines.text import build_dedup_index
 
@@ -532,8 +536,9 @@ def main(argv=None) -> int:
     ix.add_argument("--dest", required=True, help="index output dir")
     ix.add_argument("--base-pct", type=int, default=50,
                     help="hash_sample base split percentile (dedup kind)")
-    ix.add_argument("--kind", choices=["dedup", "ann"], default="dedup",
-                    help="dedup = fps + LSH bands; ann = IVF index")
+    ix.add_argument("--kind", choices=["dedup", "ann", "shards"], default="dedup",
+                    help="dedup = fps + LSH bands; ann = IVF index; "
+                         "shards = tokenized training shards (resumable)")
     ix.set_defaults(fn=cmd_index)
 
     n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")

@@ -308,3 +308,24 @@ def test_training_shards_store_layout_and_totals(tmp_path):
     # 4096-token budget minus one doc's worth of slack, i.e. its FIRST
     # doc started inside the shard's token range
     assert (out["n_tokens"] > 0).all()
+
+
+def test_training_shards_resume_skips_finished(tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from spiderman_ray.pipelines.bpe import training_shards, write_training_shards
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "s")
+    meta = write_training_shards(sf, dest)
+    before = training_shards(sf, dest=dest).to_pandas().sort_values("shard_id")
+    # simulate a crash: lose two partitions, then resume
+    victims = sorted(glob.glob(os.path.join(dest, "shard=*")))[:2]
+    for v in victims:
+        shutil.rmtree(v)
+    meta2 = write_training_shards(sf, dest)
+    assert meta2["n_shards_skipped"] == meta["n_shards"] - 2
+    after = training_shards(sf, dest=dest).to_pandas().sort_values("shard_id")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
