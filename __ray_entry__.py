@@ -759,6 +759,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": lambda sf: __import__(
             "spiderman_ray.pipelines.sketches", fromlist=["x"]
         ).approx_distinct(sf),
+        # GROUPED HLL: one mergeable sketch per source over shingle
+        # strings (hash64 value contract) — the diversity dashboard
+        "source_distinct_shingles": lambda sf: __import__(
+            "spiderman_ray.pipelines.sketches", fromlist=["x"]
+        ).source_distinct_shingles(sf),
         # the HLL register STATE (reg_idx, max rank) — deterministic
         # integers, hash-verified vs DuckDB (md5-prefix hash64 + bin-length
         # rank); proves the sketch machinery exactly even though the
@@ -2306,6 +2311,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(FLOOR(CASE WHEN est <= 10240.0 AND v > 0 "
             "THEN 4096 * ln(4096 / v) ELSE est END + 0.5) AS BIGINT) "
             "AS n_distinct_est FROM e"
+        ),
+        "source_distinct_shingles": (
+            # grouped HLL: the approx_distinct_users HUGEINT + one-double-
+            # division estimator head, GROUP BY source, over md5-hash64s
+            # of the _SHINGLES_CTE shingle strings —
+            # pipelines.sketches.source_distinct_shingles
+            "WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, source, CASE WHEN len(ws) < 3 "
+            "THEN [array_to_string(ws, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s FROM d), "
+            "e AS (SELECT source, unnest(s) AS g FROM sh), "
+            "h AS (SELECT source, CAST(('0x' || substr(md5(g), 1, 16)) "
+            "AS UBIGINT) AS hv FROM e), "
+            "parts AS (SELECT source, CAST(hv >> 52 AS BIGINT) AS reg_idx, "
+            "CAST(hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS BIGINT) AS rest FROM h), "
+            "regs AS (SELECT source, reg_idx, MAX(CASE WHEN rest = 0 THEN 53 "
+            "ELSE 53 - length(bin(rest)) END) AS r FROM parts "
+            "GROUP BY source, reg_idx), "
+            "agg AS (SELECT source, SUM(CAST(POW(2.0, 53 - r) AS HUGEINT)) AS s_nz, "
+            "COUNT(*) AS n_nz FROM regs GROUP BY source), "
+            "st AS (SELECT source, s_nz + (4096 - n_nz) * "
+            "CAST(9007199254740992 AS HUGEINT) AS s, 4096 - n_nz AS v FROM agg), "
+            "e2 AS (SELECT source, 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 "
+            "* 9007199254740992.0 / CAST(s AS DOUBLE) AS est, v FROM st) "
+            "SELECT source, CAST(FLOOR(CASE WHEN est <= 10240.0 AND v > 0 "
+            "THEN 4096 * ln(4096 / v) ELSE est END + 0.5) AS BIGINT) "
+            "AS n_shingles_est FROM e2"
         ),
         "decontaminate_bloom": _bloom_probe_sql(),
         "approx_price_quantiles": (

@@ -286,3 +286,73 @@ def approx_price_quantiles(
             "value_cents_ub": pa.array([r[1] for r in rows], type=pa.int64()),
         }
     )
+
+
+def source_distinct_shingles(sf_dir: str, p: int = 12) -> rd.Dataset:
+    """Per-source approximate distinct 3-word-shingle count — the
+    GROUPED HyperLogLog (one mergeable constant-size sketch per group):
+    the diversity dashboard a crawl-budget loop reads next to
+    ``source_novelty`` (a source whose distinct-shingle estimate stops
+    growing has saturated). Scale shape: each batch folds its shingles
+    into one 2^p-register array PER SOURCE it touches (O(sources)
+    constant-size rows per block — the hll_register_blocks pattern,
+    grouped), one tiny groupby(source) merges by elementwise max and
+    runs the exact-integer estimator head (``hll_estimate``: HUGEINT
+    harmonic sum, ONE double division, linear-counting branch — the
+    ``approx_distinct_users`` bit-parity contract, here GROUP BY
+    source). Shingle identity is hash64 of the SHINGLE STRING (md5
+    16-hex) — value-sensitive, so it must match the SQL '0x'||md5
+    idiom, not the mix-hash used by the set-semantics shingle ops.
+    Output: (source, n_shingles_est)."""
+    import pandas as pd
+
+    from spiderman_ray.pipelines.text import _pq
+
+    m = 1 << p
+    rest_bits = 64 - p
+
+    def regs(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        per: dict[str, set] = {}
+        for src, t in zip(srcs, texts):
+            ws = t.split(" ")
+            if len(ws) < 3:
+                sh = {t}
+            else:
+                sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            per.setdefault(src, set()).update(sh)
+        out_src, out_reg = [], []
+        for src, shset in per.items():
+            h = hash64(sorted(shset)).view(np.uint64)
+            idx = (h >> np.uint64(rest_bits)).astype(np.int64)
+            rest = h & np.uint64((1 << rest_bits) - 1)
+            rank = np.full(len(h), rest_bits + 1, dtype=np.uint8)
+            nz = rest > 0
+            rank[nz] = (
+                rest_bits - np.floor(np.log2(rest[nz].astype(np.float64)))
+            ).astype(np.uint8)
+            reg = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(reg, idx, rank)
+            out_src.append(src)
+            out_reg.append(reg.tolist())
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "reg": pa.array(out_reg, pa.list_(pa.uint8())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        est = hll_estimate([{"reg": r} for r in g["reg"]], p=p)
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]],
+             "n_shingles_est": np.array([est], dtype=np.int64)}
+        )
+
+    return (
+        rd.read_parquet(_pq(sf_dir), columns=["source", "text"])
+        .map_batches(regs, batch_format="pyarrow")
+        .groupby("source")  # O(sources) groups — bounded small
+        .map_groups(merge, batch_format="pandas")
+    )

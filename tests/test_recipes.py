@@ -329,3 +329,31 @@ def test_training_shards_resume_skips_finished(tmp_path):
     assert meta2["n_shards_skipped"] == meta["n_shards"] - 2
     after = training_shards(sf, dest=dest).to_pandas().sort_values("shard_id")
     assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+
+def test_source_distinct_shingles_accuracy():
+    """The grouped-HLL estimate must land within standard HLL error
+    (~1.04/sqrt(4096) = 1.6%; assert 5%) of the exact per-source
+    distinct-shingle count, for every source."""
+    import duckdb
+
+    from spiderman_ray.pipelines.sketches import source_distinct_shingles
+
+    sf = "/root/testdata/sf0.001"
+    est = source_distinct_shingles(sf).to_pandas().set_index("source")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exact = con.execute(
+        "WITH d AS (SELECT source, string_split(text,' ') AS ws FROM documents), "
+        "sh AS (SELECT source, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(ws)-1), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s FROM d) "
+        "SELECT source, COUNT(DISTINCT g) AS n FROM "
+        "(SELECT source, unnest(s) AS g FROM sh) GROUP BY source"
+    ).df().set_index("source")
+    assert set(est.index) == set(exact.index)
+    for src in est.index:
+        n, e = int(exact.loc[src, "n"]), int(est.loc[src, "n_shingles_est"])
+        assert abs(e - n) <= max(0.05 * n, 3), (src, n, e)
