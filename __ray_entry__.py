@@ -651,6 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gopher AND c4 AND boilerplate-share AND LM-bucket gates, merged
         # in ONE doc-shard union exchange (no joins)
         "recipe_curate": lambda sf: RC.recipe_curate(sf),
+        # rule-mask histogram (the gopher dashboard row in cli report)
+        "gopher_summary": lambda sf: RC.gopher_summary(sf),
         # tf-idf-style distinctive terms, token-space df (no vocab broadcast)
         "tfidf_top_terms": lambda sf: T.tfidf_top_terms(sf),
         # Gopher-style repetition quality signals (integerized fractions)
@@ -3472,6 +3474,12 @@ def oracle_sql() -> dict[str, str]:
     # indexed IVF search == ann_ivf_topk row-for-row (pytest proves the
     # equality at pruning nprobe too), so it shares the same hash oracle
     sqls["ann_query_indexed"] = sqls["ann_ivf_topk"]
+    # rule-mask histogram over the gopher CTE — pipelines.recipes.gopher_summary
+    sqls["gopher_summary"] = (
+        f"WITH g AS ({sqls['gopher_rules']}) "
+        "SELECT rule_mask, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM g GROUP BY rule_mask"
+    )
     # composed recipe flagship: the four component oracles nest as CTEs
     # (each is a self-contained SELECT) joined on doc_id with the exact
     # survivor predicate — pipelines.recipes.recipe_curate

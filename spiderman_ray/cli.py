@@ -323,10 +323,11 @@ def cmd_query(args: argparse.Namespace) -> int:
 #: the corpus-health report composition: cheap dashboard rows by default,
 #: the dedup/eval diagnostics (minhash machinery, zlib funnel) with --full
 _REPORT_SECTIONS = ("source_quality_report", "length_buckets", "data_splits",
-                    "mixture_weights", "vocab_growth")
+                    "mixture_weights", "vocab_growth",
+                    "source_distinct_shingles", "gopher_summary")
 _REPORT_FULL = ("curation_funnel", "dup_cluster_sizes", "source_dup_rates",
                 "source_novelty", "simhash_eval", "minhash_eval",
-                "minhash_threshold_sweep")
+                "minhash_threshold_sweep", "split_leakage", "recipe_curate")
 
 
 def cmd_report(args: argparse.Namespace) -> int:

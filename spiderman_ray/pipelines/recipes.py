@@ -640,3 +640,17 @@ def recipe_curate(sf_dir: str) -> rd.Dataset:
         .groupby("_dshard")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def gopher_summary(sf_dir: str) -> rd.Dataset:
+    """Rule-mask histogram of ``gopher_rules`` — the dashboard row
+    (which quality gates fire, how often) published next to the
+    per-source reports; one tiny groupby over the stateless rule map.
+    Output: (rule_mask, n_docs)."""
+    from ray.data.aggregate import Count
+
+    return (
+        gopher_rules(sf_dir)
+        .groupby("rule_mask")
+        .aggregate(Count(alias_name="n_docs"))
+    )
