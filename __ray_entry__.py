@@ -251,6 +251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_incremental_image_dedup(sf_dir: str) -> Any:
+        # daily image-ingest admission vs the base snapshot (exact fp +
+        # pHash-component representative) — image-axis incremental dedup
+        return I.incremental_image_dedup(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
+
     def crawl_phash_clusters(sf_dir: str) -> Any:
         return I.image_phash_clusters(
             os.path.join(_crawl_out("t1"), "tables", "images")
@@ -487,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_image_survivors_quality": crawl_image_survivors_quality,
         # audit view: pHash component label per image (minhash_clusters analog)
         "crawl_phash_clusters": crawl_phash_clusters,
+        "crawl_incremental_image_dedup": crawl_incremental_image_dedup,
         # multimodal curation flagship: decode gate + caption gates +
         # exact + perceptual dedup in one streaming manifest
         "crawl_curate_images": crawl_curate_images,
@@ -1561,6 +1569,44 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         [{"image_id": i, "cluster_id": uf.find(i) if i in uf.parent else i}
          for i in ids],
         {"image_id": "VARCHAR", "cluster_id": "VARCHAR"},
+    )
+    # incremental image admission (base/new = md5(image_id) prefix split):
+    # sequential recompute of pipelines.images.incremental_image_dedup —
+    # exact fp admission vs the base snapshot, then one representative
+    # (min admitted) per all-new pHash component
+    import hashlib as _ihl
+
+    _inc_thresh = (50 << 32) // 100
+
+    def _img_is_new(i: str) -> bool:
+        return int(_ihl.md5(i.encode()).hexdigest()[:8], 16) >= _inc_thresh
+
+    base_fps = {r["content_fp"] for r in idrows if not _img_is_new(r["image_id"])}
+    adm: set = set()
+    seen_new_fp: set = set()
+    for r in sorted(idrows, key=lambda r: r["image_id"]):
+        i, f = r["image_id"], r["content_fp"]
+        if not _img_is_new(i) or f in base_fps or f in seen_new_fp:
+            continue
+        seen_new_fp.add(f)
+        adm.add(i)
+    comp: dict = {}
+    for n in uf.parent:
+        comp.setdefault(uf.find(n), []).append(n)
+    inc_drops: set = set()
+    for _root, ms in comp.items():
+        new = [m for m in ms if _img_is_new(m)]
+        if not new:
+            continue
+        if any(not _img_is_new(m) for m in ms):
+            inc_drops.update(new)
+            continue
+        admn = sorted(m for m in new if m in adm)
+        rep = admn[0] if admn else None
+        inc_drops.update(m for m in new if m != rep)
+    out["crawl_incremental_image_dedup"] = _values_sql(
+        [{"image_id": i} for i in sorted(adm - inc_drops)],
+        {"image_id": "VARCHAR"},
     )
     # multimodal curation flagship: sequential recompute of
     # pipelines.images.curate_images over the oracle's image rows

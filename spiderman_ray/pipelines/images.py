@@ -369,6 +369,141 @@ def image_dedup_survivors(
     return anti_join_ids(imgs, drop, "image_id", key_type=pa.string())
 
 
+def incremental_image_dedup(
+    images_uri: str, base_pct: int = 50, max_hamming: int = 3,
+    driver_pair_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """Incremental image admission against a base snapshot — the
+    image-axis sibling of ``curate_v2_incremental``'s dedup stages
+    (base = hash_sample md5(image_id) prefix < ``base_pct``): a NEW
+    image is admitted iff
+
+    (a) its content md5 exists nowhere in the base snapshot and it is
+        the FIRST new image with that fp (``incremental_dedup``
+        semantics, string fps);
+    (b) its pHash hamming <= t near-dup component holds NO base image,
+        and it is the MIN exact-ADMITTED member of that component (one
+        representative per all-new component —
+        ``incremental_dedup_minhash`` semantics; singletons pass).
+
+    Exchanges: one fp-shard (exact admit), one id-shard union attach
+    (admitted flags meet cluster members), one cluster-shard pick, and
+    the string-keyed ``anti_join_ids`` — all bounded, nothing corpus-
+    sized on the driver (the component core is the size-gated
+    ``_phash_member_clusters_ds``). Output: (image_id) admitted."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import _shard64_of, anti_join_ids
+
+    thresh = (base_pct << 32) // 100
+
+    def _is_new(ids: list) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(i.encode()).hexdigest()[:8], 16) >= thresh
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
+
+    def fp_mark(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fps = [hashlib.md5(b).hexdigest() for b in batch["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "content_fp": pa.array(fps, pa.string()),
+                "is_new": pa.array(_is_new(ids)),
+                "_fshard": pa.array(_shard64_of(fps)),
+            }
+        )
+
+    def exact_admit(g: pd.DataFrame) -> pd.DataFrame:
+        base_fps = set(g.loc[~g["is_new"], "content_fp"])
+        out = g[g["is_new"] & ~g["content_fp"].isin(base_fps)]
+        out = out.sort_values(["content_fp", "image_id"], kind="mergesort")
+        keep = out["content_fp"].ne(out["content_fp"].shift())
+        return pd.DataFrame({"image_id": out.loc[keep, "image_id"].to_numpy()})
+
+    admitted = (
+        read_dataset(images_uri, columns=["image_id", "bytes"])
+        .map_batches(fp_mark, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(exact_admit, batch_format="pandas")
+    ).materialize()  # O(new ids) — consumed twice (attach + final anti-join)
+
+    members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+
+    def mark_member(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "cluster_id": pc.cast(batch["cluster_id"], pa.string()),
+                "side": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "_ishard": pa.array(_shard64_of(ids)),
+            }
+        )
+
+    def mark_admitted(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "cluster_id": pa.array([""] * len(ids), pa.string()),
+                "side": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "_ishard": pa.array(_shard64_of(ids)),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        adm = set(g.loc[g["side"] == 1, "image_id"])
+        mem = g[g["side"] == 0]
+        if len(mem) == 0:
+            return pd.DataFrame(
+                {"image_id": pd.Series(dtype=object),
+                 "cluster_id": pd.Series(dtype=object),
+                 "is_new": pd.Series(dtype="int64"),
+                 "admitted": pd.Series(dtype="int64"),
+                 "_cshard": pd.Series(dtype="int64")}
+            )
+        ids = list(mem["image_id"])
+        out = pd.DataFrame(
+            {
+                "image_id": mem["image_id"].to_numpy(),
+                "cluster_id": mem["cluster_id"].to_numpy(),
+                "is_new": _is_new(ids).astype("int64"),
+                "admitted": np.fromiter(
+                    (i in adm for i in ids), dtype=np.int64, count=len(ids)
+                ),
+            }
+        )
+        out["_cshard"] = _shard64_of(list(out["cluster_id"]))
+        return out
+
+    def cluster_drops(g: pd.DataFrame) -> pd.DataFrame:
+        drops: list[str] = []
+        for _cid, grp in g.groupby("cluster_id", sort=False):
+            new = grp[grp["is_new"] == 1]
+            if len(new) == 0:
+                continue
+            if (grp["is_new"] == 0).any():
+                drops.extend(new["image_id"])  # base present: no admission
+                continue
+            adm = sorted(new.loc[new["admitted"] == 1, "image_id"])
+            rep = adm[0] if adm else None
+            drops.extend(i for i in new["image_id"] if i != rep)
+        return pd.DataFrame({"image_id": pd.array(drops, dtype=object)})
+
+    drops = (
+        members.map_batches(mark_member, batch_format="pyarrow")
+        .union(admitted.map_batches(mark_admitted, batch_format="pyarrow"))
+        .groupby("_ishard")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_cshard")
+        .map_groups(cluster_drops, batch_format="pandas")
+    )
+    return anti_join_ids(admitted, drops, "image_id", key_type=pa.string())
+
+
 def image_dedup_survivors_quality(
     images_uri: str, max_hamming: int = 3, driver_pair_cap: int = 2_000_000
 ) -> rd.Dataset:

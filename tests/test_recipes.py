@@ -357,3 +357,48 @@ def test_source_distinct_shingles_accuracy():
     for src in est.index:
         n, e = int(exact.loc[src, "n"]), int(est.loc[src, "n_shingles_est"])
         assert abs(e - n) <= max(0.05 * n, 3), (src, n, e)
+
+
+def test_incremental_image_dedup_properties(tmp_path):
+    """On a real t1 crawl image store: every admitted id is NEW by the
+    md5 split, admitted content fps are unique and absent from the base
+    snapshot, and no admitted image sits in a pHash component that
+    holds a base image (the VALUES-pin gate checks exact equality; this
+    pins the semantics independently of the pin generator)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from spiderman_ray.pipelines.images import (
+        image_dedup_exact,
+        image_phash_clusters,
+        incremental_image_dedup,
+        read_dataset,
+    )
+    from spiderman_ray.policy import CrawlPolicy
+    from spiderman_ray.engine import CrawlEngine
+    from spiderman_ray.simweb import SimParams
+
+    out = str(tmp_path / "run")
+    eng = CrawlEngine(SimParams.for_scale("t1"), CrawlPolicy(), out_dir=out)
+    eng.run()
+    eng._pool.shutdown()
+    uri = f"{out}/tables/images"
+    thresh = (50 << 32) // 100
+    new = lambda i: int(hashlib.md5(i.encode()).hexdigest()[:8], 16) >= thresh
+    adm = set(incremental_image_dedup(uri).to_pandas()["image_id"])
+    assert adm and all(new(i) for i in adm)
+    fps = image_dedup_exact(uri).to_pandas()
+    by_id = fps.set_index("image_id")["content_fp"]
+    base_fps = {f for i, f in by_id.items() if not new(i)}
+    adm_fps = [by_id[i] for i in adm]
+    assert len(set(adm_fps)) == len(adm_fps)
+    assert not (set(adm_fps) & base_fps)
+    cl = image_phash_clusters(uri).to_pandas()
+    comp = cl.groupby("cluster_id")["image_id"].apply(list)
+    for ms in comp:
+        if any(not new(m) for m in ms):
+            assert not (set(ms) & adm) or all(new(m) for m in ms)
+        # all-new components admit at most one member
+        if all(new(m) for m in ms):
+            assert len(set(ms) & adm) <= 1
