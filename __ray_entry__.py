@@ -258,6 +258,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(_crawl_out("t1"), "tables", "images")
         )
 
+    def crawl_curate_images_incremental(sf_dir: str) -> Any:
+        # the multimodal flagship's daily-increment form: gates on the
+        # new side only + incremental exact/pHash admission
+        return I.curate_images_incremental(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        )
+
     def crawl_phash_clusters(sf_dir: str) -> Any:
         return I.image_phash_clusters(
             os.path.join(_crawl_out("t1"), "tables", "images")
@@ -495,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audit view: pHash component label per image (minhash_clusters analog)
         "crawl_phash_clusters": crawl_phash_clusters,
         "crawl_incremental_image_dedup": crawl_incremental_image_dedup,
+        "crawl_curate_images_incremental": crawl_curate_images_incremental,
         # multimodal curation flagship: decode gate + caption gates +
         # exact + perceptual dedup in one streaming manifest
         "crawl_curate_images": crawl_curate_images,
@@ -1629,6 +1637,51 @@ def _crawl_oracle_sqls() -> dict[str, str]:
                          "n_caption_tokens": len(toks)})
     out["crawl_curate_images"] = _values_sql(
         cur_rows,
+        {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
+         "n_caption_tokens": "BIGINT"},
+    )
+    # incremental multimodal flagship: gates on NEW images only, exact fp
+    # admission vs ALL base content fps, then the component rule (one min
+    # admitted representative per all-new pHash component) — sequential
+    # recompute of pipelines.images.curate_images_incremental
+    inc_gated: dict = {}
+    for r in sorted(o.images, key=lambda r: r["image_id"]):
+        if not _img_is_new(r["image_id"]):
+            continue
+        px = decode_image(r["bytes"])
+        h, w = px.shape[:2]
+        if w != r["w"] or h != r["h"] or phash64(px) != r["phash"]:
+            continue
+        toks = r["caption"].split(" ")
+        if len(toks) < 2 or any(d in r["caption"] for d in ("drop", "null")):
+            continue
+        inc_gated[r["image_id"]] = {
+            "image_id": r["image_id"], "w": w, "h": h,
+            "n_caption_tokens": len(toks),
+            "fp": _ihl.md5(r["bytes"]).hexdigest(),
+        }
+    ci_adm: dict = {}
+    seen_ci_fp: set = set()
+    for i in sorted(inc_gated):
+        f = inc_gated[i]["fp"]
+        if f in base_fps or f in seen_ci_fp:
+            continue
+        seen_ci_fp.add(f)
+        ci_adm[i] = inc_gated[i]
+    ci_drops: set = set()
+    for _root, ms in comp.items():
+        new = [m for m in ms if _img_is_new(m)]
+        if not new:
+            continue
+        if any(not _img_is_new(m) for m in ms):
+            ci_drops.update(new)
+            continue
+        admn = sorted(m for m in new if m in ci_adm)
+        rep = admn[0] if admn else None
+        ci_drops.update(m for m in new if m != rep)
+    out["crawl_curate_images_incremental"] = _values_sql(
+        [{k: v for k, v in ci_adm[i].items() if k != "fp"}
+         for i in sorted(ci_adm) if i not in ci_drops],
         {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
          "n_caption_tokens": "BIGINT"},
     )

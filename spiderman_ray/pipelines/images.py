@@ -431,6 +431,32 @@ def incremental_image_dedup(
     ).materialize()  # O(new ids) — consumed twice (attach + final anti-join)
 
     members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+    drops = _phash_incremental_drops(members, admitted, base_pct)
+    return anti_join_ids(admitted, drops, "image_id", key_type=pa.string())
+
+
+def _phash_incremental_drops(
+    members: rd.Dataset, admitted: rd.Dataset, base_pct: int
+) -> rd.Dataset:
+    """The incremental pHash-component rule shared by
+    ``incremental_image_dedup`` and ``curate_images_incremental``:
+    given the component member map and the exact-admitted NEW ids,
+    emit the ids to DROP — every new member of a component holding a
+    base image, and every new member of an all-new component except
+    its MIN admitted representative. One id-shard union attach + one
+    cluster-shard pick; per-group state is O(component members)."""
+    import hashlib
+
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    thresh = (base_pct << 32) // 100
+
+    def _is_new(ids: list) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(i.encode()).hexdigest()[:8], 16) >= thresh
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
 
     def mark_member(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -493,15 +519,117 @@ def incremental_image_dedup(
             drops.extend(i for i in new["image_id"] if i != rep)
         return pd.DataFrame({"image_id": pd.array(drops, dtype=object)})
 
-    drops = (
+    adm_ids = admitted.select_columns(["image_id"])
+    return (
         members.map_batches(mark_member, batch_format="pyarrow")
-        .union(admitted.map_batches(mark_admitted, batch_format="pyarrow"))
+        .union(adm_ids.map_batches(mark_admitted, batch_format="pyarrow"))
         .groupby("_ishard")
         .map_groups(attach, batch_format="pandas")
         .groupby("_cshard")
         .map_groups(cluster_drops, batch_format="pandas")
     )
-    return anti_join_ids(admitted, drops, "image_id", key_type=pa.string())
+
+
+def curate_images_incremental(
+    images_uri: str, base_pct: int = 50, min_caption_tokens: int = 2,
+    max_hamming: int = 3, driver_pair_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """The multimodal flagship's DAILY-INCREMENT form — ``curate_images``
+    restricted to a new batch against a base snapshot (the image-axis
+    ``curate_v2_incremental``): decode/validate/caption gates run on the
+    NEW side only (the base side contributes just content md5s — no
+    decode); a gated new image is admitted iff its fp exists nowhere in
+    the base snapshot and it is first among new-gated (fp-shard), then
+    the shared ``_phash_incremental_drops`` component rule keeps one
+    representative per all-new near-dup component and blocks components
+    holding a base image. Output: (image_id, w, h, n_caption_tokens) —
+    the increment manifest."""
+    import hashlib
+
+    from spiderman_ray.pipelines import pool_size
+    from spiderman_ray.pipelines.text import _shard64_of, anti_join_ids
+
+    thresh = (base_pct << 32) // 100
+
+    def _is_new(ids: list) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(i.encode()).hexdigest()[:8], 16) >= thresh
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_is_new(batch["image_id"].to_pylist())))
+
+    def base_fps(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        keep = ~_is_new(ids)
+        b = batch.filter(pa.array(keep))
+        fps = [hashlib.md5(x).hexdigest() for x in b["bytes"].to_pylist()]
+        n = len(fps)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": pc.cast(b["image_id"], pa.string()),
+                "w": pa.array(z), "h": pa.array(z),
+                "n_caption_tokens": pa.array(z),
+                "fp": pa.array(fps, pa.string()),
+                "side": pa.array(z),  # 0 = base fp row
+                "_fshard": pa.array(_shard64_of(fps)),
+            }
+        )
+
+    def mark_gated(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fps = batch["fp"].to_pylist()
+        return pa.table(
+            {
+                "image_id": pc.cast(batch["image_id"], pa.string()),
+                "w": pc.cast(batch["w"], pa.int64()),
+                "h": pc.cast(batch["h"], pa.int64()),
+                "n_caption_tokens": pc.cast(batch["n_caption_tokens"], pa.int64()),
+                "fp": pc.cast(batch["fp"], pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "_fshard": pa.array(_shard64_of(fps)),
+            }
+        )
+
+    def exact_admit(g: pd.DataFrame) -> pd.DataFrame:
+        base = set(g.loc[g["side"] == 0, "fp"])
+        out = g[(g["side"] == 1) & ~g["fp"].isin(base)]
+        out = out.sort_values(["fp", "image_id"], kind="mergesort")
+        keep = out["fp"].ne(out["fp"].shift())
+        return out.loc[keep, ["image_id", "w", "h", "n_caption_tokens"]]
+
+    gated = (
+        read_dataset(images_uri)
+        .map_batches(keep_new, batch_format="pyarrow")
+        .map_batches(
+            _CurateImagesStage,
+            fn_constructor_args=(min_caption_tokens, None, None),
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool_size(10**6),
+            num_cpus=1,
+        )
+        .map_batches(mark_gated, batch_format="pyarrow")
+    )
+    base = read_dataset(images_uri, columns=["image_id", "bytes"]).map_batches(
+        base_fps, batch_format="pyarrow"
+    )
+    admitted = (
+        gated.union(base)
+        .groupby("_fshard")
+        .map_groups(exact_admit, batch_format="pandas")
+    ).materialize()  # O(new gated ids) — consumed twice
+    members = _phash_member_clusters_ds(images_uri, max_hamming, driver_pair_cap)
+    drops = _phash_incremental_drops(members, admitted, base_pct)
+    return anti_join_ids(
+        admitted, drops, "image_id",
+        payload={"w": pa.int64(), "h": pa.int64(),
+                 "n_caption_tokens": pa.int64()},
+        key_type=pa.string(),
+    )
 
 
 def image_dedup_survivors_quality(

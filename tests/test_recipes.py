@@ -402,3 +402,18 @@ def test_incremental_image_dedup_properties(tmp_path):
         # all-new components admit at most one member
         if all(new(m) for m in ms):
             assert len(set(ms) & adm) <= 1
+    # the gated flagship obeys the same invariants plus the caption gate
+    from spiderman_ray.pipelines.images import curate_images_incremental
+
+    ci = curate_images_incremental(uri).to_pandas()
+    assert len(ci) and all(new(i) for i in ci["image_id"])
+    assert (ci["n_caption_tokens"] >= 2).all() and (ci["w"] > 0).all()
+    ci_fps = [by_id[i] for i in ci["image_id"]]
+    assert len(set(ci_fps)) == len(ci_fps)
+    assert not (set(ci_fps) & base_fps)
+    for ms in comp:
+        got = set(ms) & set(ci["image_id"])
+        if any(not new(m) for m in ms):
+            assert not got
+        else:
+            assert len(got) <= 1
