@@ -503,6 +503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phash_clusters": crawl_phash_clusters,
         "crawl_incremental_image_dedup": crawl_incremental_image_dedup,
         "crawl_curate_images_incremental": crawl_curate_images_incremental,
+        "crawl_phash_search": lambda sf: I.phash_search(
+            os.path.join(_crawl_out("t1"), "tables", "images")
+        ),
         # multimodal curation flagship: decode gate + caption gates +
         # exact + perceptual dedup in one streaming manifest
         "crawl_curate_images": crawl_curate_images,
@@ -1684,6 +1687,25 @@ def _crawl_oracle_sqls() -> dict[str, str]:
          for i in sorted(ci_adm) if i not in ci_drops],
         {"image_id": "VARCHAR", "w": "BIGINT", "h": "BIGINT",
          "n_caption_tokens": "BIGINT"},
+    )
+    # pHash retrieval: exact hamming top-5 for the 4 first image ids —
+    # sequential recompute of pipelines.images.phash_search
+    ph_by_id = {r["image_id"]: r["phash"] & 0xFFFFFFFFFFFFFFFF for r in o.images}
+    ps_rows = []
+    for qid in sorted(ph_by_id)[:4]:
+        qp = ph_by_id[qid]
+        cands = sorted(
+            (bin(qp ^ p).count("1"), i)
+            for i, p in ph_by_id.items() if i != qid
+        )[:5]
+        ps_rows.extend(
+            {"query_id": qid, "image_id": i, "hamming": hm, "rank": r + 1}
+            for r, (hm, i) in enumerate(cands)
+        )
+    out["crawl_phash_search"] = _values_sql(
+        ps_rows,
+        {"query_id": "VARCHAR", "image_id": "VARCHAR",
+         "hamming": "BIGINT", "rank": "BIGINT"},
     )
     # aligned flagship: identical sequential recompute with the alignment
     # gate inserted between the caption gates and the exact dedup (the

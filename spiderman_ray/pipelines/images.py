@@ -1155,3 +1155,63 @@ def aspect_buckets(images_uri: str, batch: int = 8) -> rd.Dataset:
         )
 
     return sorted_ds.map_batches(assign_seq, batch_format="pyarrow", batch_size=None)
+
+
+def phash_search(images_uri: str, n_queries: int = 4, k: int = 5) -> rd.Dataset:
+    """Image retrieval by perceptual hash — hamming-distance top-k per
+    query image (the image-axis sibling of ``bm25_search``/`
+    ``ann_cosine_topk``): queries are the ``n_queries``
+    lexicographically-first image_ids (a fixed workload, the ES_TERMS
+    convention); every batch XORs its phashes against the tiny
+    broadcast query vector and popcounts vectorized (uint8-view
+    unpackbits — no per-row Python), keeps a per-batch top-k combiner,
+    and one id-shard reduce resolves the global top-k by (hamming asc,
+    image_id asc). Output: (query_id, image_id, hamming, rank)."""
+    from spiderman_ray.pipelines.text import _shard64_of
+
+    qtab = (
+        read_dataset(images_uri, columns=["image_id", "phash"])
+        .sort("image_id")
+        .limit(n_queries)
+        .to_pandas()
+    )
+    q_ids = list(qtab["image_id"])
+    q_ph = qtab["phash"].to_numpy().astype(np.int64).view(np.uint64)
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        out = {"query_id": [], "image_id": [], "hamming": []}
+        for qi, qp in zip(q_ids, q_ph):
+            x = ph ^ qp
+            ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
+            mask = ids != qi
+            cids, chs = ids[mask], ham[mask].astype(np.int64)
+            if len(cids) > k:
+                order = np.lexsort((cids, chs))[:k]
+                cids, chs = cids[order], chs[order]
+            out["query_id"].extend([qi] * len(cids))
+            out["image_id"].extend(cids)
+            out["hamming"].extend(chs.tolist())
+        return pd.DataFrame(out)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_qshard", pa.array(_shard64_of(batch["query_id"].to_pylist()))
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "hamming", "image_id"], kind="mergesort")
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return g[["query_id", "image_id", "hamming", "rank"]].astype(
+            {"hamming": "int64", "rank": "int64"}
+        )
+
+    return (
+        read_dataset(images_uri, columns=["image_id", "phash"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_qshard")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )

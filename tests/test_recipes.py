@@ -417,3 +417,13 @@ def test_incremental_image_dedup_properties(tmp_path):
             assert not got
         else:
             assert len(got) <= 1
+    # phash retrieval on the same store: per query, ranks 1..k with
+    # nondecreasing hamming and no self-hit
+    from spiderman_ray.pipelines.images import phash_search
+
+    ps = phash_search(uri).to_pandas()
+    for qid, g in ps.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert list(g["hamming"]) == sorted(g["hamming"])
+        assert qid not in set(g["image_id"])
