@@ -677,10 +677,11 @@ def test_cli_report_composes_dashboard_sections(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.load(open(dest))
-    assert set(rep["sections"]) == {
-        "source_quality_report", "length_buckets", "data_splits",
-        "mixture_weights", "vocab_growth",
-    }
+    from spiderman_ray.cli import _REPORT_SECTIONS
+
+    assert set(rep["sections"]) == set(_REPORT_SECTIONS)
+    assert {"source_quality_report", "gopher_summary",
+            "source_distinct_shingles"} <= set(rep["sections"])
     assert all(len(v) > 0 for v in rep["sections"].values())
     docs = sum(s["n_docs"] for s in rep["sections"]["source_quality_report"])
     assert docs == 500  # tiles the corpus
