@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 def _write_docs(d, rows):
@@ -232,6 +233,7 @@ def test_hard_negative_mining_skips_same_label(tmp_path):
     assert len(out) == 4                      # every vector has a negative
 
 
+@pytest.mark.slow
 def test_recipe_curate_is_component_intersection():
     """The composed flagship's survivor set must equal the intersection
     of its four component predicates computed independently (catches
@@ -282,6 +284,7 @@ def test_ann_query_indexed_equals_ivf(tmp_path):
     assert a.equals(b)
 
 
+@pytest.mark.slow
 def test_training_shards_store_layout_and_totals(tmp_path):
     import glob
     import os
@@ -310,6 +313,7 @@ def test_training_shards_store_layout_and_totals(tmp_path):
     assert (out["n_tokens"] > 0).all()
 
 
+@pytest.mark.slow
 def test_training_shards_resume_skips_finished(tmp_path):
     import glob
     import os
@@ -359,6 +363,7 @@ def test_source_distinct_shingles_accuracy():
         assert abs(e - n) <= max(0.05 * n, 3), (src, n, e)
 
 
+@pytest.mark.slow
 def test_incremental_image_dedup_properties(tmp_path):
     """On a real t1 crawl image store: every admitted id is NEW by the
     md5 split, admitted content fps are unique and absent from the base
