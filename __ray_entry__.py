@@ -754,6 +754,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest vs the exact operator). Hash-verified: the SQL oracle
         # re-derives the bitmap AND probes every training doc's grams
         "decontaminate_bloom": lambda sf: T.decontaminate_bloom(sf),
+        # the same screen probing a PERSISTED bitmap (bench corpus never
+        # re-hashed; output identical by construction)
+        "decontaminate_bloom_indexed":
+            lambda sf: T.decontaminate_bloom_indexed(sf),
         # the screen's bloom STATE (set-bit positions) — deterministic
         # integers, hash-verified vs a pure-SQL recomputation of the gram
         # polynomial + double-hash (the sketch-state contract)
@@ -2465,6 +2469,9 @@ def oracle_sql() -> dict[str, str]:
             "AS n_shingles_est FROM e2"
         ),
         "decontaminate_bloom": _bloom_probe_sql(),
+        # stored-bitmap probe == the in-flight build (deterministic
+        # bloom), so it shares the same oracle
+        "decontaminate_bloom_indexed": _bloom_probe_sql(),
         "approx_price_quantiles": (
             # identical integer bucketing: length(bin(c)) == bit_length,
             # >> and the 64*s offset mirror sketches._log_buckets exactly

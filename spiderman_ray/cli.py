@@ -378,6 +378,10 @@ def cmd_index(args: argparse.Namespace) -> int:
         from spiderman_ray.pipelines.bpe import write_training_shards
 
         print(json.dumps(write_training_shards(args.sf, args.dest)))
+    elif args.kind == "bloom":
+        from spiderman_ray.pipelines.text import build_bloom_index
+
+        print(json.dumps(build_bloom_index(args.sf, args.dest)))
     else:
         from spiderman_ray.pipelines.text import build_dedup_index
 
@@ -537,9 +541,11 @@ def main(argv=None) -> int:
     ix.add_argument("--dest", required=True, help="index output dir")
     ix.add_argument("--base-pct", type=int, default=50,
                     help="hash_sample base split percentile (dedup kind)")
-    ix.add_argument("--kind", choices=["dedup", "ann", "shards"], default="dedup",
+    ix.add_argument("--kind", choices=["dedup", "ann", "shards", "bloom"],
+                    default="dedup",
                     help="dedup = fps + LSH bands; ann = IVF index; "
-                         "shards = tokenized training shards (resumable)")
+                         "shards = tokenized training shards (resumable); "
+                         "bloom = decontamination bitmap")
     ix.set_defaults(fn=cmd_index)
 
     n = sub.add_parser("new", help="scaffold a new crawler spec (easy_scrapy analog)")

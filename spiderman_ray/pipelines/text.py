@@ -3445,6 +3445,19 @@ def decontaminate_bloom(
     load (pytest measures it against the exact ``decontaminate``).
     Output: (doc_id, n_flagged) for training docs with >= 1 flagged
     gram — a superset of the exact operator's rows."""
+    bloom = _bench_gram_bloom(sf_dir, bench_pct=bench_pct, k=k,
+                              m_bits=m_bits, n_hashes=n_hashes)
+    return _bloom_probe_pipeline(sf_dir, bloom, bench_pct, k, m_bits, n_hashes)
+
+
+def _bloom_probe_pipeline(
+    sf_dir: str, bloom: np.ndarray, bench_pct: int, k: int,
+    m_bits: int, n_hashes: int,
+) -> rd.Dataset:
+    """The probe side of ``decontaminate_bloom``, shared with the
+    persisted-index path (``decontaminate_bloom_indexed``): the bitmap
+    broadcasts once via ``ray.put``; every training batch hashes and
+    probes its grams locally."""
     import ray
 
     thresh = (bench_pct << 32) // 100
@@ -3459,8 +3472,6 @@ def decontaminate_bloom(
     def _idxs(h: np.ndarray) -> np.ndarray:
         return _bloom_bit_idxs(h, m_bits, n_hashes)
 
-    bloom = _bench_gram_bloom(sf_dir, bench_pct=bench_pct, k=k,
-                              m_bits=m_bits, n_hashes=n_hashes)
     bloom_ref = ray.put(bloom)
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -3490,6 +3501,79 @@ def decontaminate_bloom(
         )
 
     return _read_docs(sf_dir).map_batches(probe, batch_format="pyarrow")
+
+
+def build_bloom_index(
+    sf_dir: str, dest: str, bench_pct: int = 10, k: int = 8,
+    m_bits: int = 1 << 20, n_hashes: int = 4,
+) -> dict:
+    """Persist the bench-gram bloom bitmap to ``dest`` — the
+    decontamination screen a production pipeline maintains so daily
+    runs probe a STORED constant-size bitmap instead of re-hashing the
+    benchmark corpus every run (the ``build_dedup_index`` pattern for
+    the bloom family; at 100 TB the benchmark side is rebuilt only when
+    the benchmark suite changes). One parquet row: the uint64-word
+    bitmap bytes + the build parameters, so a probe can refuse a
+    parameter-mismatched index. Returns {"m_bits", "n_set_bits",
+    "dest"}."""
+    import pyarrow.parquet as pq_
+
+    bloom = _bench_gram_bloom(sf_dir, bench_pct=bench_pct, k=k,
+                              m_bits=m_bits, n_hashes=n_hashes)
+    os.makedirs(dest, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "bitmap": pa.array([bloom.tobytes()], pa.binary()),
+                "m_bits": pa.array([m_bits], pa.int64()),
+                "n_hashes": pa.array([n_hashes], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "bench_pct": pa.array([bench_pct], pa.int64()),
+            }
+        ),
+        os.path.join(dest, "bloom.parquet"),
+    )
+    n_set = int(
+        np.unpackbits(bloom.view(np.uint8)).sum()
+    )
+    return {"m_bits": m_bits, "n_set_bits": n_set, "dest": dest}
+
+
+def decontaminate_bloom_indexed(
+    sf_dir: str, index_dir: str | None = None, bench_pct: int = 10, k: int = 8,
+    m_bits: int = 1 << 20, n_hashes: int = 4,
+) -> rd.Dataset:
+    """``decontaminate_bloom`` against a PERSISTED bitmap: the bench
+    corpus is never re-hashed — the stored bloom loads (constant size)
+    and the shared probe pipeline runs unchanged, so the output is
+    IDENTICAL by construction (bloom build is deterministic), which is
+    what the driver gate checks via the same oracle. ``index_dir=None``
+    builds (or reuses) a /tmp-cached index keyed by input identity +
+    params — the registry path; production callers pass their
+    maintained index. Raises on a parameter-mismatched index."""
+    import pyarrow.parquet as pq_
+
+    if index_dir is None:
+        st = os.stat(_pq(sf_dir))
+        tag = hashlib.md5(
+            f"{os.path.realpath(_pq(sf_dir))}:{st.st_mtime_ns}:{st.st_size}:"
+            f"{bench_pct}:{k}:{m_bits}:{n_hashes}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", f"spiderman_bloom_index_{tag}")
+        if not os.path.isfile(os.path.join(index_dir, "bloom.parquet")):
+            build_bloom_index(sf_dir, index_dir, bench_pct, k, m_bits, n_hashes)
+    t = pq_.read_table(os.path.join(index_dir, "bloom.parquet"))
+    row = t.to_pylist()[0]
+    if (row["m_bits"], row["n_hashes"], row["k"], row["bench_pct"]) != (
+        m_bits, n_hashes, k, bench_pct
+    ):
+        raise ValueError(
+            f"bloom index parameter mismatch: stored "
+            f"{(row['m_bits'], row['n_hashes'], row['k'], row['bench_pct'])}"
+        )
+    bloom = np.frombuffer(row["bitmap"], dtype=np.uint64).copy()
+    return _bloom_probe_pipeline(sf_dir, bloom, bench_pct, k, m_bits, n_hashes)
+
 
 def quality_buckets(sf_dir: str) -> rd.Dataset:
     """CCNet-style head/middle/tail corpus split: rank every document by

@@ -432,3 +432,23 @@ def test_incremental_image_dedup_properties(tmp_path):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert list(g["hamming"]) == sorted(g["hamming"])
         assert qid not in set(g["image_id"])
+
+
+def test_bloom_index_roundtrip_and_mismatch(tmp_path):
+    import pytest as _pytest
+
+    from spiderman_ray.pipelines.text import (
+        build_bloom_index,
+        decontaminate_bloom,
+        decontaminate_bloom_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    meta = build_bloom_index(sf, str(tmp_path / "b"))
+    assert meta["n_set_bits"] > 0
+    a = decontaminate_bloom(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (decontaminate_bloom_indexed(sf, index_dir=str(tmp_path / "b"))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        decontaminate_bloom_indexed(sf, index_dir=str(tmp_path / "b"), k=9)
