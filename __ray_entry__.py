@@ -625,6 +625,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the stored fp column; base text never re-read) — the production
         # daily-ingest shape; output contract identical by construction
         "incremental_dedup_indexed": lambda sf: T.incremental_dedup_indexed(sf),
+        # near-dup admission against the SAME stored index's band table
+        # (base never re-MinHashed; bands prune, verify fetches)
+        "incremental_dedup_minhash_indexed":
+            lambda sf: T.incremental_dedup_minhash_indexed(sf),
         # token-budget data mixing: keep per-source docs in md5-priority
         # order while the source's token budget is not yet full
         "token_budget_mixture": lambda sf: T.token_budget_mixture(sf),
@@ -3602,6 +3606,9 @@ def oracle_sql() -> dict[str, str]:
     # indexed IVF search == ann_ivf_topk row-for-row (pytest proves the
     # equality at pruning nprobe too), so it shares the same hash oracle
     sqls["ann_query_indexed"] = sqls["ann_ivf_topk"]
+    # stored-band near-dup admission == the recompute path (deterministic
+    # MinHasher; bands prune, verify fetches), so it shares the oracle
+    sqls["incremental_dedup_minhash_indexed"] = sqls["incremental_dedup_minhash"]
     # rule-mask histogram over the gopher CTE — pipelines.recipes.gopher_summary
     sqls["gopher_summary"] = (
         f"WITH g AS ({sqls['gopher_rules']}) "

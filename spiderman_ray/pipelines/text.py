@@ -401,11 +401,17 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
 _MINHASH_CAND_CACHE: dict[tuple, rd.Dataset] = {}
 
 
-def minhash_candidate_pairs(sf_dir: str, dedup: bool = True) -> rd.Dataset:
+def minhash_candidate_pairs(
+    sf_dir: str, dedup: bool = True, bands: rd.Dataset | None = None,
+    memo_tag: str = "mcp",
+) -> rd.Dataset:
     """LSH banding (memoized per input file + Ray session when ``dedup``,
     the default — see ``_memo_dataset``): docs sharing any
     (band, band_hash) bucket become candidate pairs (a < b),
-    deduplicated across bands when ``dedup``.
+    deduplicated across bands when ``dedup``. Pass ``bands`` (doc_id,
+    band, band_hash) to substitute the band SOURCE — the persisted-index
+    path supplies stored base bands + freshly-banded new docs; give it a
+    distinct ``memo_tag`` so memo entries never alias across sources.
 
     Grouping key = hash shard of band_hash (64 groups), NOT the bucket
     itself — per-bucket Ray dispatch is O(n_buckets) Python calls; inside a
@@ -458,11 +464,17 @@ def minhash_candidate_pairs(sf_dir: str, dedup: bool = True) -> rd.Dataset:
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"]).drop(columns=["_pshard"])
 
+    src = (
+        bands
+        if bands is not None
+        else _read_docs(sf_dir).map_batches(
+            MinHasher, batch_format="pandas", batch_size=256,
+            concurrency=pool_size(2),
+        )
+    )
     cand = (
-        _read_docs(sf_dir)
-        .map_batches(MinHasher, batch_format="pandas", batch_size=256, concurrency=pool_size(2))
-        .map_batches(shard_on(lambda b: b["band_hash"].to_pylist(), "_bshard"),
-                     batch_format="pyarrow")
+        src.map_batches(shard_on(lambda b: b["band_hash"].to_pylist(), "_bshard"),
+                        batch_format="pyarrow")
         .groupby("_bshard")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -485,7 +497,7 @@ def minhash_candidate_pairs(sf_dir: str, dedup: bool = True) -> rd.Dataset:
             .map_groups(dedup_pairs, batch_format="pandas")
         )
 
-    return _memo_dataset(_MINHASH_CAND_CACHE, sf_dir, ("mcp",), deduped)
+    return _memo_dataset(_MINHASH_CAND_CACHE, sf_dir, (memo_tag,), deduped)
 
 
 def _splitmix64(v: np.ndarray) -> np.ndarray:
@@ -680,18 +692,25 @@ def _anti_join_ids_native(
 _MINHASH_VPAIRS_CACHE: dict[tuple, rd.Dataset] = {}
 
 
-def minhash_verified_pairs_ds(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+def minhash_verified_pairs_ds(
+    sf_dir: str, threshold: float = 0.6, bands: rd.Dataset | None = None,
+    memo_tag: str = "mvp",
+) -> rd.Dataset:
     """Candidate pairs verified by EXACT shingle Jaccard >= threshold
     (memoized per input file + threshold + Ray session — see
     ``_memo_dataset``; the losers/clusters/survivors consumers share one
-    verify join per session)."""
+    verify join per session). ``bands``/``memo_tag`` thread the
+    persisted-index band source through (see minhash_candidate_pairs)."""
     return _memo_dataset(
-        _MINHASH_VPAIRS_CACHE, sf_dir, ("mvp", float(threshold)),
-        lambda: _minhash_verified_pairs_build(sf_dir, threshold),
+        _MINHASH_VPAIRS_CACHE, sf_dir, (memo_tag, float(threshold)),
+        lambda: _minhash_verified_pairs_build(sf_dir, threshold, bands, memo_tag),
     )
 
 
-def _minhash_verified_pairs_build(sf_dir: str, threshold: float) -> rd.Dataset:
+def _minhash_verified_pairs_build(
+    sf_dir: str, threshold: float, bands: rd.Dataset | None = None,
+    memo_tag: str = "mvp",
+) -> rd.Dataset:
     """The verify-join pipeline behind ``minhash_verified_pairs_ds``,
     via a BUCKETED doc_id join — no whole-corpus broadcast (the round-1
     review's scale fix). Two exchanges:
@@ -831,9 +850,9 @@ def _minhash_verified_pairs_build(sf_dir: str, threshold: float) -> rd.Dataset:
             }
         )
 
-    cand = minhash_candidate_pairs(sf_dir).map_batches(
-        requests, batch_format="pyarrow"
-    )
+    cand = minhash_candidate_pairs(
+        sf_dir, bands=bands, memo_tag=memo_tag.replace("mvp", "mcp")
+    ).map_batches(requests, batch_format="pyarrow")
     docs = _read_docs(sf_dir).map_batches(docrows, batch_format="pyarrow")
     return (
         docs.union(cand)
@@ -1866,6 +1885,14 @@ def incremental_dedup_minhash(
     (doc_id, cluster_id) — the admitted new docs."""
     thresh = (base_pct << 32) // 100
     clusters = minhash_clusters(sf_dir, threshold)
+    return _incremental_minhash_admit(clusters, thresh)
+
+
+def _incremental_minhash_admit(clusters: rd.Dataset, thresh: int) -> rd.Dataset:
+    """The admission tail of ``incremental_dedup_minhash``, shared with
+    the persisted-index path: tag base/new by the md5 split, ONE
+    cluster-shard exchange, drop base-contaminated clusters, min-new
+    representative per surviving cluster."""
 
     def tag(batch: pa.Table) -> pa.Table:
         hv = _md5_priority(batch["doc_id"].to_pylist())
@@ -3067,7 +3094,8 @@ _MINHASH_LABELS_CACHE: dict[tuple, rd.Dataset] = {}
 
 
 def minhash_clusters(
-    sf_dir: str, threshold: float = 0.6, driver_pair_cap: int = 2_000_000
+    sf_dir: str, threshold: float = 0.6, driver_pair_cap: int = 2_000_000,
+    bands: rd.Dataset | None = None, memo_tag: str = "",
 ) -> rd.Dataset:
     """Cluster labels for EVERY document: cluster_id = min doc_id of its
     verified near-dup component (singletons label themselves) — the audit
@@ -3076,13 +3104,16 @@ def minhash_clusters(
     params, Ray session) — see ``_MINHASH_LABELS_CACHE``."""
     return _memo_dataset(
         _MINHASH_LABELS_CACHE, sf_dir,
-        (float(threshold), int(driver_pair_cap)),
-        lambda: _minhash_clusters_build(sf_dir, threshold, driver_pair_cap),
+        (memo_tag, float(threshold), int(driver_pair_cap)),
+        lambda: _minhash_clusters_build(
+            sf_dir, threshold, driver_pair_cap, bands, memo_tag
+        ),
     )
 
 
 def _minhash_clusters_build(
-    sf_dir: str, threshold: float, driver_pair_cap: int
+    sf_dir: str, threshold: float, driver_pair_cap: int,
+    bands: rd.Dataset | None = None, memo_tag: str = "",
 ) -> rd.Dataset:
     """The actual label pipeline behind ``minhash_clusters``. SIZE-GATED
     like the survivor op: below ``driver_pair_cap`` a driver union-find
@@ -3094,7 +3125,10 @@ def _minhash_clusters_build(
     import ray
 
     pairs = (
-        minhash_verified_pairs_ds(sf_dir, threshold)
+        minhash_verified_pairs_ds(
+            sf_dir, threshold, bands=bands,
+            memo_tag=("mvp" + memo_tag) if memo_tag else "mvp",
+        )
         .drop_columns(["jaccard_x10k"])
         .materialize()
     )
@@ -3573,6 +3607,57 @@ def decontaminate_bloom_indexed(
         )
     bloom = np.frombuffer(row["bitmap"], dtype=np.uint64).copy()
     return _bloom_probe_pipeline(sf_dir, bloom, bench_pct, k, m_bits, n_hashes)
+
+
+def incremental_dedup_minhash_indexed(
+    sf_dir: str, index_dir: str | None = None, base_pct: int = 50,
+    threshold: float = 0.6,
+) -> rd.Dataset:
+    """``incremental_dedup_minhash`` against the PERSISTED band table —
+    the consumer the dedup index's ``bands/`` side exists for: base docs
+    are never re-MinHashed (their LSH band rows stream from the stored,
+    column-pruned parquet); only the NEW split runs the MinHasher actor
+    pool. Candidate verification still reads candidate docs' text (the
+    bands PRUNE, the verify FETCHES — only docs appearing in candidate
+    pairs ever ship shingles), so the verified pair set — and therefore
+    the cluster labels and the admission — is IDENTICAL to the
+    recompute-everything path by construction (MinHasher is
+    deterministic and the stored bands are exactly the base split's).
+    Shares ``incremental_dedup_minhash``'s SQL oracle for that reason.
+    ``index_dir=None`` reuses the same /tmp-cached index as
+    ``incremental_dedup_indexed`` (one ``build_dedup_index`` serves the
+    exact AND near-dup admissions)."""
+    thresh = (base_pct << 32) // 100
+
+    if index_dir is None:
+        st = os.stat(_pq(sf_dir))
+        tag = hashlib.md5(
+            f"{os.path.realpath(_pq(sf_dir))}:{st.st_mtime_ns}:{st.st_size}:{base_pct}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join("/tmp", f"spiderman_dedup_index_{tag}")
+        if not os.path.isdir(os.path.join(index_dir, "bands")):
+            build_dedup_index(sf_dir, index_dir, base_pct)
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        hv = _md5_priority(batch["doc_id"].to_pylist())
+        return batch.filter(pa.array(hv >= thresh))
+
+    new_bands = (
+        _read_docs(sf_dir)
+        .map_batches(keep_new, batch_format="pyarrow")
+        .map_batches(MinHasher, batch_format="pandas", batch_size=256,
+                     concurrency=pool_size(2))
+        .select_columns(["doc_id", "band", "band_hash"])
+    )
+    stored = rd.read_parquet(
+        os.path.join(index_dir, "bands"),
+        columns=["doc_id", "band", "band_hash"],
+    )
+    clusters = minhash_clusters(
+        sf_dir, threshold, bands=stored.union(new_bands),
+        memo_tag=f"idx{base_pct}",
+    )
+    return _incremental_minhash_admit(clusters, thresh)
 
 
 def quality_buckets(sf_dir: str) -> rd.Dataset:

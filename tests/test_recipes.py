@@ -452,3 +452,22 @@ def test_bloom_index_roundtrip_and_mismatch(tmp_path):
     assert a.equals(b)
     with _pytest.raises(ValueError, match="parameter mismatch"):
         decontaminate_bloom_indexed(sf, index_dir=str(tmp_path / "b"), k=9)
+
+
+def test_incremental_minhash_indexed_equals_recompute(tmp_path):
+    """The stored-band near-dup admission must equal the
+    recompute-everything path row-for-row (deterministic MinHasher ->
+    identical candidate/verified pair sets -> identical labels)."""
+    from spiderman_ray.pipelines.text import (
+        build_dedup_index,
+        incremental_dedup_minhash,
+        incremental_dedup_minhash_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    build_dedup_index(sf, str(tmp_path / "ix"))
+    a = (incremental_dedup_minhash(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (incremental_dedup_minhash_indexed(sf, index_dir=str(tmp_path / "ix"))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0 and a.equals(b)
