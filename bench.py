@@ -274,6 +274,10 @@ def run_bench() -> dict:
         ("training_shards", lambda: __import__(
             "spiderman_ray.pipelines.bpe", fromlist=["x"]
         ).training_shards(SF_DIR).count()),
+        # stored-band near-dup admission (fresh session pays the index
+        # build + the new-side MinHash; base is never re-MinHashed)
+        ("incremental_dedup_minhash_indexed",
+         lambda: T.incremental_dedup_minhash_indexed(SF_DIR).count()),
     ]:
         timed(name, fn)
 
