@@ -598,6 +598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence-length histogram in power-of-2 token buckets (the
         # pack_offsets context-budget planner input)
         "length_buckets": lambda sf: T.length_buckets(sf),
+        # per-length-bucket mean LM quality (the length-vs-quality curve)
+        "length_quality_curve": lambda sf: T.length_quality_curve(sf),
         # exact heavy hitters (sharded wordcount + provable per-shard top-k)
         "top_tokens": lambda sf: T.top_tokens(sf),
         # top-k collocations by integer PMI lift (two bucketed exchanges)
@@ -3609,6 +3611,18 @@ def oracle_sql() -> dict[str, str]:
     # stored-band near-dup admission == the recompute path (deterministic
     # MinHasher; bands prune, verify fetches), so it shares the oracle
     sqls["incremental_dedup_minhash_indexed"] = sqls["incremental_dedup_minhash"]
+    # length-vs-quality curve: the unigram_quality oracle as a CTE,
+    # bucketed by the length_buckets arithmetic —
+    # pipelines.text.length_quality_curve
+    sqls["length_quality_curve"] = (
+        f"WITH u AS ({sqls['unigram_quality']}) "
+        "SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(logcount2_sum) AS BIGINT) AS sum_logcount2, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(1000 * SUM(logcount2_sum) // SUM(n_tokens) AS BIGINT) "
+        "AS quality_x1000 FROM u GROUP BY 1"
+    )
     # rule-mask histogram over the gopher CTE — pipelines.recipes.gopher_summary
     sqls["gopher_summary"] = (
         f"WITH g AS ({sqls['gopher_rules']}) "

@@ -324,7 +324,8 @@ def cmd_query(args: argparse.Namespace) -> int:
 #: the dedup/eval diagnostics (minhash machinery, zlib funnel) with --full
 _REPORT_SECTIONS = ("source_quality_report", "length_buckets", "data_splits",
                     "mixture_weights", "vocab_growth",
-                    "source_distinct_shingles", "gopher_summary")
+                    "source_distinct_shingles", "gopher_summary",
+                    "length_quality_curve")
 _REPORT_FULL = ("curation_funnel", "dup_cluster_sizes", "source_dup_rates",
                 "source_novelty", "simhash_eval", "minhash_eval",
                 "minhash_threshold_sweep", "split_leakage", "recipe_curate")

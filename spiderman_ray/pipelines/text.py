@@ -4441,6 +4441,47 @@ def length_buckets(sf_dir: str) -> rd.Dataset:
     )
 
 
+def length_quality_curve(sf_dir: str) -> rd.Dataset:
+    """Does length predict quality? — the dashboard curve joining the
+    ``length_buckets`` histogram axis to the ``unigram_quality`` LM
+    signal: per power-of-2 token bucket, doc count and the bucket's mean
+    per-token common-word mass x1000 (exact integers; positive ``//``).
+    Rides unigram_quality's token-sharded pipeline with ONE extra
+    O(buckets)-partial stage and a tiny groupby — nothing new touches
+    the corpus. Output: (bucket, n_docs, sum_logcount2, sum_tokens,
+    quality_x1000)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_tokens"].to_numpy(dtype=np.int64)
+        bl = np.frexp(n)[1].astype(np.int64) - 1
+        df = pd.DataFrame(
+            {"bucket": bl, "ls": batch["logcount2_sum"].to_numpy(dtype=np.int64),
+             "ts": n}
+        )
+        agg = df.groupby("bucket", sort=False).agg(
+            d=("ts", "size"), ls=("ls", "sum"), ts=("ts", "sum")
+        ).reset_index()
+        return agg.astype("int64")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ls = batch["sum_logcount2"].to_numpy()
+        ts = batch["sum_tokens"].to_numpy()
+        return batch.append_column(
+            "quality_x1000", pa.array((1000 * ls) // ts, pa.int64())
+        )
+
+    return (
+        unigram_quality(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("d", alias_name="n_docs"),
+                   Sum("ls", alias_name="sum_logcount2"),
+                   Sum("ts", alias_name="sum_tokens"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def pmi_collocations(sf_dir: str, min_count: int = 3, k: int = 50) -> rd.Dataset:
     """Top-k collocations by integer pointwise-mutual-information lift:
     for each adjacent token pair, lift100 = floor(100 * c(w1,w2) * N /

@@ -471,3 +471,19 @@ def test_incremental_minhash_indexed_equals_recompute(tmp_path):
     b = (incremental_dedup_minhash_indexed(sf, index_dir=str(tmp_path / "ix"))
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert len(a) > 0 and a.equals(b)
+
+
+def test_length_quality_curve_tiles_corpus():
+    """Bucket doc counts must tile the corpus and agree with
+    length_buckets' histogram; quality follows the integer contract."""
+    from spiderman_ray.pipelines.text import length_buckets, length_quality_curve
+
+    sf = "/root/testdata/sf0.001"
+    lq = length_quality_curve(sf).to_pandas().set_index("bucket").sort_index()
+    lb = length_buckets(sf).to_pandas().set_index("bucket").sort_index()
+    assert lq["n_docs"].sum() == 500
+    assert list(lq.index) == list(lb.index)
+    assert (lq["n_docs"] == lb["n_docs"]).all()
+    assert (lq["sum_tokens"] == lb["n_tokens"]).all()
+    assert (lq["quality_x1000"]
+            == 1000 * lq["sum_logcount2"] // lq["sum_tokens"]).all()
